@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB against the sf parquet tables,
+sorts columns by name and rows by all columns, and compares cell-by-cell.
+Exit code 1 if any query mismatches.
+"""
+import sys, json, glob, os, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
+    return df
+
+def cmp_cell(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            if a is None or b is None:
+                return False
+            if math.isnan(a) and math.isnan(b):
+                return True
+            return a == b  # exact: parity discipline demands bit equality
+    except TypeError:
+        pass
+    return a == b
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    failures = []
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not files:
+            failures.append((name, "no spark output parquet")); continue
+        got = duckdb.sql(f"SELECT * FROM read_parquet({files!r})").df()
+        if name not in oracle:
+            status = f"rows-only: {len(got)} rows " + ("OK" if len(got) > 0 else "EMPTY!")
+            print(f"{name:32s} {status}")
+            if len(got) == 0:
+                failures.append((name, "rows-only query returned 0 rows"))
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as ex:
+            failures.append((name, f"oracle SQL error: {ex}")); continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            failures.append((name, f"schema: spark={list(g.columns)} duck={list(e.columns)}"))
+            continue
+        if len(g) != len(e):
+            failures.append((name, f"rowcount: spark={len(g)} duck={len(e)}"))
+            continue
+        bad = None
+        gv, ev = g.values.tolist(), e.values.tolist()
+        for i in range(len(gv)):
+            for j in range(len(gv[i])):
+                if not cmp_cell(gv[i][j], ev[i][j]):
+                    bad = (i, g.columns[j], gv[i][j], ev[i][j])
+                    break
+            if bad:
+                break
+        if bad:
+            failures.append((name, f"value row {bad[0]} col {bad[1]}: spark={bad[2]!r} duck={bad[3]!r}"))
+        else:
+            print(f"{name:32s} MATCH ({len(g)} rows)")
+    if failures:
+        print("\n=== FAILURES ===")
+        for n, msg in failures:
+            print(f"{n:32s} {msg}")
+        sys.exit(1)
+    print("\nall queries match")
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,545 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ExactNum.exactSum
+import graft.etl.{StockBars, StockEtl}
+import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 plus the LLM-data-pipeline extensions, each with an
+  * equivalent DuckDB oracle SQL in [[oracleSql]] (omitted only for ops not
+  * expressible in SQL, which get the weaker rows-only check).
+  *
+  * Float-parity discipline (so Spark and DuckDB hash-match bit-for-bit):
+  * sums over fixed-precision money columns use the exact integer-cents
+  * pattern (ExactNum.exactSum — order-independent), ratios/irrationals are
+  * rounded at 4 digits (their decimal expansions never land on rounding
+  * ties), and every computed column is aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001: the reference's full enrichment pipeline
+    * (per-symbol lag analytics) over bars derived from lineitem.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    StockBars.enriched(spark, "/root/testdata/sf0.001")
+
+  private def q(f: (SparkSession, String) => DataFrame) = f
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- scans / filters / projections (SURVEY §2.1–2.2) ----
+
+    // S3: date-range scan with predicate + projection pushdown to parquet.
+    "q_scan_pushdown" -> q { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1996-04-01").cast(TimestampType))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice",
+          "l_quantity")
+    },
+
+    // P2–P4: trim / non-empty / symbol-validity predicate (≤5 chars,
+    // alnum after stripping '.'/'-' — the reference's constituent filter).
+    "q_filter_symbol_valid" -> q { (s, dir) =>
+      Tables.part(s, dir)
+        .select(col("p_partkey"), trim(col("p_type")).as("symbol"))
+        .where(length(col("symbol")) <= 5 &&
+          regexp_replace(col("symbol"), "[.-]", "").rlike("^[A-Za-z0-9]+$"))
+    },
+
+    // P11–P12 / F11: coercing numeric semantics + rounding parity on
+    // tie-free values (sqrt → irrational; net price → exact 4-dec grid).
+    "q_round_money" -> q { (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 2).as("root_price"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"))
+    },
+
+    // F4–F7: date parse/truncate/extract + monthly aggregate.
+    "q_date_ops" -> q { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(trunc(col("o_orderdate"), "month").as("order_month"),
+          year(col("o_orderdate")).cast(LongType).as("order_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(col("o_totalprice"), 2).as("month_revenue"))
+    },
+
+    // ---- window functions (W1–W2) ----
+
+    // Lag difference + lag percent change per key (the reference's
+    // Close_Change / Close_Pct_Change semantics, first row → 0).
+    "q_lag_change" -> q { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val prev = lag(col("l_extendedprice"), 1).over(w)
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_extendedprice"))
+        .withColumn("price_change",
+          round(coalesce(col("l_extendedprice") - prev, lit(0.0)), 4))
+        .withColumn("price_pct_change",
+          round(coalesce((col("l_extendedprice") / prev - lit(1)) * lit(100), lit(0.0)), 4))
+    },
+
+    // The flagship: full reference enrichment (OHLCV bars → lag analytics).
+    "q_stock_enrich" -> q { (s, dir) => StockBars.enriched(s, dir) },
+
+    // ---- aggregations (A1–A5) ----
+
+    // TPC-H Q1-style pricing summary: the reference's verify-aggregate shape
+    // generalized with GROUP BY (partial-agg friendly).
+    "q1_pricing_summary" -> q { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast(LongType).as("sum_qty"),
+          exactSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e4))) / lit(1e4))
+            .as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (exactSum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // A1–A4 in one pass: counts, distinct, min/max, per-column null audit.
+    "q_null_audit" -> q { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val nullCounts = li.columns.toSeq.map(c =>
+        sum(col(c).isNull.cast(LongType)).as(s"nulls_$c"))
+      val aggs = Seq(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        min(col("l_shipdate")).as("min_shipdate"),
+        max(col("l_shipdate")).as("max_shipdate")) ++ nullCounts
+      li.agg(aggs.head, aggs.tail: _*)
+    },
+
+    // grouping sets: rollup revenue (engine-level; free in Spark).
+    "q_rollup_revenue" -> q { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e4))) / lit(1e4))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // A2 generalized: exact distinct counts per group.
+    "q_distinct_priority" -> q { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+    },
+
+    // ---- sorts / limits (O1–O2) ----
+
+    "q_topk_orders" -> q { (s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    },
+
+    // ---- set ops (U1) ----
+
+    // n-ary union by name with missing-column tolerance.
+    "q_union_by_name" -> q { (s, dir) =>
+      val a = Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("id"), col("l_extendedprice").as("amount"),
+        lit("lineitem").as("src"))
+      val b = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"), lit("orders").as("src"),
+        col("o_totalprice").as("total"))
+      a.unionByName(b, allowMissingColumns = true)
+    },
+
+    // ---- joins (engine-level, SURVEY §2.3) ----
+
+    "q_join_semi" -> q { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    },
+
+    // orders that never shipped a line item (non-empty at every sf).
+    "q_join_anti" -> q { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    },
+
+    // Multi-way star join; dims broadcast (no shuffle for the small sides).
+    "q_star_revenue" -> q { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).cast(LongType).as("order_year"))
+        .agg(
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e4))) / lit(1e4))
+            .as("revenue"),
+          count(lit(1)).as("n_items"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    },
+
+    // Top-k per group: window ranking over a pre-aggregated join.
+    "q_top_customers_per_nation" -> q { (s, dir) =>
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(exactSum(col("o_totalprice"), 2).as("total_spent"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("total_spent").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .join(spend, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .withColumn("rank_in_nation", row_number().over(w).cast(LongType))
+        .where(col("rank_in_nation") <= 3)
+        .select("n_name", "c_custkey", "c_name", "total_spent", "rank_in_nation")
+    },
+
+    // ---- events: timestamps, semi-structured props, sessionization ----
+
+    "q_events_hourly" -> q { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("event_hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          exactSum(col("value"), 2).as("total_value"),
+          round(exactSum(col("value"), 2) / count(lit(1)), 4).as("avg_value"))
+    },
+
+    "q_events_props" -> q { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(LongType).as("k_value"))
+    },
+
+    "q_events_sessions" -> q { (s, dir) =>
+      Sessionize.userSessionStats(Tables.events(s, dir),
+        "user_id", "ts", "event_id", gapSeconds = 86400L)
+    },
+
+    // ---- text analysis (LLM-pipeline extensions) ----
+
+    "q_text_tokens" -> q { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast(LongType).as("n_chars_actual"))
+    },
+
+    "q_text_quality" -> q { (s, dir) =>
+      val toks = col("toks")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(toks).cast(LongType).as("n_tokens"),
+          round(coalesce(TextAnalysis.avgTokenLen(toks), lit(0.0)), 4).as("avg_token_len"),
+          round(coalesce(TextAnalysis.stopwordRatio(toks), lit(0.0)), 4).as("stopword_ratio"))
+    },
+
+    "q_text_fingerprint" -> q { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    },
+
+    "q_lang_profile" -> q { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("total_chars"),
+          round(sum(col("n_chars")).cast(DoubleType) / count(lit(1)), 4).as("avg_chars"))
+    },
+
+    // Full text-statistics projection incl. heuristic language ID and
+    // quality score (rows-only: scoring heuristics aren't SQL-portable).
+    "q_text_analyze" -> q { (s, dir) =>
+      TextAnalysis.analyze(Tables.documents(s, dir))
+        .select("doc_id", "n_tokens", "quality_score", "lang_detected", "fingerprint")
+    },
+
+    // ---- dedup (LLM-pipeline extensions) ----
+
+    "q_dedup_exact" -> q { (s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    "q_dedup_ngram_jaccard" -> q { (s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDocFreq = 20L)
+    },
+
+    // MinHash signatures (rows-only: 64-perm xxhash sketch not in DuckDB).
+    "q_minhash_signatures" -> q { (s, dir) =>
+      Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), hash(col("sig")).cast(LongType).as("sig_hash"),
+          element_at(col("sig"), 1).as("minhash_0"))
+    },
+
+    // SimHash signatures (rows-only).
+    "q_simhash_signatures" -> q { (s, dir) =>
+      Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // ---- similarity search (LLM-pipeline extensions) ----
+
+    "q_ann_bruteforce" -> q { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      // query-vector fetch: a 1-row parameter lookup, not a data-path collect
+      val qv = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).map(_.toDouble)
+      Similarity.bruteForceTopK(emb.where(col("vec_id") =!= 0),
+          "vec_id", "embedding", qv, k = 10)
+        .select(col("vec_id"), col("label"), round(col("cos_sim"), 4).as("cos_sim"))
+    },
+
+    "q_embed_norms" -> q { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      emb.select(col("vec_id"), col("label"),
+        round(Similarity.l2Norm(Similarity.toDoubleVec(col("embedding"))), 4).as("l2_norm"))
+    },
+
+    // LSH bucket assignment (rows-only: seeded hyperplanes not in DuckDB).
+    "q_ann_lsh_buckets" -> q { (s, dir) =>
+      Similarity.lshBuckets(Tables.embeddings(s, dir), "vec_id", "embedding", planes = 12)
+        .select("vec_id", "bucket")
+    },
+
+    // ---- multimodal plumbing (rows-only; decode is stubbed) ----
+
+    "q_multimodal_features" -> q { (s, dir) =>
+      val media = Multimodal.fixtureFromDocuments(Tables.documents(s, dir))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          element_at(col("features"), 1).as("f0"))
+    })
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val lineitemCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    "q_filter_symbol_valid" ->
+      """SELECT p_partkey, trim(p_type) AS symbol FROM part
+        |WHERE length(trim(p_type)) <= 5
+        |  AND regexp_matches(regexp_replace(trim(p_type), '[.-]', '', 'g'), '^[A-Za-z0-9]+$')""".stripMargin,
+
+    "q_round_money" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sqrt(l_extendedprice), 2) AS root_price,
+        |  round(l_extendedprice * (1 - l_discount), 4) AS net_price
+        |FROM lineitem""".stripMargin,
+
+    "q_date_ops" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  count(*) AS n_orders,
+        |  sum(round(o_totalprice * 100)) / 100.0 AS month_revenue
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q_lag_change" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
+        |  round(coalesce(l_extendedprice - prev, 0), 4) AS price_change,
+        |  round(coalesce((l_extendedprice / prev - 1) * 100, 0), 4) AS price_pct_change
+        |FROM (SELECT *, lag(l_extendedprice) OVER
+        |        (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev
+        |      FROM lineitem)""".stripMargin,
+
+    "q_stock_enrich" ->
+      """WITH bars AS (
+        |  SELECT 'S' || l_suppkey AS symbol, CAST(l_shipdate AS DATE) AS trade_date,
+        |    min(l_extendedprice) AS low, max(l_extendedprice) AS high,
+        |    sum(round(l_extendedprice * 100)) / 100.0 / count(*) AS close,
+        |    CAST(sum(l_quantity) AS BIGINT) AS volume, count(*) AS n_trades
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT symbol, trade_date, low, high, close, volume, n_trades,
+        |  round(coalesce(close - prev, 0), 4) AS close_change,
+        |  round(coalesce((close / prev - 1) * 100, 0), 4) AS close_pct_change,
+        |  round(high - low, 4) AS daily_range,
+        |  round((high - low) / low * 100, 4) AS daily_range_pct
+        |FROM (SELECT *, lag(close) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev
+        |      FROM bars)""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  sum(round(l_extendedprice * 100)) / 100.0 AS sum_base_price,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0 AS sum_disc_price,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  sum(round(l_extendedprice * 100)) / 100.0 / count(*) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_null_audit" -> {
+      val nullCols = lineitemCols.map(c =>
+        s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_$c")
+        .mkString(",\n  ")
+      s"""SELECT count(*) AS n_rows,
+         |  count(DISTINCT l_orderkey) AS n_orders,
+         |  min(l_shipdate) AS min_shipdate,
+         |  max(l_shipdate) AS max_shipdate,
+         |  $nullCols
+         |FROM lineitem""".stripMargin
+    },
+
+    "q_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_distinct_priority" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    "q_union_by_name" ->
+      """SELECT l_orderkey AS id, l_extendedprice AS amount, 'lineitem' AS src FROM lineitem
+        |UNION ALL BY NAME
+        |SELECT o_orderkey AS id, 'orders' AS src, o_totalprice AS total FROM orders""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
+
+    "q_star_revenue" ->
+      """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0 AS revenue,
+        |  count(*) AS n_items,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_top_customers_per_nation" ->
+      """SELECT n_name, c_custkey, c_name, total_spent, rank_in_nation FROM (
+        |  SELECT n_name, c_custkey, c_name, total_spent,
+        |    CAST(row_number() OVER (PARTITION BY n_name ORDER BY total_spent DESC, c_custkey) AS BIGINT)
+        |      AS rank_in_nation
+        |  FROM (SELECT o_custkey, sum(round(o_totalprice * 100)) / 100.0 AS total_spent
+        |        FROM orders GROUP BY 1) s
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |WHERE rank_in_nation <= 3""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS event_hour, event_type,
+        |  count(*) AS n_events,
+        |  sum(round(value * 100)) / 100.0 AS total_value,
+        |  round(sum(round(value * 100)) / 100.0 / count(*), 4) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_events_props" ->
+      """SELECT event_id, user_id, event_type,
+        |  TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_value
+        |FROM events""".stripMargin,
+
+    "q_events_sessions" ->
+      """SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, sum(is_new) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 86400 THEN 1 ELSE 0 END AS is_new
+        |    FROM (SELECT user_id, ts, event_id,
+        |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |          FROM events)))
+        |GROUP BY user_id""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  round(coalesce(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |        / CAST(nullif(len(t), 0) AS DOUBLE), 0), 4) AS avg_token_len,
+        |  round(coalesce(CAST(len(list_filter(t,
+        |          x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE)
+        |        / CAST(nullif(len(t), 0) AS DOUBLE), 0), 4) AS stopword_ratio
+        |FROM (SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents)""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |       FROM toks WHERE len(t) >= 3),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |rare AS (SELECT shingle FROM e GROUP BY shingle HAVING count(*) <= 20),
+        |idx AS (SELECT e.doc_id, e.shingle FROM e JOIN rare USING (shingle)),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |           FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY 1)
+        |SELECT id_a, id_b,
+        |  round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """SELECT e.vec_id, e.label,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS cos_sim
+        |FROM embeddings e,
+        |  (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q_embed_norms" ->
+      """SELECT vec_id, label,
+        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm
+        |FROM embeddings""".stripMargin)
 }

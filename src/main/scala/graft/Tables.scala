@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * All reads go through `spark.read.parquet` so Catalyst's datasource V2
+  * pushdown (predicate pushdown, column pruning, partition pruning) applies
+  * to every downstream query — at 100 TB these scans are the dominant cost
+  * and the plan must show `PushedFilters`/narrow `ReadSchema`.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. With `spark.sql.legacy.parquet.nanosAsLong=true` the
+    * column arrives as nanos-since-epoch LongType; convert to TimestampType
+    * (microsecond truncation — matching how µs-native engines read the same
+    * file). Kept inside the loader so every query sees a plain timestamp.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    val raw = apply(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+}
+
+/** Numeric helpers shared by queries that must hash-match a DuckDB oracle.
+  *
+  * Floating-point sums are order-dependent; Spark's partial aggregation and
+  * DuckDB's sequential scan accumulate in different orders, so `sum(double)`
+  * can differ in low-order bits (and after rounding, occasionally in the
+  * printed value). The fix used throughout this engine: money-like columns
+  * have a fixed decimal precision, so `sum(round(x * 10^s)) / 10^s` sums
+  * exact integers (error-free in IEEE754 below 2^53) and is bit-identical
+  * across engines AND across partitionings — which also makes results stable
+  * under AQE re-planning at 100 TB.
+  */
+object ExactNum {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** Order-independent, engine-portable sum of a fixed-precision decimal
+    * column stored as double. `scale` = number of decimal digits.
+    */
+  def exactSum(c: Column, scale: Int): Column = {
+    val p = math.pow(10.0, scale.toDouble)
+    sum(round(c * lit(p))) / lit(p)
+  }
+
+  /** Deterministic mean built from [[exactSum]] (exact numerator). */
+  def exactAvg(c: Column, scale: Int): Column =
+    exactSum(c, scale) / count(lit(1))
+}

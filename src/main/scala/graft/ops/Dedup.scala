@@ -1,0 +1,211 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (hash groupBy), n-gram Jaccard (shingle inverted
+  * index), MinHash + LSH banding (sub-quadratic candidate generation),
+  * SimHash (64-bit near-dup signature).
+  *
+  * Scale design (100 TB corpora):
+  *  - Exact dedup is one hash-partitioned aggregation on a 128-bit digest —
+  *    the digest (16 B) shuffles instead of the document bodies.
+  *  - Pairwise Jaccard is never computed all-pairs: candidates come from an
+  *    inverted shingle index (equi-join, hash-partitioned by shingle) with a
+  *    document-frequency cap that removes boilerplate shingles — the classic
+  *    skew guard; without it one viral shingle creates a quadratic bucket.
+  *  - MinHash banding turns near-dup search into `bands` equi-joins on
+  *    (band, bandHash): cost ∝ Σ bucket², controlled by band geometry, and
+  *    each join is an ordinary shuffled equi-join AQE can skew-split.
+  *  - All signatures use xxhash64 + affine rehash (no RNG at runtime, fully
+  *    deterministic, codegen'd — no UDFs anywhere).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest: one row per distinct text
+    * with the surviving (minimum) id and the duplicate count.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep exactly one row per distinct `textCol` (min id wins). */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Word-level n-gram shingles (distinct) from an ALREADY-MATERIALIZED
+    * tokens column. `toks` must be a plain attribute reference, not an
+    * expression: it is referenced inside the transform lambda, and Spark's
+    * subexpression elimination does not reach into lambda bodies — an
+    * inline `regexp_extract_all` here would re-tokenize the document once
+    * per shingle (O(tokens²), catastrophic on long docs).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - lit(n)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k + 1))): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+
+  /** (doc_id, sh) frame with tokenization and shingling staged as separate
+    * projections (each computed once per row).
+    */
+  private def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("sh"))
+
+  /** Exact n-gram Jaccard near-duplicate pairs via an inverted shingle
+    * index.
+    *
+    * @param maxDocFreq shingles appearing in more than this many docs are
+    *                   dropped from the index (boilerplate / skew guard).
+    * @param minJaccard similarity threshold on |A∩B| / |A∪B|.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5, maxDocFreq: Long = 20L): DataFrame = {
+    val sh = shingleFrame(docs, idCol, textCol, n)
+      .where(size(col("sh")) > 0)
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // Postings list per shingle, df-capped in the same aggregation. The cap
+    // is both the boilerplate filter and the skew guard: without it one
+    // viral shingle yields a quadratic bucket (at 100 TB, a fatal hot key).
+    val postings = exploded
+      .groupBy("shingle")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) <= maxDocFreq.toInt)
+      .select(sort_array(col("ids")).as("ids"))
+    // Candidate pairs generated in-row from each posting (≤ df²/2 per
+    // shingle) — replaces a posting⋈posting self-join whose shuffle
+    // dominated the original formulation. `ids` is an attribute: lambdas
+    // may reference it freely (no recompute).
+    val pairs = postings.select(explode(flatten(
+      transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    val common = pairs
+      .groupBy(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    // per-doc shingle counts over the SAME pruned index (cap-consistent)
+    val sizes = postings
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    common
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "id_a", "n_sh" -> "n_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "id_b", "n_sh" -> "n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Deterministic affine rehash family over a base xxhash64: h_i(x) =
+    * a_i·h(x) + b_i (mod 2^64 via Long overflow). Odd multipliers keep the
+    * map bijective.
+    */
+  private def permSeeds(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** MinHash signature (length k) from a materialized shingle-hash column:
+    * k per-permutation minima via higher-order functions in one projection
+    * (no explode, no shuffle). `hashes` must be an attribute (see
+    * [[shinglesFromTokens]] for why).
+    */
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    array(permSeeds(k).map { case (a, b) =>
+      array_min(transform(hashes, h => h * lit(a) + lit(b)))
+    }: _*)
+
+  /** (doc_id, sig) frame; empty-shingle docs get a null signature. Each
+    * stage (tokens → shingles → hashes → signature) is its own projection
+    * so every array is computed exactly once per row.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64): DataFrame =
+    shingleFrame(docs, idCol, textCol, n)
+      .select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("hashes"))
+      .select(col("doc_id"),
+        when(size(col("hashes")) > 0, minhashFromHashes(col("hashes"), k)).as("sig"))
+
+  /** LSH banding: candidate pairs whose signatures collide in ≥1 of
+    * `bands` bands (`k = bands·rowsPerBand`). Returns pairs with the
+    * signature-estimated Jaccard.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.0): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+      .where(col("sig").isNotNull)
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast(DoubleType) / lit(k.toDouble))
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash from a materialized token-hash column: bit b of the
+    * signature is the majority vote of bit b across token hashes. `hashes`
+    * must be an attribute (lambda-recompute trap, see
+    * [[shinglesFromTokens]]).
+    */
+  def simhashFromHashes(hashes: Column): Column = {
+    val n = size(hashes)
+    val sig = (0 until 64).map { b =>
+      val ones = size(filter(hashes,
+        h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
+      when(ones * 2 >= n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    when(n > 0, sig).otherwise(lit(null).cast(LongType))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash signatures frame (tokens → hashes → signature, one projection
+    * per stage).
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("hashes"))
+      .select(col("doc_id"), simhashFromHashes(col("hashes")).as("simhash"))
+
+  /** Embedding-cosine near-duplicate pairs (delegates candidate generation
+    * to [[Similarity.hyperplaneBucket]] LSH, then exact-scores candidates).
+    */
+  def embeddingDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95, planes: Int = 12, dim: Int = 64): DataFrame = {
+    val bucketed = vecs.select(col(idCol).as("vec_id"),
+      Similarity.toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes, dim))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", Similarity.cosine(col("a.v"), col("b.v")))
+      .where(col("cosine") >= minCosine)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(col("cosine"), 4).as("cosine"))
+  }
+}

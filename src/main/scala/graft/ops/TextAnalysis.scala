@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, document fingerprinting.
+  *
+  * All operators are built from codegen'd `org.apache.spark.sql.functions`
+  * and higher-order array functions — no Scala UDFs — so they stay inside
+  * whole-stage codegen and scale linearly with input: at 100 TB these run
+  * as a single narrow (shuffle-free) projection over the corpus.
+  */
+object TextAnalysis {
+
+  /** ASCII word tokens (`\w+`). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\w+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** Normalized form for near-identity comparison: lowercase, non-alnum
+    * runs collapsed to single spaces, trimmed.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Deterministic 128-bit content fingerprint of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** 64-bit rolling-style fingerprint (cheap, order-sensitive). */
+  def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  /** Fraction of tokens that are stopwords (null for empty docs). */
+  def stopwordRatio(toks: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val sw = typedLit(stopwords)
+    size(filter(toks, t => array_contains(sw, t))).cast(DoubleType) /
+      nullif(size(toks), lit(0)).cast(DoubleType)
+  }
+
+  /** Mean token length in characters (null for empty docs). */
+  def avgTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast(LongType))
+      .cast(DoubleType) / nullif(size(toks), lit(0)).cast(DoubleType)
+
+  /** Heuristic document quality score in [0,1]: rewards reasonable length,
+    * stopword presence (fluency proxy) and plausible mean word length —
+    * the standard cheap pre-filter before expensive model-based scoring.
+    * Pass a MATERIALIZED tokens column (attribute) — the expression reads
+    * it several times and an inline tokenizer would be re-evaluated each
+    * read.
+    */
+  def qualityScoreFromTokens(toks: Column): Column = {
+    val lengthScore = least(size(toks).cast(DoubleType) / lit(100.0), lit(1.0))
+    val stopScore = least(coalesce(stopwordRatio(toks), lit(0.0)) * lit(5.0), lit(1.0))
+    val wl = coalesce(avgTokenLen(toks), lit(0.0))
+    val wordLenScore = when(wl >= 3.0 && wl <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    round(lengthScore * lit(0.4) + stopScore * lit(0.3) + wordLenScore * lit(0.3), 4)
+  }
+
+  /** Convenience for ad-hoc use on small data; production paths should
+    * stage tokens once and use [[qualityScoreFromTokens]].
+    */
+  def qualityScore(text: Column): Column = qualityScoreFromTokens(tokens(text))
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Real pipelines use fastText-style models; the mechanism —
+    * score each profile, take the argmax — is identical and fully
+    * distributed (one narrow projection).
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que", "de", "por"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zai", "ta", "men", "zhe"))
+
+  /** Detected language code: argmax over profile-overlap ratios, 'und' when
+    * nothing matches.
+    */
+  def langId(text: Column, profiles: Map[String, Seq[String]] = langProfiles): Column =
+    langIdFromTokens(tokens(text), profiles)
+
+  /** Language ID from a materialized tokens column (attribute). */
+  def langIdFromTokens(toks: Column,
+      profiles: Map[String, Seq[String]] = langProfiles): Column = {
+    val n = nullif(size(toks), lit(0)).cast(DoubleType)
+    // build struct(score, lang) per profile, take array_max (lexicographic
+    // struct ordering: score first, then lang as deterministic tiebreak)
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val sw = typedLit(words)
+      struct(
+        (size(filter(toks, t => array_contains(sw, t))).cast(DoubleType) / n).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0.0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Full per-document text-statistics projection. Tokenizes once (staged
+    * column), then derives every statistic from the attribute.
+    */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = col("__toks")
+    docs
+      .withColumn("__toks", tokens(t))
+      .select(
+        col("*"),
+        length(t).cast(LongType).as("n_chars_computed"),
+        size(toks).cast(LongType).as("n_tokens"),
+        round(coalesce(avgTokenLen(toks), lit(0.0)), 4).as("avg_token_len"),
+        round(coalesce(stopwordRatio(toks), lit(0.0)), 4).as("stopword_ratio"),
+        qualityScoreFromTokens(toks).as("quality_score"),
+        langIdFromTokens(toks).as("lang_detected"),
+        fingerprint(t).as("fingerprint"))
+      .drop("__toks")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming re-expression of the reference's incremental-append
+  * semantics (SURVEY §2.9): the reference emulates a stream with a daily
+  * Airflow batch + consume-once `COPY INTO ... PURGE=TRUE`
+  * (`/root/reference/dags/sp500_dag.py.py:324,353,378`). A file stream with
+  * `Trigger.AvailableNow` + checkpointing subsumes that contract —
+  * exactly-once file consumption without deleting inputs — and the same
+  * code scales to a continuous micro-batch trigger on a cluster.
+  */
+object EventsStreaming {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Watermarked tumbling-window aggregation over a parquet file stream. */
+  def hourlyCounts(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(inputDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Run a streaming query to completion over the currently-available files
+    * (consume-once batch upgrade path), results to an in-memory table.
+    */
+  def runAvailableNow(df: DataFrame, queryName: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp)
+
+  /** Custom stateful sessionization with `flatMapGroupsWithState`: emits a
+    * session row when a user is idle past the timeout. Batch twin:
+    * [[graft.ops.Sessionize]].
+    */
+  def sessionizeStream(events: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+    implicit val outEnc: org.apache.spark.sql.Encoder[SessionOut] = Encoders.product[SessionOut]
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionOut, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionOut]) =>
+          if (state.hasTimedOut) {
+            val out = state.get
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val evs = rows.toSeq.sortBy(_.ts.getTime)
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val prev = state.getOption
+              val merged = prev match {
+                case Some(s) => SessionOut(userId, s.n_events + evs.size,
+                  s.start, evs.last.ts)
+                case None => SessionOut(userId, evs.size.toLong, evs.head.ts, evs.last.ts)
+              }
+              state.update(merged)
+              state.setTimeoutDuration(gapMs)
+              Iterator.empty
+            }
+          }
+      }
+  }
+}

@@ -1,0 +1,193 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different content about spark engines and scale"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (5L, "unrelated short text")).toDF("doc_id", "text")
+
+  test("exact dedup: duplicate group found, min id kept") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.count() == 4)
+    val dupe = groups.where($"n_dups" === 2).head()
+    assert(dupe.getAs[Long]("keep_id") == 1L)
+    assert(Dedup.dropExactDuplicates(docs, "doc_id", "text").count() == 4)
+  }
+
+  test("ngram jaccard: near-dup pair found with correct similarity") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      minJaccard = 0.3, maxDocFreq = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // docs 1,2,4 share 6 of 8 distinct 3-gram shingles; (1,4) identical
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 4L && j == 1.0 })
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.7 && j < 1.0 })
+    assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) })
+  }
+
+  test("minhash signatures: identical docs → identical sigs; near-dups mostly agree") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    val agree12 = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y }
+    assert(agree12 > 32, s"near-dups should agree on most minhashes, got $agree12/64")
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y }
+    assert(agree13 < 16, s"unrelated docs should rarely agree, got $agree13/64")
+  }
+
+  test("lsh banding: candidate pairs contain the true near-dups") {
+    val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+      bands = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 4L)))
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("simhash: exact dups identical, near-dups close in hamming space") {
+    val sh = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+
+  test("embedding near-dup pairs via hyperplane LSH") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.1f)), // near-dup of 1
+      (3L, Array(-1.0f, 0.5f, 0.5f, -0.2f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(vecs, "vec_id", "embedding",
+      minCosine = 0.99, planes = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f)),
+    (5L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+
+  test("brute-force top-k: ordering and self-similarity") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0), k = 3).select("vec_id").as[Long].collect()
+    assert(top.head == 1L) // identical vector first
+    assert(top(1) == 2L)   // then the near one
+  }
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val c = vecs.select(col("vec_id"),
+      Similarity.cosine(Similarity.toDoubleVec(col("embedding")),
+        typedLit(Seq(1.0, 0.0, 0.0))).as("cos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(c(1L) - 1.0) < 1e-12)
+    assert(math.abs(c(3L)) < 1e-12)
+    assert(math.abs(c(5L) + 1.0) < 1e-12)
+  }
+
+  test("ann via LSH buckets finds the exact neighbors for clustered data") {
+    val res = Similarity.annTopK(vecs, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0), k = 2, planes = 6)
+      .select("vec_id").as[Long].collect()
+    assert(res.contains(1L)) // the identical vector survives bucketing+probe
+  }
+
+  test("lsh buckets: identical vectors share a bucket") {
+    val two = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(two, "vec_id", "embedding", planes = 8)
+      .select("bucket").as[Long].collect()
+    assert(b(0) == b(1))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count, fingerprint stability under formatting noise") {
+    val df = Seq(
+      (1L, "Hello,  World! THIS is Spark."),
+      (2L, "hello world this is spark")).toDF("doc_id", "text")
+    val out = TextAnalysis.analyze(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") == 5L)
+    // normalization makes the fingerprint formatting-invariant
+    assert(out(1L).getAs[String]("fingerprint") == out(2L).getAs[String]("fingerprint"))
+  }
+
+  test("language id picks the profile with highest stopword overlap") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house is in a tree"),
+      (2L, "der hund und die katze ist nicht ein tier zu haus"),
+      (3L, "xyzzy qwerty plugh")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+
+  test("quality score in [0,1], higher for fluent text") {
+    val df = Seq(
+      (1L, "the project is a large and careful piece of work that it describes in detail for the reader"),
+      (2L, "zzz qq x")).toDF("doc_id", "text")
+    val s = df.select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) > s(2L))
+    assert(s.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gap sessionization: session count per user") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L),
+      (2L, "2024-01-01 10:10:00", 1L), // same session (10 min gap)
+      (3L, "2024-01-02 10:00:00", 1L), // new session (1 day later)
+      (4L, "2024-01-01 09:00:00", 2L))
+      .toDF("event_id", "ts", "user_id")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = Sessionize.userSessionStats(df, "user_id", "ts", "event_id", 3600L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((2L, 3L)))
+    assert(out(2L) == ((1L, 1L)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media fixture schema + stub feature extraction plumbing") {
+    val docs = graft.Tables.documents(spark, sf).limit(50)
+    val media = Multimodal.fixtureFromDocuments(docs)
+    assert(media.schema("bytes").dataType == org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 50)
+    assert(feats.forall(_.features.length == 4))
+    assert(feats.forall(f => f.features.forall(v => v >= 0.0 && v <= 1.0)))
+    // deterministic: same input → same features
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+
+  test("resize plan + frame sampling are metadata-only") {
+    val docs = graft.Tables.documents(spark, sf).limit(30)
+    val media = Multimodal.fixtureFromDocuments(docs)
+    val planned = Multimodal.planResize(media, maxSide = 256)
+    assert(planned.select(max(col("resize_plan.target_width"))).head().getInt(0) <= 256)
+    val frames = Multimodal.sampleFrames(media, everyNth = 5)
+    assert(frames.count() > 0)
+  }
+}
