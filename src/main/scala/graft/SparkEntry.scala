@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.ExactNum.exactSum
 import graft.etl.{StockBars, StockEtl}
-import graft.ops.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 plus the LLM-data-pipeline extensions, each with an
@@ -205,6 +205,40 @@ object SparkEntry {
         .withColumn("rank_in_nation", row_number().over(w).cast(LongType))
         .where(col("rank_in_nation") <= 3)
         .select("n_name", "c_custkey", "c_name", "total_spent", "rank_in_nation")
+    },
+
+    // Backward as-of join (financial lookup): for each order-date probe,
+    // the latest bar of its symbol — union + carry-forward window, ONE
+    // shuffle, no range explosion (see graft.ops.AsOfJoin).
+    "q_asof_bars" -> q { (s, dir) =>
+      val nSupp = Tables.supplier(s, dir).count() // parameter lookup
+      val probes = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        concat(lit("S"), col("o_orderkey") % lit(nSupp)).as("symbol"),
+        col("o_orderdate").as("probe_ts"))
+      val bars = StockBars.fromLineitem(s, dir)
+        .select("symbol", "trade_date", "close")
+      AsOfJoin.backward(probes, bars, "symbol", "probe_ts", "trade_date")
+        .select("o_orderkey", "symbol", "probe_ts", "asof_trade_date", "close")
+    },
+
+    // Pivot (wide aggregation by categorical value).
+    "q_pivot_events" -> q { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(exactSum(col("value"), 2))
+    },
+
+    // Exact interpolated percentiles per group.
+    "q_percentiles" -> q { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          count(lit(1)).as("n"))
     },
 
     // ---- events: timestamps, semi-structured props, sessionization ----
@@ -452,6 +486,38 @@ object SparkEntry {
         |  JOIN customer ON c_custkey = o_custkey
         |  JOIN nation ON c_nationkey = n_nationkey)
         |WHERE rank_in_nation <= 3""".stripMargin,
+
+    "q_asof_bars" ->
+      """WITH bars AS (
+        |  SELECT 'S' || l_suppkey AS symbol, CAST(l_shipdate AS DATE) AS trade_date,
+        |    sum(round(l_extendedprice * 100)) / 100.0 / count(*) AS close
+        |  FROM lineitem GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT o_orderkey,
+        |    'S' || (o_orderkey % (SELECT count(*) FROM supplier)) AS symbol,
+        |    o_orderdate AS probe_ts
+        |  FROM orders)
+        |SELECT p.o_orderkey, p.symbol, p.probe_ts,
+        |  b.trade_date AS asof_trade_date, b.close
+        |FROM probes p ASOF JOIN bars b
+        |  ON p.symbol = b.symbol AND p.probe_ts >= CAST(b.trade_date AS TIMESTAMP)""".stripMargin,
+
+    "q_pivot_events" ->
+      """SELECT user_id,
+        |  sum(round(value * 100)) FILTER (WHERE event_type = 'click') / 100.0 AS click,
+        |  sum(round(value * 100)) FILTER (WHERE event_type = 'error') / 100.0 AS error,
+        |  sum(round(value * 100)) FILTER (WHERE event_type = 'purchase') / 100.0 AS purchase,
+        |  sum(round(value * 100)) FILTER (WHERE event_type = 'signup') / 100.0 AS signup,
+        |  sum(round(value * 100)) FILTER (WHERE event_type = 'view') / 100.0 AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS event_hour, event_type,

@@ -1,0 +1,74 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{BarSource, ConstituentSource}
+
+/** End-to-end orchestration of the reference pipeline (SURVEY §2.11
+  * C1–C5): extract constituents → fetch bars → normalize/enrich →
+  * consolidate → quality summary → CSV stage → warehouse append with
+  * consume-once semantics → verify aggregate.
+  *
+  * The reference runs these as five Airflow tasks exchanging XCom values;
+  * here they are stages of one Spark application exchanging a RunContext.
+  * Stage boundaries that were process hops become plan sections; the only
+  * true materialization points are the two sinks and the quality action.
+  */
+object Pipeline {
+
+  /** C2: the values the reference passes through XCom. */
+  final case class RunReport(
+      nSymbols: Long, nRows: Long,
+      minDate: String, maxDate: String,
+      stagePath: String, warehousePath: String,
+      loadedRows: Long)
+
+  /** C3: retry wrapper for the nondeterministic (source-fetch) stages only.
+    */
+  @annotation.tailrec
+  def retry[T](attempts: Int, delayMs: Long)(f: => T): T =
+    util.Try(f) match {
+      case util.Success(v) => v
+      case util.Failure(e) if attempts > 1 =>
+        Thread.sleep(delayMs)
+        retry(attempts - 1, delayMs)(f)
+      case util.Failure(e) => throw e
+    }
+
+  def run(spark: SparkSession,
+      constituents: ConstituentSource,
+      bars: BarSource,
+      start: java.sql.Date, end: java.sql.Date,
+      stageDir: String, warehouseDir: String,
+      retries: Int = 2, retryDelayMs: Long = 100L): RunReport = {
+
+    // stage 1: extract + clean symbols (C5: hard-fail on empty input)
+    val symbols = StockEtl.cleanSymbols(retry(retries, retryDelayMs) {
+      constituents.fetch(spark)
+    })
+    require(symbols.limit(1).count() > 0, "no valid symbols extracted") // DAG:64–65
+
+    // stage 2: fetch + normalize + enrich (one distributed read replaces
+    // the reference's ~500-iteration driver loop; C4 tolerance is in the
+    // PERMISSIVE source read)
+    val raw = retry(retries, retryDelayMs) { bars.fetch(spark, symbols, start, end) }
+    val enriched = StockEtl.enrich(StockEtl.normalize(raw))
+    require(enriched.limit(1).count() > 0, "no bars fetched for any symbol") // DAG:209–210
+
+    // stage 3: consolidate + quality summary (A1–A4, one pass)
+    val consolidated = StockEtl.consolidate(enriched)
+    val q = StockEtl.qualitySummary(enriched).head()
+    val (nRows, nSyms) = (q.getAs[Long]("n_rows"), q.getAs[Long]("n_symbols"))
+    val (minD, maxD) = (String.valueOf(q.getAs[Any]("min_date")),
+      String.valueOf(q.getAs[Any]("max_date")))
+
+    // stage 4: CSV stage sink (S4 option parity)
+    val stagePath = s"$stageDir/stock_stage"
+    StockEtl.writeCsvStage(consolidated, stagePath)
+
+    // stage 5: warehouse append + consume-once + verify (S6/S7)
+    val loaded = graft.sinks.WarehouseLoad.appendAndPurge(
+      spark, stagePath, warehouseDir)
+    RunReport(nSyms, nRows, minD, maxD, stagePath, warehouseDir, loaded)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Warehouse ingest with the reference's COPY INTO contract (SURVEY §2.1
+  * S6–S7): error-tolerant CSV decode, append-only load, consume-once
+  * (`PURGE=TRUE`) staged-file deletion after a successful append, and the
+  * post-load verification aggregate.
+  *
+  * The structured-streaming upgrade path (checkpointed
+  * `Trigger.AvailableNow`, which subsumes PURGE without deleting inputs)
+  * lives in [[graft.streaming.EventsStreaming]]; this sink keeps the
+  * batch-exact semantics for parity.
+  */
+object WarehouseLoad {
+
+  /** The staged CSV layout produced by StockEtl.writeCsvStage: all-string
+    * decode first, then coercing casts — matching the COPY options
+    * (NULL_IF, TRIM_SPACE, ON_ERROR CONTINUE ≈ PERMISSIVE).
+    */
+  val stagedSchema: StructType = StructType(Seq(
+    StructField("Date", StringType), StructField("Symbol", StringType),
+    StructField("Open", StringType), StructField("High", StringType),
+    StructField("Low", StringType), StructField("Close", StringType),
+    StructField("Volume", StringType),
+    StructField("Close_Change", StringType),
+    StructField("Close_Pct_Change", StringType),
+    StructField("Daily_Range", StringType),
+    StructField("Daily_Range_Pct", StringType)))
+
+  private val numericCols = Seq("Open", "High", "Low", "Close",
+    "Close_Change", "Close_Pct_Change", "Daily_Range", "Daily_Range_Pct")
+
+  /** Append the staged CSV into the warehouse parquet table, then delete
+    * the consumed staged files (consume-once). Returns rows loaded.
+    */
+  def appendAndPurge(spark: SparkSession, stagePath: String,
+      warehouseDir: String): Long = {
+    val typed = readStaged(spark, stagePath)
+    val n = typed.count()
+    typed.write.mode("append").parquet(warehouseDir)
+    purge(stagePath) // PURGE=TRUE (DAG:378): delete only after success
+    n
+  }
+
+  def readStaged(spark: SparkSession, stagePath: String): DataFrame = {
+    val raw = graft.etl.StockEtl.readStagedCsv(spark, stagePath, stagedSchema)
+    val cast = numericCols.foldLeft(raw)((df, c) =>
+      df.withColumn(c, col(c).cast(DoubleType)))
+    cast
+      .withColumn("Date", to_date(col("Date")))
+      .withColumn("Volume", col("Volume").cast(DoubleType).cast(LongType))
+  }
+
+  private def purge(stagePath: String): Unit = {
+    val dir = new java.io.File(stagePath)
+    if (dir.isDirectory)
+      dir.listFiles().filter(f => f.getName.endsWith(".csv")).foreach(_.delete())
+  }
+
+  /** S7/A5: the post-load verification aggregate. */
+  def verify(spark: SparkSession, warehouseDir: String): Row =
+    spark.read.parquet(warehouseDir).agg(
+      count(lit(1)).as("total_rows"),
+      countDistinct(col("Symbol")).as("unique_symbols"),
+      min(col("Date")).as("earliest_date"),
+      max(col("Date")).as("latest_date")).head()
+}

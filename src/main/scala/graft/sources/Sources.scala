@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source connectors for the reference pipeline (SURVEY §2.1 S1–S3), as
+  * injectable traits so tests run on fixtures and production can swap in a
+  * live fetcher without touching the engine.
+  */
+
+/** S1–S2: constituent-list source. The reference scrapes the first HTML
+  * table of a web page on the (single) worker; the Spark re-expression
+  * keeps the fetch driver-side — it is one tiny page — and immediately
+  * distributes the result as a DataFrame. Columns beyond `Symbol` are
+  * carried so the projection/cleaning operators have something to discard,
+  * like the real page.
+  */
+trait ConstituentSource {
+  def fetch(spark: SparkSession): DataFrame
+}
+
+/** Parses the FIRST `<table>` of an HTML document (driver-side, no external
+  * parser dependency): rows = `<tr>`, cells = `<th>`/`<td>`, first row =
+  * header. Mirrors `pd.read_html(...)[0]` semantics including the
+  * fail-fast on a table-less page (reference DAG:40–44).
+  */
+final class HtmlTableConstituentSource(html: () => String) extends ConstituentSource {
+  def fetch(spark: SparkSession): DataFrame = {
+    val doc = html()
+    val table = "(?s)<table[^>]*>(.*?)</table>".r
+      .findFirstMatchIn(doc)
+      .getOrElse(throw new IllegalStateException("no <table> found in page"))
+      .group(1)
+    val rows = "(?s)<tr[^>]*>(.*?)</tr>".r.findAllMatchIn(table).map { m =>
+      "(?s)<t[hd][^>]*>(.*?)</t[hd]>".r.findAllMatchIn(m.group(1))
+        .map(c => "<[^>]+>".r.replaceAllIn(c.group(1), "").trim)
+        .toSeq
+    }.toSeq
+    require(rows.nonEmpty, "constituent table is empty")
+    val header = rows.head
+    val width = header.size
+    val data = rows.tail.map(r =>
+      org.apache.spark.sql.Row.fromSeq(r.padTo(width, null).take(width)))
+    val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toList, 1), schema)
+  }
+}
+
+/** Offline constituent fixture: a CSV with at least a `Symbol` column. */
+final class CsvConstituentSource(path: String) extends ConstituentSource {
+  def fetch(spark: SparkSession): DataFrame =
+    spark.read.option("header", "true").csv(path)
+}
+
+/** S3: per-symbol daily-bar source with date-range pushdown. The engine
+  * replaces the reference's per-symbol download loop with ONE distributed
+  * read filtered by a broadcast semi-join on the symbol set (SURVEY §2.3) —
+  * the date predicate reaches the file source as a pushed filter.
+  */
+trait BarSource {
+  def fetch(spark: SparkSession, symbols: DataFrame,
+      start: java.sql.Date, end: java.sql.Date): DataFrame
+}
+
+/** Reads raw bars from CSV files (schema-flexible: rename map and coercing
+  * casts are applied downstream by StockEtl.normalize).
+  */
+final class CsvBarSource(path: String) extends BarSource {
+  def fetch(spark: SparkSession, symbols: DataFrame,
+      start: java.sql.Date, end: java.sql.Date): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE") // C4: a bad row never kills the run
+      .csv(path)
+    raw
+      .where(to_date(col("Date")).between(lit(start), lit(end)))
+      .join(broadcast(symbols.select(col("Symbol"))), Seq("Symbol"), "left_semi")
+  }
+}
+
+/** Reads bars from parquet with full predicate pushdown. */
+final class ParquetBarSource(path: String) extends BarSource {
+  def fetch(spark: SparkSession, symbols: DataFrame,
+      start: java.sql.Date, end: java.sql.Date): DataFrame =
+    spark.read.parquet(path)
+      .where(col("Date").between(lit(start), lit(end)))
+      .join(broadcast(symbols.select(col("Symbol"))), Seq("Symbol"), "left_semi")
+}

@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("backward as-of: latest right row at or before each left ts, per key") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 00:00:00"), 10.0),
+      ("A", ts("2024-01-03 00:00:00"), 12.0),
+      ("B", ts("2024-01-02 00:00:00"), 5.0))
+      .toDF("sym", "qts", "px")
+    val events = Seq(
+      (1L, "A", ts("2024-01-02 12:00:00")), // → A@01-01 (10.0)
+      (2L, "A", ts("2024-01-03 00:00:00")), // equality matches → A@01-03 (12.0)
+      (3L, "B", ts("2024-01-05 00:00:00")), // → B@01-02 (5.0)
+      (4L, "B", ts("2024-01-01 00:00:00")), // no earlier quote → dropped (inner)
+      (5L, "C", ts("2024-01-02 00:00:00"))) // unknown key → dropped
+      .toDF("id", "sym", "ets")
+
+    val out = AsOfJoin.backward(events, quotes, "sym", "ets", "qts")
+      .select("id", "px").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 10.0, 2L -> 12.0, 3L -> 5.0))
+  }
+
+  test("outer variant keeps unmatched left rows with null payload") {
+    val quotes = Seq(("A", ts("2024-01-02 00:00:00"), 1.0)).toDF("sym", "qts", "px")
+    val events = Seq((1L, "A", ts("2024-01-01 00:00:00"))).toDF("id", "sym", "ets")
+    val out = AsOfJoin.backward(events, quotes, "sym", "ets", "qts", inner = false)
+    assert(out.count() == 1)
+    assert(out.head().isNullAt(out.head().fieldIndex("px")))
+  }
+}
