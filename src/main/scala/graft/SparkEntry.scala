@@ -328,20 +328,25 @@ object SparkEntry {
 
     // ---- similarity search (LLM-pipeline extensions) ----
 
+    // Brute-force exact top-k with the native codegen'd cosine kernel
+    // (graft.functions.VectorExpressions) — the scan stays inside
+    // whole-stage codegen and plans as TakeOrderedAndProject.
     "q_ann_bruteforce" -> q { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       // query-vector fetch: a 1-row parameter lookup, not a data-path collect
       val qv = emb.where(col("vec_id") === 0).select(col("embedding"))
-        .head().getSeq[Float](0).map(_.toDouble)
-      Similarity.bruteForceTopK(emb.where(col("vec_id") =!= 0),
-          "vec_id", "embedding", qv, k = 10)
+        .head().getSeq[Float](0)
+      emb.where(col("vec_id") =!= 0)
+        .withColumn("cos_sim",
+          graft.functions.VectorFunctions.cosineF32(col("embedding"), typedLit(qv)))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
         .select(col("vec_id"), col("label"), round(col("cos_sim"), 4).as("cos_sim"))
     },
 
     "q_embed_norms" -> q { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      emb.select(col("vec_id"), col("label"),
-        round(Similarity.l2Norm(Similarity.toDoubleVec(col("embedding"))), 4).as("l2_norm"))
+      Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+        round(graft.functions.VectorFunctions.l2NormF32(col("embedding")), 4).as("l2_norm"))
     },
 
     // LSH bucket assignment (rows-only: seeded hyperplanes not in DuckDB).

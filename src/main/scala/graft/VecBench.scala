@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.ops.Similarity
+
+/** Microbenchmark: native codegen'd cosine kernel vs the higher-order-
+  * function formulation, on an amplified all-pairs workload (every vector
+  * scored against `nQueries` query vectors). Prints one JSON line.
+  *
+  * Usage: runMain graft.VecBench [sfDir] [nQueries]
+  */
+object VecBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val nQueries = if (args.length > 1) args(1).toInt else 200
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val pairs = emb.crossJoin(broadcast(queries))
+    pairs.count() // warm file/footer caches
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f; ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val (tNative, nN) = time {
+      pairs.select(sum(VectorFunctions.cosineF32(col("embedding"), col("q_vec")))
+        .as("s")).head(); pairs.count()
+    }
+    val (tHof, nH) = time {
+      pairs.select(sum(Similarity.cosine(
+        Similarity.toDoubleVec(col("embedding")),
+        Similarity.toDoubleVec(col("q_vec")))).as("s")).head(); pairs.count()
+    }
+    println(s"""{"bench":"vec_cosine","pairs":$nN,"native_sec":$tNative,"hof_sec":$tHof,"speedup":${tHof / tNative}}""")
+    spark.stop()
+  }
+}
