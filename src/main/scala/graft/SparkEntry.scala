@@ -14,11 +14,20 @@ import graft.ops.{AsOfJoin, Dedup, Multimodal, Sessionize, Similarity, TextAnaly
   * equivalent DuckDB oracle SQL in [[oracleSql]] (omitted only for ops not
   * expressible in SQL, which get the weaker rows-only check).
   *
-  * Float-parity discipline (so Spark and DuckDB hash-match bit-for-bit):
-  * sums over fixed-precision money columns use the exact integer-cents
-  * pattern (ExactNum.exactSum — order-independent), ratios/irrationals are
-  * rounded at 4 digits (their decimal expansions never land on rounding
-  * ties), and every computed column is aliased identically on both sides.
+  * Float-parity discipline (so Spark and DuckDB hash-match bit-for-bit at
+  * EVERY scale factor):
+  *  - sums over fixed-precision money columns use the exact integer-cents
+  *    pattern (ExactNum.exactSum) — order-independent, exact below 2^53;
+  *  - ratios built from exact sums / counts are left UNROUNDED — identical
+  *    operands + identical IEEE ops ⇒ identical bits, whereas rounding a
+  *    small-denominator rational can land exactly on a decimal tie where
+  *    Spark (shortest-repr HALF_UP) and DuckDB (binary) disagree;
+  *  - round() only ever wraps values whose decimal expansion cannot
+  *    terminate near the rounding digit (irrationals like sqrt, or values
+  *    whose exact precision is at or above the rounding scale);
+  *  - window orderings are extended until UNIQUE (a tie under orderBy
+  *    makes lag()/frames nondeterministic across engines);
+  *  - every computed column is aliased identically on both sides.
   */
 object SparkEntry {
 
@@ -77,16 +86,21 @@ object SparkEntry {
     // Lag difference + lag percent change per key (the reference's
     // Close_Change / Close_Pct_Change semantics, first row → 0).
     "q_lag_change" -> q { (s, dir) =>
+      // ordering must be UNIQUE for a deterministic lag: (orderkey,
+      // linenumber) alone has duplicates in the synthetic data, so the
+      // tiebreak extends until unique
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_extendedprice"))
       val prev = lag(col("l_extendedprice"), 1).over(w)
       Tables.lineitem(s, dir)
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          col("l_shipdate"), col("l_extendedprice"))
         .withColumn("price_change",
           round(coalesce(col("l_extendedprice") - prev, lit(0.0)), 4))
         .withColumn("price_pct_change",
           round(coalesce((col("l_extendedprice") / prev - lit(1)) * lit(100), lit(0.0)), 4))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_extendedprice"),
+          col("price_change"), col("price_pct_change"))
     },
 
     // The flagship: full reference enrichment (OHLCV bars → lag analytics).
@@ -192,6 +206,34 @@ object SparkEntry {
           countDistinct(col("o_orderkey")).as("n_orders"))
     },
 
+    // Left outer join with grouped counts (zero-item orders included).
+    "q_join_left_outer" -> q { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .groupBy(col("o_orderkey"))
+        .agg(count(col("l_orderkey")).as("n_items"),
+          coalesce(sum(col("l_quantity")), lit(0.0)).cast(LongType).as("total_qty"))
+    },
+
+    // Sliding window frame (ROWS BETWEEN): 7-row moving aggregate. The
+    // moving sum uses the integer-cents trick so it is exact under ANY
+    // evaluation order — Spark's running-frame accumulation and DuckDB's
+    // segment-tree window produce identical results.
+    "q_moving_avg" -> q { (s, dir) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_extendedprice"))
+        .rowsBetween(-6, Window.currentRow)
+      Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"),
+          (sum(round(col("l_extendedprice") * lit(100.0))).over(w) / lit(100.0))
+            .as("moving_sum"),
+          round((sum(round(col("l_extendedprice") * lit(100.0))).over(w) / lit(100.0))
+            / count(lit(1)).over(w), 4).as("moving_avg"))
+    },
+
     // Top-k per group: window ranking over a pre-aggregated join.
     "q_top_customers_per_nation" -> q { (s, dir) =>
       val spend = Tables.orders(s, dir)
@@ -248,7 +290,7 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("event_hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           exactSum(col("value"), 2).as("total_value"),
-          round(exactSum(col("value"), 2) / count(lit(1)), 4).as("avg_value"))
+          (exactSum(col("value"), 2) / count(lit(1))).as("avg_value"))
     },
 
     "q_events_props" -> q { (s, dir) =>
@@ -278,8 +320,8 @@ object SparkEntry {
         .select(
           col("doc_id"),
           size(toks).cast(LongType).as("n_tokens"),
-          round(coalesce(TextAnalysis.avgTokenLen(toks), lit(0.0)), 4).as("avg_token_len"),
-          round(coalesce(TextAnalysis.stopwordRatio(toks), lit(0.0)), 4).as("stopword_ratio"))
+          coalesce(TextAnalysis.avgTokenLen(toks), lit(0.0)).as("avg_token_len"),
+          coalesce(TextAnalysis.stopwordRatio(toks), lit(0.0)).as("stopword_ratio"))
     },
 
     "q_text_fingerprint" -> q { (s, dir) =>
@@ -293,7 +335,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("source")).as("n_sources"),
           sum(col("n_chars")).as("total_chars"),
-          round(sum(col("n_chars")).cast(DoubleType) / count(lit(1)), 4).as("avg_chars"))
+          (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
     },
 
     // Full text-statistics projection incl. heuristic language ID and
@@ -301,6 +343,26 @@ object SparkEntry {
     "q_text_analyze" -> q { (s, dir) =>
       TextAnalysis.analyze(Tables.documents(s, dir))
         .select("doc_id", "n_tokens", "quality_score", "lang_detected", "fingerprint")
+    },
+
+    // Corpus-wide token frequency (explode → count → top-k with a
+    // deterministic tiebreak) — vocabulary statistics for tokenizer work.
+    "q_token_freq" -> q { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    },
+
+    // Set operations (distinct INTERSECT/EXCEPT semantics): customers
+    // active in 1995 but not in 1996.
+    "q_set_except" -> q { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val y1995 = o.where(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+      val y1996 = o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+      y1995.except(y1996)
     },
 
     // ---- dedup (LLM-pipeline extensions) ----
@@ -400,7 +462,8 @@ object SparkEntry {
         |  round(coalesce(l_extendedprice - prev, 0), 4) AS price_change,
         |  round(coalesce((l_extendedprice / prev - 1) * 100, 0), 4) AS price_pct_change
         |FROM (SELECT *, lag(l_extendedprice) OVER
-        |        (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev
+        |        (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |                      l_partkey, l_extendedprice) AS prev
         |      FROM lineitem)""".stripMargin,
 
     "q_stock_enrich" ->
@@ -411,10 +474,10 @@ object SparkEntry {
         |    CAST(sum(l_quantity) AS BIGINT) AS volume, count(*) AS n_trades
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT symbol, trade_date, low, high, close, volume, n_trades,
-        |  round(coalesce(close - prev, 0), 4) AS close_change,
-        |  round(coalesce((close / prev - 1) * 100, 0), 4) AS close_pct_change,
-        |  round(high - low, 4) AS daily_range,
-        |  round((high - low) / low * 100, 4) AS daily_range_pct
+        |  coalesce(close - prev, 0) AS close_change,
+        |  coalesce((close / prev - 1) * 100, 0) AS close_pct_change,
+        |  high - low AS daily_range,
+        |  (high - low) / low * 100 AS daily_range_pct
         |FROM (SELECT *, lag(close) OVER (PARTITION BY symbol ORDER BY trade_date) AS prev
         |      FROM bars)""".stripMargin,
 
@@ -481,6 +544,22 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin,
 
+    "q_join_left_outer" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items,
+        |  CAST(coalesce(sum(l_quantity), 0) AS BIGINT) AS total_qty
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey""".stripMargin,
+
+    "q_moving_avg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  sum(round(l_extendedprice * 100)) OVER w / 100.0 AS moving_sum,
+        |  round(sum(round(l_extendedprice * 100)) OVER w / 100.0
+        |        / count(*) OVER w, 4) AS moving_avg
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "q_top_customers_per_nation" ->
       """SELECT n_name, c_custkey, c_name, total_spent, rank_in_nation FROM (
         |  SELECT n_name, c_custkey, c_name, total_spent,
@@ -528,7 +607,7 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS event_hour, event_type,
         |  count(*) AS n_events,
         |  sum(round(value * 100)) / 100.0 AS total_value,
-        |  round(sum(round(value * 100)) / 100.0 / count(*), 4) AS avg_value
+        |  sum(round(value * 100)) / 100.0 / count(*) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_events_props" ->
@@ -558,11 +637,11 @@ object SparkEntry {
     "q_text_quality" ->
       """SELECT doc_id,
         |  CAST(len(t) AS BIGINT) AS n_tokens,
-        |  round(coalesce(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-        |        / CAST(nullif(len(t), 0) AS DOUBLE), 0), 4) AS avg_token_len,
-        |  round(coalesce(CAST(len(list_filter(t,
+        |  coalesce(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |        / CAST(nullif(len(t), 0) AS DOUBLE), 0) AS avg_token_len,
+        |  coalesce(CAST(len(list_filter(t,
         |          x -> x IN ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE)
-        |        / CAST(nullif(len(t), 0) AS DOUBLE), 0), 4) AS stopword_ratio
+        |        / CAST(nullif(len(t), 0) AS DOUBLE), 0) AS stopword_ratio
         |FROM (SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents)""".stripMargin,
 
     "q_text_fingerprint" ->
@@ -573,8 +652,18 @@ object SparkEntry {
     "q_lang_profile" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_token_freq" ->
+      """SELECT t AS token, count(*) AS n
+        |FROM (SELECT unnest(regexp_extract_all(text, '\w+')) AS t FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -224,16 +224,20 @@ object StockBars {
     * `bround` variant lives in [[StockEtl.enrich]]).
     */
   def enriched(spark: SparkSession, dir: String): DataFrame = {
+    // Derived metrics are left UNROUNDED: close is a small-denominator
+    // rational (exact cents / n), and rounding such values can land on a
+    // decimal tie where Spark's shortest-repr HALF_UP and a binary-rounding
+    // engine disagree. Unrounded arithmetic over identical operands is
+    // bit-deterministic in every engine at every scale. (The reference's
+    // presentation rounding — pandas half-even — lives in StockEtl.enrich.)
     val w = Window.partitionBy(col("symbol")).orderBy(col("trade_date"))
     val prevClose = lag(col("close"), 1).over(w)
     fromLineitem(spark, dir)
-      .withColumn("close_change",
-        round(coalesce(col("close") - prevClose, lit(0.0)), 4))
+      .withColumn("close_change", coalesce(col("close") - prevClose, lit(0.0)))
       .withColumn("close_pct_change",
-        round(coalesce((col("close") / prevClose - lit(1.0)) * lit(100.0),
-          lit(0.0)), 4))
-      .withColumn("daily_range", round(col("high") - col("low"), 4))
+        coalesce((col("close") / prevClose - lit(1.0)) * lit(100.0), lit(0.0)))
+      .withColumn("daily_range", col("high") - col("low"))
       .withColumn("daily_range_pct",
-        round((col("high") - col("low")) / col("low") * lit(100.0), 4))
+        (col("high") - col("low")) / col("low") * lit(100.0))
   }
 }

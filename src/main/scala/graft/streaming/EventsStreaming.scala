@@ -48,17 +48,22 @@ object EventsStreaming {
   final case class SessionOut(user_id: Long, n_events: Long, start: java.sql.Timestamp,
       end: java.sql.Timestamp)
 
-  /** Custom stateful sessionization with `flatMapGroupsWithState`: emits a
-    * session row when a user is idle past the timeout. Batch twin:
+  /** Custom stateful sessionization with `flatMapGroupsWithState`: a user's
+    * session is emitted once the EVENT-TIME watermark passes their last
+    * event + gap. Event-time timeouts make the operator deterministic (no
+    * wall-clock dependence) and replayable from a checkpoint — the correct
+    * semantics for late-data streams at scale. Batch twin:
     * [[graft.ops.Sessionize]].
     */
-  def sessionizeStream(events: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+  def sessionizeStream(events: Dataset[Ev], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
     implicit val outEnc: org.apache.spark.sql.Encoder[SessionOut] = Encoders.product[SessionOut]
     implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionOut, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Ev], state: GroupState[SessionOut]) =>
           if (state.hasTimedOut) {
             val out = state.get
@@ -68,14 +73,13 @@ object EventsStreaming {
             val evs = rows.toSeq.sortBy(_.ts.getTime)
             if (evs.isEmpty) Iterator.empty
             else {
-              val prev = state.getOption
-              val merged = prev match {
+              val merged = state.getOption match {
                 case Some(s) => SessionOut(userId, s.n_events + evs.size,
                   s.start, evs.last.ts)
                 case None => SessionOut(userId, evs.size.toLong, evs.head.ts, evs.last.ts)
               }
               state.update(merged)
-              state.setTimeoutDuration(gapMs)
+              state.setTimeoutTimestamp(merged.end.getTime + gapMs)
               Iterator.empty
             }
           }

@@ -5,6 +5,39 @@ import org.apache.spark.sql.functions._
 
 class StreamingSpec extends SparkSpec {
 
+  test("stateful sessionization stream: sessions emitted on idle timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import EventsStreaming.{Ev, SessionOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Ev]
+    val sessions = EventsStreaming.sessionizeStream(input.toDS(), gapMs = 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // batch 1: user 7's session (2 events 10s apart)
+      input.addData(
+        Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
+        Ev(2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:10"), 7L))
+      q.processAllAvailable()
+      // batch 2 advances the event-time watermark past user 7's
+      // last-event + gap → the timeout fires and flushes the session
+      input.addData(Ev(3L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 8L))
+      q.processAllAvailable()
+      input.addData(Ev(4L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"), 9L))
+      q.processAllAvailable()
+      val out = spark.table("sess_out").as[SessionOut].collect()
+      assert(out.exists(s => s.user_id == 7L && s.n_events == 2L),
+        s"expected user 7 session with 2 events, got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("availableNow file stream: hourly windowed aggregation over events") {
     // stream from a µs-timestamp copy of the events table (the streaming
     // parquet reader has no nanosAsLong shim)
