@@ -253,7 +253,7 @@ object SparkEntry {
     // the latest bar of its symbol — union + carry-forward window, ONE
     // shuffle, no range explosion (see graft.ops.AsOfJoin).
     "q_asof_bars" -> q { (s, dir) =>
-      val nSupp = Tables.supplier(s, dir).count() // parameter lookup
+      val nSupp = Tables.cachedRowCount(s, dir, "supplier") // parameter lookup, cached per JVM
       val probes = Tables.orders(s, dir).select(
         col("o_orderkey"),
         concat(lit("S"), col("o_orderkey") % lit(nSupp)).as("symbol"),

@@ -36,6 +36,17 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+
+  /** Cached row count for 1-value parameter lookups inside query builders
+    * (e.g. the as-of probe's symbol modulus). The first call runs one
+    * metadata-only count job; repeat invocations in the same JVM are free —
+    * plan construction must not launch a Spark job per call.
+    */
+  def cachedRowCount(spark: SparkSession, dir: String, name: String): Long =
+    rowCountCache.computeIfAbsent((dir, name), _ => apply(spark, dir, name).count())
 }
 
 /** Numeric helpers shared by queries that must hash-match a DuckDB oracle.

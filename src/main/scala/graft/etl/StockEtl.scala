@@ -76,6 +76,26 @@ object StockEtl {
     }
   }
 
+  /** pandas float division: x/0 → ±Infinity (sign of x), 0/0 → NaN.
+    * Spark's non-ANSI division returns NULL for ANY division by zero, which
+    * a fillna-style `coalesce` would silently map to 0 — diverging from the
+    * reference, where `fillna(0)` replaces only NaN and PRESERVES ±Infinity.
+    * This helper reproduces the IEEE behavior; compose arithmetic on top
+    * (NaN/Infinity propagate correctly through Spark double ops) and apply
+    * [[fillZero]] once at the end of the expression.
+    */
+  private def pandasDiv(num: Column, den: Column): Column =
+    when(den === lit(0.0),
+      when(num > lit(0.0), lit(Double.PositiveInfinity))
+        .when(num < lit(0.0), lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN)))
+      .otherwise(num / den)
+
+  /** `fillna(0)` parity: NULL (missing lag) and NaN (0/0) → 0.0; ±Infinity
+    * passes through untouched.
+    */
+  private def fillZero(c: Column): Column = coalesce(nanvl(c, lit(0.0)), lit(0.0))
+
   /** Derived-metric enrichment (W1, W2, F8, F9, F12, P12, P14, P15).
     *
     * @param batchCol when defined, lag windows partition by (Symbol, batch)
@@ -91,16 +111,15 @@ object StockEtl {
       // W1: Close.diff().fillna(0) — first row per (Symbol, batch) → 0.0
       .withColumn("Close_Change",
         bround(coalesce(col("Close") - prevClose, lit(0.0)), 4))
-      // W2: pct_change().fillna(0) * 100
+      // W2: pct_change().fillna(0) * 100 — a zero previous Close yields
+      // ±Infinity like pandas (NOT 0; see pandasDiv)
       .withColumn("Close_Pct_Change",
-        bround(coalesce((col("Close") / prevClose - lit(1.0)) * lit(100.0),
-          lit(0.0)), 4))
+        bround(fillZero((pandasDiv(col("Close"), prevClose) - lit(1.0)) * lit(100.0)), 4))
       // F8: High − Low
       .withColumn("Daily_Range", bround(col("High") - col("Low"), 4))
       // F9 + F12: (High−Low)/Low·100; NaN→0 but ±Infinity preserved (DAG:167)
       .withColumn("Daily_Range_Pct",
-        bround(coalesce((col("High") - col("Low")) / col("Low") * lit(100.0),
-          lit(0.0)), 4))
+        bround(fillZero(pandasDiv(col("High") - col("Low"), col("Low")) * lit(100.0)), 4))
       // P12: prices/volume rounded to 2 (banker's rounding for pandas parity)
       .withColumn("Open", bround(col("Open"), 2))
       .withColumn("High", bround(col("High"), 2))

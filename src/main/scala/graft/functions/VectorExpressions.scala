@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftExpressionBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for embedding math over `array<float>`.
   *
@@ -116,6 +116,79 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Sign-random-projection LSH bucket id over an `array<float>` embedding:
+    * bit i of the result = (v · h_i) > 0 for `planes` seeded Gaussian
+    * hyperplanes. Fuses the whole bucket computation (planes × dim
+    * multiply-adds) into one codegen'd loop with the hyperplanes as a flat
+    * `double[]` reference object — the per-row bucketing cost at 100 TB is
+    * exactly this kernel, and the HOF formulation it replaces paid
+    * interpreted lambda dispatch per element per plane.
+    *
+    * Bit-parity contract with the reference formulation
+    * (`Similarity.hyperplaneBucket`): same seeded generation order
+    * (plane-major), same left-to-right double accumulation, same strict
+    * `> 0.0` threshold.
+    */
+  case class HyperplaneBucketF32(child: Expression, planes: Int, dim: Int,
+      seed: Long) extends UnaryExpression {
+    require(planes >= 1 && planes <= 63, s"planes must be in [1,63], got $planes")
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float> argument, got ${other.simpleString}")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "hyperplane_bucket_f32"
+
+    // flat row-major [planes * dim]; generation order matches
+    // Similarity.hyperplanes(dim, planes, seed)
+    @transient private lazy val hp: Array[Double] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(planes * dim)(rnd.nextGaussian())
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val n = math.min(dim, v.numElements())
+      var bucket = 0L
+      var i = 0
+      while (i < planes) {
+        val off = i * dim
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += hp(off + j) * v.getFloat(j).toDouble; j += 1 }
+        if (dot > 0.0) bucket |= (1L << i)
+        i += 1
+      }
+      bucket
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val hpRef = ctx.addReferenceObj("hyperplanes", hp, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val (n, i, j, off, dot, bkt) = (ctx.freshName("n"), ctx.freshName("i"),
+          ctx.freshName("j"), ctx.freshName("off"), ctx.freshName("dot"),
+          ctx.freshName("bkt"))
+        s"""
+           |int $n = Math.min($dim, $a.numElements());
+           |long $bkt = 0L;
+           |for (int $i = 0; $i < $planes; $i++) {
+           |  int $off = $i * $dim;
+           |  double $dot = 0.0;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    $dot += $hpRef[$off + $j] * (double) $a.getFloat($j);
+           |  }
+           |  if ($dot > 0.0) $bkt |= (1L << $i);
+           |}
+           |${ev.value} = $bkt;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** ‖v‖₂ in one pass. */
   case class L2NormF32(child: Expression)
       extends UnaryExpression {
@@ -166,6 +239,9 @@ object VectorFunctions {
   def dotF32(a: Column, b: Column): Column =
     asColumn(DotProductF32(expression(a), expression(b)))
   def l2NormF32(v: Column): Column = asColumn(L2NormF32(expression(v)))
+  def hyperplaneBucketF32(v: Column, planes: Int, dim: Int = 64,
+      seed: Long = 42L): Column =
+    asColumn(HyperplaneBucketF32(expression(v), planes, dim, seed))
 
   private def expression(c: Column): Expression = GraftExpressionBridge.expression(c)
 

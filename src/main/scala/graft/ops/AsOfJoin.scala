@@ -10,9 +10,9 @@ import org.apache.spark.sql.types.TimestampType
   * (event → most recent quote/bar).
   *
   * Spark has no native as-of join; the scalable formulation used here is
-  * union-then-carry-forward: tag both inputs, union by name, and run one
-  * `last(_, ignoreNulls=true)` window per carried column over
-  * `partitionBy(key).orderBy(ts, side)`. Cost = ONE hash shuffle on the key
+  * union-then-carry-forward: tag both inputs, union by name, and carry the
+  * right payload as a single struct with one `last(_, ignoreNulls=true)`
+  * window over `partitionBy(key).orderBy(ts, side)`. Cost = ONE hash shuffle on the key
   * + an in-partition sort — linear in |L|+|R|, no range-join row explosion,
   * and per-key skew is bounded by that key's own row count (AQE handles the
   * rest). This beats the obvious alternatives at 100 TB: an inequality
@@ -37,9 +37,16 @@ object AsOfJoin {
     val payload = right.columns.toSeq.filterNot(c => c == keyCol || c == rightTsCol)
     val asofTs = s"asof_$rightTsCol"
 
+    // The whole right payload travels as ONE non-null struct, carried by a
+    // single `last(_, ignoreNulls = true)` window. Per-column carry would
+    // substitute an OLDER row's value wherever the true as-of-matched row
+    // has a legitimately NULL payload field — struct carry preserves that
+    // row's nulls (real ASOF JOIN semantics), and runs one window pass
+    // instead of one per payload column.
     val r = right.select(
-      (Seq(col(keyCol), col(rightTsCol).cast(TimestampType).as("__ts"),
-        col(rightTsCol).as(asofTs), lit(0).as("__side")) ++ payload.map(col)): _*)
+      col(keyCol), col(rightTsCol).cast(TimestampType).as("__ts"),
+      lit(0).as("__side"),
+      struct((col(rightTsCol).as(asofTs) +: payload.map(col)): _*).as("__p"))
     val l = left
       .withColumn("__ts", col(leftTsCol).cast(TimestampType))
       .withColumn("__side", lit(1))
@@ -50,12 +57,13 @@ object AsOfJoin {
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = (payload :+ asofTs).foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    val result = carried
+    val carried = unioned
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .drop("__ts", "__side")
+    val unpacked = (asofTs +: payload).foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col("__p").getField(c))
+    }
+    val result = unpacked.drop("__ts", "__side", "__p")
     if (inner) result.where(col(asofTs).isNotNull) else result
   }
 }

@@ -92,26 +92,50 @@ object Dedup {
   /** Exact n-gram Jaccard near-duplicate pairs via an inverted shingle
     * index.
     *
+    * The document-frequency cap is applied in TWO phases so no aggregation
+    * buffer is ever unbounded: first `groupBy(shingle).count` (a plain
+    * partial-aggregatable count — a viral boilerplate shingle present in
+    * 10⁸ docs costs one Long per map task, not a 10⁸-element array), then a
+    * semi-join of the exploded index against the surviving shingle set, and
+    * only THEN `collect_list`, whose buffer is provably ≤ `maxDocFreq`
+    * elements. Collecting first and filtering on `size(ids)` after would
+    * materialize the full postings array of a hot shingle in a single
+    * ObjectHashAggregate buffer before discarding it — an OOM at 100 TB.
+    *
+    * Cache lifetime: the exploded index and the capped postings are each
+    * read by two consumers, so both are persisted at `persistLevel`
+    * (MEMORY_AND_DISK by default — spills, never OOMs). The blocks live
+    * until Spark's LRU evicts them; a caller running many dedup passes in
+    * one long-lived session owns the cleanup (`spark.catalog.clearCache()`
+    * or `persistLevel = None` to trade recompute for zero cache footprint).
+    *
     * @param maxDocFreq shingles appearing in more than this many docs are
     *                   dropped from the index (boilerplate / skew guard).
     * @param minJaccard similarity threshold on |A∩B| / |A∪B|.
+    * @param persistLevel storage level for the two reused intermediates;
+    *                     `None` recomputes them per consumer.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, minJaccard: Double = 0.5, maxDocFreq: Long = 20L): DataFrame = {
-    val exploded = explodedShingles(docs, idCol, textCol, n)
-    // Postings list per shingle, df-capped in the same aggregation. The cap
-    // is both the boilerplate filter and the skew guard: without it one
-    // viral shingle yields a quadratic bucket (at 100 TB, a fatal hot key).
-    // Persisted: both the pair-generation and the doc-size consumers read
-    // it, and exchange reuse does not reliably dedup the expensive
-    // tokenize→window→dedup subtree under AQE. MEMORY_AND_DISK spills
-    // gracefully at scale; Spark's LRU owns eviction.
-    val postings = exploded
-      .groupBy("shingle")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")) <= maxDocFreq.toInt)
-      .select(sort_array(col("ids")).as("ids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      n: Int = 3, minJaccard: Double = 0.5, maxDocFreq: Long = 20L,
+      persistLevel: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    def cached(df: DataFrame): DataFrame =
+      persistLevel.fold(df)(df.persist)
+    val exploded = cached(explodedShingles(docs, idCol, textCol, n))
+    // Phase 1: document frequency per shingle. Constant-size agg buffer per
+    // key (map-side combine), so hot keys are harmless here.
+    val rareShingles = exploded
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq)
+      .select("shingle")
+    // Phase 2: prune the index BEFORE building postings. After the
+    // semi-join, every surviving shingle has df ≤ maxDocFreq, so the
+    // collect_list buffer below is bounded by the cap.
+    val idx = exploded.join(rareShingles, Seq("shingle"), "left_semi")
+    val postings = cached(
+      idx.groupBy("shingle")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .select(col("ids")))
     // Candidate pairs generated in-row from each posting (≤ df²/2 per
     // shingle) — replaces a posting⋈posting self-join whose shuffle
     // dominated the original formulation. `ids` is an attribute: lambdas
@@ -256,18 +280,21 @@ object Dedup {
       .join(agg.select(col("doc_id"), sig.as("simhash")), Seq("doc_id"), "left_outer")
   }
 
-  /** Embedding-cosine near-duplicate pairs (delegates candidate generation
-    * to [[Similarity.hyperplaneBucket]] LSH, then exact-scores candidates).
+  /** Embedding-cosine near-duplicate pairs: sub-quadratic candidate
+    * generation via sign-random-projection LSH buckets (codegen'd
+    * [[graft.functions.VectorFunctions.hyperplaneBucketF32]]), then exact
+    * scoring of candidates with the fused `cosine_f32` kernel. Bucket join
+    * is an ordinary shuffled equi-join on a long key — AQE skew-splittable.
     */
   def embeddingDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, planes: Int = 12, dim: Int = 64): DataFrame = {
-    val bucketed = vecs.select(col(idCol).as("vec_id"),
-      Similarity.toDoubleVec(col(vecCol)).as("v"))
-      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes, dim))
+    import graft.functions.VectorFunctions
+    val bucketed = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("bucket", VectorFunctions.hyperplaneBucketF32(col("v"), planes, dim))
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", Similarity.cosine(col("a.v"), col("b.v")))
+      .withColumn("cosine", VectorFunctions.cosineF32(col("a.v"), col("b.v")))
       .where(col("cosine") >= minCosine)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(col("cosine"), 4).as("cosine"))

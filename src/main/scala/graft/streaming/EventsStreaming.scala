@@ -73,14 +73,34 @@ object EventsStreaming {
             val evs = rows.toSeq.sortBy(_.ts.getTime)
             if (evs.isEmpty) Iterator.empty
             else {
-              val merged = state.getOption match {
-                case Some(s) => SessionOut(userId, s.n_events + evs.size,
-                  s.start, evs.last.ts)
-                case None => SessionOut(userId, evs.size.toLong, evs.head.ts, evs.last.ts)
+              // Fold events into sessions, splitting whenever the gap to the
+              // running session end exceeds gapMs — events inside one
+              // micro-batch (or arriving before the event-time timeout
+              // fires) must NOT collapse into a single session; this keeps
+              // the operator equivalent to the batch twin
+              // [[graft.ops.Sessionize]]. Sessions closed by an in-batch
+              // split are emitted now; the trailing open session waits for
+              // its event-time timeout.
+              val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+              var open: Option[SessionOut] = state.getOption
+              evs.foreach { e =>
+                open = open match {
+                  case Some(s) if e.ts.getTime - s.end.getTime > gapMs =>
+                    closed += s
+                    Some(SessionOut(userId, 1L, e.ts, e.ts))
+                  case Some(s) =>
+                    // max() guards late-but-in-watermark events from moving
+                    // the session end backwards
+                    val end = if (e.ts.getTime > s.end.getTime) e.ts else s.end
+                    Some(SessionOut(userId, s.n_events + 1L, s.start, end))
+                  case None =>
+                    Some(SessionOut(userId, 1L, e.ts, e.ts))
+                }
               }
-              state.update(merged)
-              state.setTimeoutTimestamp(merged.end.getTime + gapMs)
-              Iterator.empty
+              val last = open.get
+              state.update(last)
+              state.setTimeoutTimestamp(last.end.getTime + gapMs)
+              closed.iterator
             }
           }
       }

@@ -54,13 +54,26 @@ class StockEtlSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("Volume")))
   }
 
-  test("Daily_Range_Pct: division by zero Low yields null→0 is NOT applied; infinity preserved") {
-    val df = StockEtl.enrich(bars(("2024-01-01", "AAA", 1.0, 2.0, 0.0, 1.0, 1L)))
-    // Spark double division by exact 0.0 yields null under non-ANSI; the
-    // reference (pandas) yields +inf. We document the engine behavior:
-    // coalesce(...,0) maps it to 0.0 here because (2-0)/0 -> null in Spark.
-    val v = df.select("Daily_Range_Pct").as[Double].head()
-    assert(v == 0.0)
+  test("Daily_Range_Pct: pandas division semantics — x/0 → +Infinity, 0/0 → 0") {
+    // pandas: (High-Low)/0 = +inf, and fillna(0) PRESERVES ±Infinity (it
+    // only replaces NaN). Spark's non-ANSI /0 → null would have silently
+    // become 0 — the engine emits Infinity explicitly instead.
+    val inf = StockEtl.enrich(bars(("2024-01-01", "AAA", 1.0, 2.0, 0.0, 1.0, 1L)))
+      .select("Daily_Range_Pct").as[Double].head()
+    assert(inf.isPosInfinity, s"expected +Infinity, got $inf")
+    // 0/0 is NaN in pandas, which fillna(0) DOES replace
+    val zero = StockEtl.enrich(bars(("2024-01-01", "AAA", 1.0, 0.0, 0.0, 1.0, 1L)))
+      .select("Daily_Range_Pct").as[Double].head()
+    assert(zero == 0.0)
+  }
+
+  test("Close_Pct_Change: zero previous Close yields +Infinity like pandas") {
+    val df = StockEtl.enrich(bars(
+      ("2024-01-01", "AAA", 0.0, 0.5, 0.0, 0.0, 1L),
+      ("2024-01-02", "AAA", 1.0, 2.0, 1.0, 2.0, 1L)))
+    val m = df.collect().map(r => r.getDate(0).toString -> r).toMap
+    val v = m("2024-01-02").getAs[Double]("Close_Pct_Change")
+    assert(v.isPosInfinity, s"expected +Infinity (2/0 - 1)*100, got $v")
   }
 
   test("symbol cleaning: trim, length, charset (BRK.B admitted, 6-char rejected)") {

@@ -37,6 +37,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got(2L).isEmpty)
   }
 
+  test("native hyperplane bucket is bit-identical to the HOF formulation") {
+    val both = emb.select(
+      $"vec_id",
+      VectorFunctions.hyperplaneBucketF32($"embedding", planes = 12, dim = 64).as("native"),
+      Similarity.hyperplaneBucket(
+        Similarity.toDoubleVec($"embedding"), planes = 12, dim = 64).as("hof"))
+    assert(both.where($"native" =!= $"hof").count() == 0)
+  }
+
   test("SQL registration: cosine_f32 usable from spark.sql") {
     VectorFunctions.register(spark)
     graft.Tables.embeddings(spark, sf).createOrReplaceTempView("emb_v")

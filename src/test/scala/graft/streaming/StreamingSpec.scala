@@ -38,6 +38,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization stream: in-batch gap splits the session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import EventsStreaming.{Ev, SessionOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Ev]
+    val sessions = EventsStreaming.sessionizeStream(input.toDS(), gapMs = 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("sess2").toString
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_split_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // ONE batch: two events 2 minutes apart (> 60s gap) must become TWO
+      // sessions, not one — the first closes by in-batch split immediately
+      input.addData(
+        Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
+        Ev(2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:10"), 7L),
+        Ev(3L, java.sql.Timestamp.valueOf("2024-01-01 10:02:30"), 7L))
+      q.processAllAvailable()
+      val split = spark.table("sess_split_out").as[SessionOut].collect()
+      assert(split.exists(s => s.user_id == 7L && s.n_events == 2L &&
+        s.end == java.sql.Timestamp.valueOf("2024-01-01 10:00:10")),
+        s"expected first session (2 events) closed by in-batch gap split, got ${split.toSeq}")
+      // advance the watermark so the trailing open session times out too
+      input.addData(Ev(4L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 8L))
+      q.processAllAvailable()
+      val all = spark.table("sess_split_out").as[SessionOut].collect()
+      assert(all.exists(s => s.user_id == 7L && s.n_events == 1L &&
+        s.start == java.sql.Timestamp.valueOf("2024-01-01 10:02:30")),
+        s"expected second session (1 event) after timeout, got ${all.toSeq}")
+    } finally q.stop()
+  }
+
   test("availableNow file stream: hourly windowed aggregation over events") {
     // stream from a µs-timestamp copy of the events table (the streaming
     // parquet reader has no nanosAsLong shim)
