@@ -39,6 +39,32 @@ object SparkEntry {
 
   private def q(f: (SparkSession, String) => DataFrame) = f
 
+  /** Driver-testdata fixtures for the end-to-end pipeline query: the
+    * constituent list derives from `supplier` ("S<k>") and bars derive from
+    * `lineitem` ([[graft.etl.StockBars]]) — both reproducible in DuckDB
+    * SQL, so the FULL pipeline (clean → fetch → normalize → enrich → CSV
+    * stage → warehouse load+purge → verify aggregate) becomes
+    * oracle-checkable end to end.
+    */
+  private final class SupplierConstituentSource(dir: String)
+      extends graft.sources.ConstituentSource {
+    def fetch(s: SparkSession): DataFrame =
+      Tables.supplier(s, dir)
+        .select(concat(lit("S"), col("s_suppkey")).as("Symbol"))
+  }
+
+  private final class LineitemBarSource(dir: String)
+      extends graft.sources.BarSource {
+    def fetch(s: SparkSession, symbols: DataFrame,
+        start: java.sql.Date, end: java.sql.Date): DataFrame =
+      StockBars.fromLineitem(s, dir)
+        .select(col("symbol").as("Symbol"), col("trade_date").as("Date"),
+          col("low").as("Low"), col("high").as("High"),
+          col("close").as("Close"), col("volume").as("Volume"))
+        .where(col("Date").between(lit(start), lit(end)))
+        .join(broadcast(symbols.select("Symbol")), Seq("Symbol"), "left_semi")
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -417,6 +443,62 @@ object SparkEntry {
         .select("vec_id", "bucket")
     },
 
+    // Embedding-cosine near-dup pairs over a deterministic near-dup
+    // fixture: the corpus unioned with an id-shifted copy of itself (every
+    // vector then has exactly one duplicate; natural max pairwise cosine in
+    // the testdata is ~0.6, far from the 0.95 threshold). Exercises the
+    // full LSH path — bucket candidate generation + exact kernel scoring —
+    // against an all-pairs DuckDB oracle.
+    "q_dedup_embedding" -> q { (s, dir) =>
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val doubled = emb.unionByName(
+        emb.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+      Dedup.embeddingDupPairs(doubled, "vec_id", "embedding", minCosine = 0.95)
+    },
+
+    // Multiprobe-LSH candidate recall against the exact top-k, per probe
+    // vector (rows-only: the bucket side depends on seeded hyperplanes not
+    // expressible in SQL; the exact side is oracled via q_ann_bruteforce).
+    // One lazy plan — per-probe branches are unioned, joined, and grouped;
+    // no driver-side counting.
+    "q_ann_recall" -> q { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val k = 10
+      // 5-row parameter fetch of the probe vectors (not a data-path collect)
+      val probes = emb.where(col("vec_id") < 5).select("vec_id", "embedding")
+        .collect().toSeq.sortBy(_.getLong(0))
+      def branches(f: (Long, Seq[Double]) => DataFrame): DataFrame =
+        probes.map { r =>
+          f(r.getLong(0), r.getSeq[Float](1).toSeq.map(_.toDouble))
+        }.reduce(_.unionByName(_))
+      def rest(pid: Long) = emb.where(col("vec_id") =!= pid)
+      val exact = branches((pid, qv) =>
+        Similarity.bruteForceTopK(rest(pid), "vec_id", "embedding", qv, k)
+          .select(lit(pid).as("probe_id"), col("vec_id")))
+      val ann = branches((pid, qv) =>
+        Similarity.annTopK(rest(pid), "vec_id", "embedding", qv, k)
+          .select(lit(pid).as("probe_id"), col("vec_id"), lit(1L).as("hit")))
+      exact.join(ann, Seq("probe_id", "vec_id"), "left_outer")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"),
+          (sum(coalesce(col("hit"), lit(0L))) / count(lit(1))).as("recall_at_k"))
+    },
+
+    // End-to-end reference pipeline over testdata-derived fixtures:
+    // constituents from supplier, bars from lineitem, through the real CSV
+    // stage + warehouse append + consume-once purge, returning the S7
+    // verify aggregate — the one green row that covers S4/S6/C1–C5.
+    "q_pipeline_verify" -> q { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+      val report = graft.etl.Pipeline.run(s,
+        new SupplierConstituentSource(dir), new LineitemBarSource(dir),
+        java.sql.Date.valueOf("1990-01-01"), java.sql.Date.valueOf("2005-12-31"),
+        s"$tmp/stage", s"$tmp/warehouse")
+      graft.sinks.WarehouseLoad.verifyDf(s, report.warehousePath)
+        .withColumn("loaded_rows", lit(report.loadedRows))
+    },
+
     // ---- multimodal plumbing (rows-only; decode is stubbed) ----
 
     "q_multimodal_features" -> q { (s, dir) =>
@@ -701,5 +783,25 @@ object SparkEntry {
     "q_embed_norms" ->
       """SELECT vec_id, label,
         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2_norm
-        |FROM embeddings""".stripMargin)
+        |FROM embeddings""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT vec_id, v FROM e
+        |      UNION ALL SELECT vec_id + 1000000, v FROM e)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
+
+    "q_pipeline_verify" ->
+      """WITH bars AS (
+        |  SELECT 'S' || l_suppkey AS symbol, CAST(l_shipdate AS DATE) AS d
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT count(*) AS total_rows,
+        |  count(DISTINCT symbol) AS unique_symbols,
+        |  min(d) AS earliest_date,
+        |  max(d) AS latest_date,
+        |  count(*) AS loaded_rows
+        |FROM bars WHERE length(symbol) <= 5""".stripMargin)
 }

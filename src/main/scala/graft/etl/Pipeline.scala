@@ -23,7 +23,16 @@ object Pipeline {
       stagePath: String, warehousePath: String,
       loadedRows: Long)
 
-  /** C3: retry wrapper for the nondeterministic (source-fetch) stages only.
+  /** C3: retry wrapper for the nondeterministic (source-fetch) stages.
+    *
+    * Scope: driver-side fetches and source VALIDATION. Each retried block
+    * forces one real read (`limit(1).count()`), so a dead/missing/
+    * unauthorized source fails inside the retry loop rather than at the
+    * first downstream sink. Transient I/O failures during the later
+    * distributed actions are Spark's own job: task retries
+    * (`spark.task.maxFailures`) and stage re-attempts already re-run
+    * exactly the failed partitions — re-fetching everything at the driver
+    * level would be the wrong granularity at 100 TB.
     */
   @annotation.tailrec
   def retry[T](attempts: Int, delayMs: Long)(f: => T): T =
@@ -40,18 +49,26 @@ object Pipeline {
       bars: BarSource,
       start: java.sql.Date, end: java.sql.Date,
       stageDir: String, warehouseDir: String,
-      retries: Int = 2, retryDelayMs: Long = 100L): RunReport = {
+      retries: Int = 2, retryDelayMs: Long = 100L,
+      maxSymbols: Option[Int] = None): RunReport = {
 
-    // stage 1: extract + clean symbols (C5: hard-fail on empty input)
+    // stage 1: extract + clean symbols (C5: hard-fail on empty input;
+    // P5: maxSymbols test knob)
     val symbols = StockEtl.cleanSymbols(retry(retries, retryDelayMs) {
-      constituents.fetch(spark)
-    })
+      val df = constituents.fetch(spark)
+      df.limit(1).count() // validate readability inside the retry scope
+      df
+    }, maxSymbols = maxSymbols)
     require(symbols.limit(1).count() > 0, "no valid symbols extracted") // DAG:64–65
 
     // stage 2: fetch + normalize + enrich (one distributed read replaces
     // the reference's ~500-iteration driver loop; C4 tolerance is in the
     // PERMISSIVE source read)
-    val raw = retry(retries, retryDelayMs) { bars.fetch(spark, symbols, start, end) }
+    val raw = retry(retries, retryDelayMs) {
+      val df = bars.fetch(spark, symbols, start, end)
+      df.limit(1).count() // validate readability inside the retry scope
+      df
+    }
     val enriched = StockEtl.enrich(StockEtl.normalize(raw))
     require(enriched.limit(1).count() > 0, "no bars fetched for any symbol") // DAG:209–210
 

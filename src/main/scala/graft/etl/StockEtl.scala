@@ -47,14 +47,23 @@ object StockEtl {
     * keep symbols of ≤5 chars that are alphanumeric after removing '.'/'-'
     * (admits BRK.B-style listings).
     */
-  def cleanSymbols(raw: DataFrame, symbolCol: String = "Symbol"): DataFrame = {
+  /** @param maxSymbols P5 test knob (the reference's
+    *                    `MAX_SYMBOLS_FOR_TESTING` slice, DAG:20, 68–71):
+    *                    keep only the first N symbols. The reference slices
+    *                    in page order; a distributed `limit` is
+    *                    nondeterministic, so this sorts first — deterministic
+    *                    across partitionings and re-runs.
+    */
+  def cleanSymbols(raw: DataFrame, symbolCol: String = "Symbol",
+      maxSymbols: Option[Int] = None): DataFrame = {
     require(raw.columns.contains(symbolCol),
       s"constituent table lacks required column '$symbolCol'") // P1, DAG:47–48
     val s = trim(col(symbolCol))
-    raw.select(s.as("Symbol"))
+    val cleaned = raw.select(s.as("Symbol"))
       .where(col("Symbol").isNotNull && length(col("Symbol")) > lit(0))
       .where(length(col("Symbol")) <= 5 &&
         regexp_replace(col("Symbol"), "[.-]", "").rlike("^[A-Za-z0-9]+$"))
+    maxSymbols.fold(cleaned)(n => cleaned.orderBy("Symbol").limit(n))
   }
 
   /** Schema normalization for one raw bar frame (P6–P11): rename to
@@ -120,19 +129,21 @@ object StockEtl {
       // F9 + F12: (High−Low)/Low·100; NaN→0 but ±Infinity preserved (DAG:167)
       .withColumn("Daily_Range_Pct",
         bround(fillZero(pandasDiv(col("High") - col("Low"), col("Low")) * lit(100.0)), 4))
-      // P12: prices/volume rounded to 2 (banker's rounding for pandas parity)
-      .withColumn("Open", bround(col("Open"), 2))
-      .withColumn("High", bround(col("High"), 2))
-      .withColumn("Low", bround(col("Low"), 2))
-      .withColumn("Close", bround(col("Close"), 2))
+    // P12: prices rounded to 2 (banker's rounding for pandas parity) —
+    // only the price columns actually present (a source without Open must
+    // not fail here; P15 drops the absent ones from the projection anyway)
+    val rounded = Seq("Open", "High", "Low", "Close")
+      .filter(enriched.columns.contains)
+      .foldLeft(enriched)((df, c) => df.withColumn(c, bround(col(c), 2)))
+    val filtered = rounded
       // P14: essential-null filter — Date/Symbol/Close only (DAG:186);
       // other nulls are preserved deliberately (DAG:182).
       .na.drop(Seq("Date", "Symbol", "Close"))
 
     // P15: intersection projection — final order, silently dropping columns
     // that don't exist (e.g. Adj_Close) and tolerating missing ones.
-    val keep = finalColumns.filter(enriched.columns.contains)
-    enriched.select(keep.map(col): _*)
+    val keep = finalColumns.filter(filtered.columns.contains)
+    filtered.select(keep.map(col): _*)
   }
 
   /** n-ary union of per-source frames with differing schemas (U1, DAG:213):
@@ -193,9 +204,14 @@ object StockEtl {
     * Structured Streaming `Trigger.AvailableNow` with a checkpoint, which
     * subsumes them (see graft.streaming).
     */
-  def readStagedCsv(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  def readStagedCsv(spark: SparkSession, path: String): DataFrame = {
+    // Header-driven all-string decode: columns are aligned BY NAME from the
+    // file's own header, never positionally against a fixed schema — a
+    // staged file that legitimately lacks optional columns (e.g. no Open
+    // after the intersection projection) must not shift every later column
+    // over by one. Typing is the caller's coercing-cast pass
+    // (WarehouseLoad.readStaged), matching COPY's two-step decode.
     val raw = spark.read
-      .schema(schema)
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .option("ignoreLeadingWhiteSpace", "true")

@@ -41,30 +41,46 @@ object WarehouseLoad {
     val typed = readStaged(spark, stagePath)
     val n = typed.count()
     typed.write.mode("append").parquet(warehouseDir)
-    purge(stagePath) // PURGE=TRUE (DAG:378): delete only after success
+    purge(spark, stagePath) // PURGE=TRUE (DAG:378): delete only after success
     n
   }
 
+  /** Coercing casts applied BY NAME to whichever staged columns are
+    * present — a stage written without optional columns still types
+    * correctly (COPY matches columns by name, not position).
+    */
   def readStaged(spark: SparkSession, stagePath: String): DataFrame = {
-    val raw = graft.etl.StockEtl.readStagedCsv(spark, stagePath, stagedSchema)
-    val cast = numericCols.foldLeft(raw)((df, c) =>
+    val raw = graft.etl.StockEtl.readStagedCsv(spark, stagePath)
+    val present = raw.columns.toSet
+    val cast = numericCols.filter(present).foldLeft(raw)((df, c) =>
       df.withColumn(c, col(c).cast(DoubleType)))
-    cast
-      .withColumn("Date", to_date(col("Date")))
-      .withColumn("Volume", col("Volume").cast(DoubleType).cast(LongType))
+    val dated = if (present("Date")) cast.withColumn("Date", to_date(col("Date"))) else cast
+    if (present("Volume"))
+      dated.withColumn("Volume", col("Volume").cast(DoubleType).cast(LongType))
+    else dated
   }
 
-  private def purge(stagePath: String): Unit = {
-    val dir = new java.io.File(stagePath)
-    if (dir.isDirectory)
-      dir.listFiles().filter(f => f.getName.endsWith(".csv")).foreach(_.delete())
+  /** Consume-once deletion through the Hadoop FileSystem API — PURGE must
+    * work identically on local FS, HDFS, and object stores; a
+    * `java.io.File` walk silently no-ops on anything remote.
+    */
+  private def purge(spark: SparkSession, stagePath: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(stagePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path) && fs.getFileStatus(path).isDirectory)
+      fs.listStatus(path).iterator
+        .filter(_.getPath.getName.endsWith(".csv"))
+        .foreach(st => fs.delete(st.getPath, false))
   }
 
-  /** S7/A5: the post-load verification aggregate. */
-  def verify(spark: SparkSession, warehouseDir: String): Row =
+  /** S7/A5: the post-load verification aggregate, as a composable frame. */
+  def verifyDf(spark: SparkSession, warehouseDir: String): DataFrame =
     spark.read.parquet(warehouseDir).agg(
       count(lit(1)).as("total_rows"),
       countDistinct(col("Symbol")).as("unique_symbols"),
       min(col("Date")).as("earliest_date"),
-      max(col("Date")).as("latest_date")).head()
+      max(col("Date")).as("latest_date"))
+
+  def verify(spark: SparkSession, warehouseDir: String): Row =
+    verifyDf(spark, warehouseDir).head()
 }

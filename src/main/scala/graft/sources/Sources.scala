@@ -48,6 +48,33 @@ final class HtmlTableConstituentSource(html: () => String) extends ConstituentSo
   }
 }
 
+/** S1 live impl: fetches the constituent page over HTTP and parses its
+  * first table. Reference-contract parity (DAG:31–36): explicit User-Agent
+  * header, 30 s timeout, raise on non-2xx status. Driver-side by design —
+  * it is one small page; the result is immediately distributed as a
+  * DataFrame.
+  */
+final class HttpConstituentSource(url: String,
+    userAgent: String = "graft-etl/1.0",
+    timeoutMs: Int = 30000) extends ConstituentSource {
+  def fetch(spark: SparkSession): DataFrame =
+    new HtmlTableConstituentSource(() => {
+      val conn = new java.net.URL(url).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestProperty("User-Agent", userAgent)
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      try {
+        val code = conn.getResponseCode
+        // raise_for_status parity: any non-2xx aborts the task (and is
+        // retried by Pipeline.retry)
+        require(code >= 200 && code < 300, s"HTTP $code fetching $url")
+        val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
+        try src.mkString finally src.close()
+      } finally conn.disconnect()
+    }).fetch(spark)
+}
+
 /** Offline constituent fixture: a CSV with at least a `Symbol` column. */
 final class CsvConstituentSource(path: String) extends ConstituentSource {
   def fetch(spark: SparkSession): DataFrame =

@@ -90,6 +90,46 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("live HTTP constituent source: UA header sent, non-2xx raises") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var seenUa: String = null
+    server.createContext("/constituents", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        seenUa = ex.getRequestHeaders.getFirst("User-Agent")
+        val body = fixtureHtml.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length.toLong)
+        ex.getResponseBody.write(body); ex.close()
+      }
+    })
+    server.createContext("/missing", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        ex.sendResponseHeaders(404, -1L); ex.close()
+      }
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    try {
+      val src = new graft.sources.HttpConstituentSource(
+        s"http://127.0.0.1:$port/constituents", userAgent = "graft-test/1.0")
+      val syms = StockEtl.cleanSymbols(src.fetch(spark))
+      assert(syms.count() == 3L)
+      assert(seenUa == "graft-test/1.0")
+      intercept[IllegalArgumentException] { // require() on raise_for_status
+        new graft.sources.HttpConstituentSource(
+          s"http://127.0.0.1:$port/missing").fetch(spark)
+      }
+    } finally server.stop(0)
+  }
+
+  test("P5 limit knob: maxSymbols keeps the first N (sorted) symbols") {
+    val syms = StockEtl.cleanSymbols(
+      new HtmlTableConstituentSource(() => fixtureHtml).fetch(spark),
+      maxSymbols = Some(2))
+    import spark.implicits._
+    assert(syms.as[String].collect().toSet == Set("AAA", "BBB")) // sorted first 2
+  }
+
   test("retry: transient source failure recovers") {
     var calls = 0
     val flaky = new graft.sources.ConstituentSource {
