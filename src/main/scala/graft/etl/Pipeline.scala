@@ -69,23 +69,29 @@ object Pipeline {
       df.limit(1).count() // validate readability inside the retry scope
       df
     }
+    // Cached for the run's lifetime: the enriched frame feeds the quality
+    // summary AND the CSV stage — without the cache each action re-runs the
+    // whole fetch+enrich subtree. Unpersisted before returning (bounded
+    // cache ownership).
     val enriched = StockEtl.enrich(StockEtl.normalize(raw))
-    require(enriched.limit(1).count() > 0, "no bars fetched for any symbol") // DAG:209–210
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // stage 3: quality summary (A1–A4, one pass) — its row count IS the
+      // C5 empty-input guard (no separate count job, DAG:209–210)
+      val q = StockEtl.qualitySummary(enriched).head()
+      val (nRows, nSyms) = (q.getAs[Long]("n_rows"), q.getAs[Long]("n_symbols"))
+      require(nRows > 0, "no bars fetched for any symbol")
+      val (minD, maxD) = (String.valueOf(q.getAs[Any]("min_date")),
+        String.valueOf(q.getAs[Any]("max_date")))
 
-    // stage 3: consolidate + quality summary (A1–A4, one pass)
-    val consolidated = StockEtl.consolidate(enriched)
-    val q = StockEtl.qualitySummary(enriched).head()
-    val (nRows, nSyms) = (q.getAs[Long]("n_rows"), q.getAs[Long]("n_symbols"))
-    val (minD, maxD) = (String.valueOf(q.getAs[Any]("min_date")),
-      String.valueOf(q.getAs[Any]("max_date")))
+      // stage 4: consolidate + CSV stage sink (S4 option parity)
+      val stagePath = s"$stageDir/stock_stage"
+      StockEtl.writeCsvStage(StockEtl.consolidate(enriched), stagePath)
 
-    // stage 4: CSV stage sink (S4 option parity)
-    val stagePath = s"$stageDir/stock_stage"
-    StockEtl.writeCsvStage(consolidated, stagePath)
-
-    // stage 5: warehouse append + consume-once + verify (S6/S7)
-    val loaded = graft.sinks.WarehouseLoad.appendAndPurge(
-      spark, stagePath, warehouseDir)
-    RunReport(nSyms, nRows, minD, maxD, stagePath, warehouseDir, loaded)
+      // stage 5: warehouse append + consume-once + verify (S6/S7)
+      val loaded = graft.sinks.WarehouseLoad.appendAndPurge(
+        spark, stagePath, warehouseDir)
+      RunReport(nSyms, nRows, minD, maxD, stagePath, warehouseDir, loaded)
+    } finally enriched.unpersist()
   }
 }
