@@ -230,18 +230,28 @@ object SparkEntry {
     },
 
     // Multi-way star join; dims broadcast (no shuffle for the small sides).
+    // The fact table is pre-aggregated to ORDER grain before joining: the
+    // join then moves one row per order instead of one per line item, and
+    // the distinct-order count becomes a plain count (no Expand /
+    // two-phase distinct aggregation) — at 100 TB this is the difference
+    // between shuffling line items and shuffling orders.
     "q_star_revenue" -> q { (s, dir) =>
-      Tables.lineitem(s, dir)
+      val perOrder = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e4)))
+            .as("__rev_1e4"),
+          count(lit(1)).as("__n_items"))
+      perOrder
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), year(col("o_orderdate")).cast(LongType).as("order_year"))
         .agg(
-          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e4))) / lit(1e4))
-            .as("revenue"),
-          count(lit(1)).as("n_items"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          (sum(col("__rev_1e4")) / lit(1e4)).as("revenue"),
+          sum(col("__n_items")).as("n_items"),
+          count(lit(1)).as("n_orders"))
     },
 
     // Left outer join with grouped counts (zero-item orders included).
