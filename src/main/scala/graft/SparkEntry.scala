@@ -566,6 +566,18 @@ object SparkEntry {
         .withColumn("loaded_rows", lit(report.loadedRows))
     },
 
+    // IVF coarse-quantizer occupancy (rows-only: centroids come from a
+    // seeded driver-side Lloyd fit, not expressible in SQL; the exact
+    // scorer it shares is oracled via q_ann_bruteforce). Deterministic:
+    // hash-ordered sample, fixed init, lowest-id tie-breaks.
+    "q_ann_ivf" -> q { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 16)
+      Similarity.ivfAssign(emb, "vec_id", "embedding", idx)
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+    },
+
     // ---- multimodal plumbing (rows-only; decode is stubbed) ----
 
     "q_multimodal_features" -> q { (s, dir) =>

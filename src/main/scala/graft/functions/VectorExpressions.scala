@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftExpressionBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for embedding math over `array<float>`.
   *
@@ -189,6 +189,75 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** IVF coarse-quantizer assignment: index (argmin) of the nearest
+    * centroid by squared L2 distance, over an `array<float>` embedding.
+    * The centroid table (k × dim doubles, flat row-major) is a plan-time
+    * constant referenced from generated code — one fused loop per row, no
+    * per-row allocation. Ties break to the LOWEST centroid id
+    * (deterministic across engines and partitionings).
+    */
+  case class NearestCentroidF32(child: Expression, centroidsFlat: Array[Double],
+      dim: Int) extends UnaryExpression {
+    require(dim > 0 && centroidsFlat.length % dim == 0,
+      s"centroid table length ${centroidsFlat.length} not a multiple of dim $dim")
+    private val k = centroidsFlat.length / dim
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float> argument, got ${other.simpleString}")
+    }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "nearest_centroid_f32"
+
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val n = math.min(dim, v.numElements())
+      var best = 0
+      var bestDist = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = c * dim
+        var dist = 0.0
+        var j = 0
+        while (j < n) {
+          val d = v.getFloat(j).toDouble - centroidsFlat(off + j)
+          dist += d * d; j += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("centroids", centroidsFlat, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val (n, c, j, off, d, dist, best, bestDist) = (ctx.freshName("n"),
+          ctx.freshName("c"), ctx.freshName("j"), ctx.freshName("off"),
+          ctx.freshName("d"), ctx.freshName("dist"), ctx.freshName("best"),
+          ctx.freshName("bestDist"))
+        s"""
+           |int $n = Math.min($dim, $a.numElements());
+           |int $best = 0;
+           |double $bestDist = Double.MAX_VALUE;
+           |for (int $c = 0; $c < $k; $c++) {
+           |  int $off = $c * $dim;
+           |  double $dist = 0.0;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    double $d = (double) $a.getFloat($j) - $cRef[$off + $j];
+           |    $dist += $d * $d;
+           |  }
+           |  if ($dist < $bestDist) { $bestDist = $dist; $best = $c; }
+           |}
+           |${ev.value} = $best;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** ‖v‖₂ in one pass. */
   case class L2NormF32(child: Expression)
       extends UnaryExpression {
@@ -242,6 +311,8 @@ object VectorFunctions {
   def hyperplaneBucketF32(v: Column, planes: Int, dim: Int = 64,
       seed: Long = 42L): Column =
     asColumn(HyperplaneBucketF32(expression(v), planes, dim, seed))
+  def nearestCentroidF32(v: Column, centroidsFlat: Array[Double], dim: Int): Column =
+    asColumn(NearestCentroidF32(expression(v), centroidsFlat, dim))
 
   private def expression(c: Column): Expression = GraftExpressionBridge.expression(c)
 

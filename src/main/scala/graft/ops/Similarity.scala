@@ -114,4 +114,100 @@ object Similarity {
   def norms(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
     vecs.select(col(idCol),
       round(l2Norm(toDoubleVec(col(vecCol))), 4).as("l2_norm"))
+
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF coarse quantizer: `k` centroids (row-major flat, k × dim). */
+  final case class IvfIndex(centroidsFlat: Array[Double], dim: Int) {
+    def k: Int = centroidsFlat.length / dim
+    def centroid(c: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(centroidsFlat, c * dim, (c + 1) * dim)
+    /** Nearest-`nprobe` centroid ids to a query vector (squared L2,
+      * deterministic lowest-id tie-break — same contract as the
+      * assignment kernel).
+      */
+    def probes(query: Seq[Double], nprobe: Int): Seq[Int] =
+      (0 until k).map { c =>
+        val off = c * dim
+        var dist = 0.0
+        var j = 0
+        val n = math.min(dim, query.size)
+        while (j < n) { val d = query(j) - centroidsFlat(off + j); dist += d * d; j += 1 }
+        (dist, c)
+      }.sortBy(identity).take(nprobe).map(_._2)
+  }
+
+  /** Train an IVF coarse quantizer with Lloyd's algorithm on a BOUNDED,
+    * deterministic sample. Index build is a driver-side model fit — the
+    * sample (`sampleSize` × dim doubles, ~1 MB) is a parameter fetch, not a
+    * data-path collect; assignment of the full corpus stays distributed
+    * through the codegen'd kernel. Determinism: the sample is the
+    * `sampleSize` lowest `xxhash64(id)` rows (a TakeOrdered, stable across
+    * partitionings), init = first k sample vectors, sequential driver-side
+    * accumulation, empty clusters keep their previous centroid.
+    */
+  def trainIvfCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, sampleSize: Int = 2048, iters: Int = 10): IvfIndex = {
+    val sample = vecs
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(sampleSize)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
+    val dim = sample.head.length
+    val kk = math.min(k, sample.length)
+    var centroids = Array.tabulate(kk)(i => sample(i).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      sample.foreach { v =>
+        var best = 0; var bestDist = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var dist = 0.0; var j = 0
+          while (j < dim) { val d = v(j) - centroids(c)(j); dist += d * d; j += 1 }
+          if (dist < bestDist) { bestDist = dist; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    IvfIndex(centroids.flatten, dim)
+  }
+
+  /** Distributed assignment: each vector gains its nearest-centroid id via
+    * the fused codegen'd kernel (`nearest_centroid_f32`).
+    */
+  def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String,
+      index: IvfIndex): DataFrame =
+    vecs.select(col(idCol), col(vecCol))
+      .withColumn("centroid_id",
+        graft.functions.VectorFunctions.nearestCentroidF32(
+          col(vecCol), index.centroidsFlat, index.dim))
+
+  /** IVF top-k: scan only the `nprobe` nearest inverted lists instead of
+    * the corpus (candidate fraction ≈ nprobe/k), exact-score candidates
+    * with the fused cosine kernel, return top-k. The assignment predicate
+    * is a partition-prunable equality on a small int — on a corpus
+    * written partitioned by `centroid_id`, probing reads ONLY those
+    * partitions' files.
+    */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, index: IvfIndex,
+      query: Seq[Double], k: Int, nprobe: Int = 2): DataFrame = {
+    val probeIds = index.probes(query, nprobe)
+    val q = typedLit(query.map(_.toFloat))
+    ivfAssign(vecs, idCol, vecCol, index)
+      .where(col("centroid_id").isin(probeIds: _*))
+      .withColumn("cos_sim", VectorFunctions.cosineF32(col(vecCol), q))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cos_sim"), col("centroid_id"))
+  }
 }

@@ -110,6 +110,38 @@ class SimilaritySpec extends SparkSpec {
       .select("bucket").as[Long].collect()
     assert(b(0) == b(1))
   }
+
+  test("ivf: assignment matches a driver-side argmin recompute") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val idx = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 8)
+    assert(idx.k == 8)
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", idx)
+    // every vector assigned; more than one list populated
+    assert(assigned.where(col("centroid_id").isNull).count() == 0)
+    assert(assigned.select("centroid_id").distinct().count() > 1)
+    // kernel argmin == IvfIndex.probes(query, 1) for a handful of vectors
+    val rows = assigned.orderBy("vec_id").limit(10)
+      .select("embedding", "centroid_id").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).map(_.toDouble)
+      assert(idx.probes(v, 1).head == r.getInt(1))
+    }
+  }
+
+  test("ivf top-k: finds the exact duplicate with nprobe=1") {
+    val emb = graft.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val doubled = emb.unionByName(emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      col("embedding")))
+    val idx = Similarity.trainIvfCentroids(doubled, "vec_id", "embedding", k = 8)
+    val qv = emb.where(col("vec_id") === 3L).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    // the identical copy (id 1000003) lands in the same inverted list, so
+    // even the narrowest probe must return it first
+    val top = Similarity.ivfTopK(doubled.where(col("vec_id") =!= 3L),
+      "vec_id", "embedding", idx, qv, k = 1, nprobe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(top.head == 1000003L, s"expected the duplicate first, got ${top.toSeq}")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
