@@ -44,6 +44,21 @@ object EventsStreaming {
     q.awaitTermination()
   }
 
+  /** Streaming exact deduplication for document ingest: exactly-once
+    * retention keyed on a content digest, with state BOUNDED by the
+    * watermark horizon (`dropDuplicatesWithinWatermark` evicts digest keys
+    * once the watermark passes them). Unbounded digest state is the 100-TB
+    * failure mode of naive streaming dedup — the horizon caps state at
+    * (arrival rate × watermark delay) keys regardless of stream age. Batch
+    * twin: [[graft.ops.Dedup.dropExactDuplicates]].
+    */
+  def dedupDocumentsStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SessionOut(user_id: Long, n_events: Long, start: java.sql.Timestamp,
       end: java.sql.Timestamp)

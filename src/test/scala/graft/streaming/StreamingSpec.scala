@@ -75,6 +75,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicate content within the watermark is dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = EventsStreaming.dedupDocumentsStream(
+      input.toDS().toDF("doc_id", "ts", "text"), "ts", "text")
+    val dir = java.nio.file.Files.createTempDirectory("deddoc").toString
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      val t = java.sql.Timestamp.valueOf(_: String)
+      // batch 1: two distinct texts, one in-batch duplicate
+      input.addData(
+        (1L, t("2024-01-01 10:00:00"), "alpha"),
+        (2L, t("2024-01-01 10:00:01"), "alpha"),
+        (3L, t("2024-01-01 10:00:02"), "beta"))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate (inside the watermark) + one new
+      input.addData(
+        (4L, t("2024-01-01 10:10:00"), "beta"),
+        (5L, t("2024-01-01 10:10:01"), "gamma"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text").as[String].collect().sorted
+      assert(texts.toSeq == Seq("alpha", "beta", "gamma"),
+        s"expected one survivor per distinct text, got ${texts.toSeq}")
+    } finally q.stop()
+  }
+
   test("availableNow file stream: hourly windowed aggregation over events") {
     // stream from a µs-timestamp copy of the events table (the streaming
     // parquet reader has no nanosAsLong shim)
