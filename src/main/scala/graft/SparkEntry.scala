@@ -445,6 +445,15 @@ object SparkEntry {
         n = 3, minJaccard = 0.5, maxDocFreq = 20L)
     },
 
+    // Duplicate clusters: near-dup pairs (n-gram Jaccard) grouped into
+    // connected components by iterative min-label propagation; oracled
+    // against a DuckDB recursive-CTE transitive closure.
+    "q_dedup_groups" -> q { (s, dir) =>
+      val pairs = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDocFreq = 20L)
+      Dedup.duplicateGroups(pairs, "id_a", "id_b")
+    },
+
     // MinHash signatures (rows-only: 64-perm xxhash sketch not in DuckDB).
     "q_minhash_signatures" -> q { (s, dir) =>
       Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")
@@ -592,6 +601,30 @@ object SparkEntry {
   private val lineitemCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
     "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
     "l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** Shared CTE chain computing the n-gram-Jaccard near-dup pairs (the
+    * DuckDB mirror of [[graft.ops.Dedup.jaccardPairs]]); `pairs` exposes
+    * (id_a, id_b, j) with the UNROUNDED similarity already thresholded.
+    */
+  private val jaccardPairsCtes: String =
+    """toks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |       FROM toks WHERE len(t) >= 3),
+      |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+      |rare AS (SELECT shingle FROM e GROUP BY shingle HAVING count(*) <= 20),
+      |idx AS (SELECT e.doc_id, e.shingle FROM e JOIN rare USING (shingle)),
+      |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |           FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY 1),
+      |pairs AS (SELECT id_a, id_b,
+      |            n_common / (sa.n_sh + sb.n_sh - n_common) AS j
+      |          FROM common
+      |          JOIN sizes sa ON sa.doc_id = id_a
+      |          JOIN sizes sb ON sb.doc_id = id_b
+      |          WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -831,24 +864,20 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents),
-        |sh AS (SELECT doc_id,
-        |         list_distinct(list_transform(range(1, len(t) - 1),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |       FROM toks WHERE len(t) >= 3),
-        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-        |rare AS (SELECT shingle FROM e GROUP BY shingle HAVING count(*) <= 20),
-        |idx AS (SELECT e.doc_id, e.shingle FROM e JOIN rare USING (shingle)),
-        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        |           FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |           GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY 1)
-        |SELECT id_a, id_b,
-        |  round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
-        |FROM common
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5""".stripMargin,
+      s"""WITH $jaccardPairsCtes
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs""".stripMargin,
+
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id)
+        |SELECT label AS group_id, count(*) AS n_members
+        |FROM labels GROUP BY label""".stripMargin,
 
     "q_ann_bruteforce" ->
       """SELECT e.vec_id, e.label,

@@ -167,6 +167,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over a near-duplicate pair list (edge list) by
+    * iterative min-label propagation: every node's label converges to the
+    * smallest id reachable from it — the canonical "group near-dup pairs
+    * into duplicate clusters, keep one representative" step after
+    * [[jaccardPairs]] / [[lshCandidatePairs]] / [[embeddingDupPairs]].
+    *
+    * Scale design: each round is two shuffled equi-joins + a min
+    * aggregation (all partial-aggregatable); rounds needed = graph
+    * diameter, and similarity graphs under a document-frequency cap have
+    * small, bounded components (a component's diameter cannot exceed its
+    * size, which the cap bounds). Each round is `localCheckpoint`ed: the
+    * iteration's lineage would otherwise grow unboundedly and re-planning
+    * cost would dominate by round ~10. The driver-side loop is a
+    * CONVERGENCE check (one count per round), not per-row work — the
+    * standard pattern for iterative graph algorithms on Spark.
+    *
+    * @return (id, label) — one row per node that appears in any edge;
+    *         `label` = smallest id in the node's component.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true) // read every round — cut the upstream plan once
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")),
+          Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("dst_label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left_outer")
+        .select(col("id"), col("label").as("__prev"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.where(col("label") =!= col("__prev")).count()
+      labels = next.drop("__prev")
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIters rounds " +
+        "(diameter exceeds the bound — raise maxIters)")
+    labels
+  }
+
+  /** Duplicate clusters from an edge list: one row per component with the
+    * surviving (minimum) id and the member count.
+    */
+  def duplicateGroups(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    connectedComponents(edges, srcCol, dstCol)
+      .groupBy(col("label").as("group_id"))
+      .agg(count(lit(1)).as("n_members"))
+
   /** Deterministic affine rehash family over a base xxhash64: h_i(x) =
     * a_i·h(x) + b_i (mod 2^64 via Long overflow). Odd multipliers keep the
     * map bijective.

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Plan-shape regression guard: the 100-TB posture claims (pushdown reaches
+  * the scan, dims broadcast, top-k avoids the global sort, kernels stay in
+  * whole-stage codegen) are asserted against the ACTUAL physical plans of
+  * the driver queries — a refactor that silently loses a pushed filter or
+  * de-broadcasts a dim fails here, not at the next scale-up.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    val qe: QueryExecution = df.queryExecution
+    qe.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q_scan_pushdown: date predicate and projection reach the parquet scan") {
+    val p = plan("q_scan_pushdown")
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("LessThan(l_shipdate")),
+      s"expected l_shipdate pushed to the scan:\n$p")
+    // projection pruned: unselected columns must not appear in the scan
+    assert(!p.contains("l_returnflag"), "ReadSchema not pruned — scan reads unused columns")
+  }
+
+  test("q_star_revenue: both dims broadcast; no distinct Expand") {
+    val p = plan("q_star_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("Expand"),
+      "distinct-aggregate Expand present — order-grain pre-agg lost")
+  }
+
+  test("q_topk_orders: plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$p")
+  }
+
+  test("q_ann_bruteforce: cosine kernel runs inside whole-stage codegen") {
+    val p = plan("q_ann_bruteforce")
+    // formatted mode marks codegen'd operators with `[codegen id : N]`
+    assert(p.contains("codegen id"), s"no codegen span:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$p")
+  }
+
+  test("q_asof_bars: exactly one window pass over the union (struct carry)") {
+    val p = plan("q_asof_bars")
+    val windows = "(?m)^.*\\bWindow\\b".r.findAllIn(p).size
+    assert(p.contains("Window"), s"no window in as-of plan:\n$p")
+    assert(windows <= 2, // one Window node (may appear in both tree + detail sections)
+      s"as-of join runs more than one window pass ($windows Window nodes):\n$p")
+  }
+
+  test("q_lag_change / q_moving_avg: single shuffle before the window") {
+    Seq("q_lag_change", "q_moving_avg").foreach { n =>
+      val p = plan(n)
+      // count Exchange operators in the formatted detail section
+      val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+      assert(exchanges == 1,
+        s"$n: expected exactly one hash exchange feeding the window, got $exchanges:\n$p")
+    }
+  }
+}

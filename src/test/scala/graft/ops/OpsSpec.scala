@@ -57,6 +57,22 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
 
+  test("connected components: chains merge, singletons isolated, label = min id") {
+    val edges = Seq(
+      (5L, 3L), (3L, 9L), (9L, 12L), // chain → component {3,5,9,12} label 3
+      (20L, 21L),                    // pair → component {20,21} label 20
+      (30L, 30L)                     // self-loop → singleton {30}
+    ).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(3L, 5L, 9L, 12L).forall(cc(_) == 3L), s"chain labels wrong: $cc")
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+    assert(cc(30L) == 30L)
+    val groups = Dedup.duplicateGroups(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(3L -> 4L, 20L -> 2L, 30L -> 1L))
+  }
+
   test("embedding near-dup pairs via hyperplane LSH") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
