@@ -425,6 +425,22 @@ object SparkEntry {
         .limit(50)
     },
 
+    // Salted two-phase aggregation over a genuinely hot key space
+    // (l_returnflag: 3 groups for the whole table). Algebraically identical
+    // to the plain GROUP BY — which is exactly what the oracle checks —
+    // while the first phase spreads each hot group over 32 reducers.
+    "q_skew_salted_agg" -> q { (s, dir) =>
+      graft.ops.Skew.saltedSum(Tables.lineitem(s, dir), Seq("l_returnflag"),
+        saltBuckets = 32,
+        aggs = Seq(
+          "revenue_cents" -> round(col("l_extendedprice") * lit(100.0)),
+          "qty" -> col("l_quantity")))
+        .select(col("l_returnflag"),
+          (col("revenue_cents") / lit(100.0)).as("revenue"),
+          col("qty").cast(LongType).as("total_qty"),
+          col("n_rows"))
+    },
+
     // Set operations (distinct INTERSECT/EXCEPT semantics): customers
     // active in 1995 but not in 1996.
     "q_set_except" -> q { (s, dir) =>
@@ -858,6 +874,13 @@ object SparkEntry {
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |  sum(round(l_extendedprice * 100)) / 100.0 AS revenue,
+        |  CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
