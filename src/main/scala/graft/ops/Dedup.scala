@@ -227,6 +227,21 @@ object Dedup {
       .groupBy(col("label").as("group_id"))
       .agg(count(lit(1)).as("n_members"))
 
+  /** End-to-end near-duplicate removal: n-gram-Jaccard pairs → connected
+    * components → keep each cluster's minimum-id representative. The
+    * anti-join ships only the LOSER id set (strictly smaller than the
+    * corpus — most documents are in no cluster at all), so the corpus
+    * passes through exactly once.
+    */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5, maxDocFreq: Long = 20L): DataFrame = {
+    val pairs = jaccardPairs(docs, idCol, textCol, n, minJaccard, maxDocFreq)
+    val losers = connectedComponents(pairs, "id_a", "id_b")
+      .where(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic affine rehash family over a base xxhash64: h_i(x) =
     * a_i·h(x) + b_i (mod 2^64 via Long overflow). Odd multipliers keep the
     * map bijective.

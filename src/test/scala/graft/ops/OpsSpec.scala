@@ -73,6 +73,20 @@ class DedupSpec extends SparkSpec {
     assert(groups == Map(3L -> 4L, 20L -> 2L, 30L -> 1L))
   }
 
+  test("dropNearDuplicates keeps one representative per jaccard cluster") {
+    val docs = graft.Tables.documents(spark, sf)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text")
+    val removedIds = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .where(col("id") =!= col("label")).count()
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text")
+    assert(kept.count() == docs.count() - removedIds)
+    // no surviving near-dup pair: both endpoints never kept together
+    val keptIds = kept.select(col("doc_id")).as[Long].collect().toSet
+    val survivors = pairs.collect()
+      .count(r => keptIds(r.getLong(0)) && keptIds(r.getLong(1)))
+    assert(survivors == 0, s"$survivors near-dup pairs survived dedup")
+  }
+
   test("embedding near-dup pairs via hyperplane LSH") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
