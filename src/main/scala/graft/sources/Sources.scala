@@ -24,14 +24,44 @@ trait ConstituentSource {
   * parser dependency): rows = `<tr>`, cells = `<th>`/`<td>`, first row =
   * header. Mirrors `pd.read_html(...)[0]` semantics including the
   * fail-fast on a table-less page (reference DAG:40–44).
+  *
+  * The table body is located with a balanced-depth scan (comments stripped
+  * first), not a lazy regex — a nested `<table>` inside the first one, or a
+  * commented-out table fragment, must not truncate or shift the parse.
   */
 final class HtmlTableConstituentSource(html: () => String) extends ConstituentSource {
+
+  /** Body of the first top-level `<table>`, matching its BALANCED close
+    * tag (inner nested tables stay inside the returned body).
+    */
+  private def firstTableBody(doc: String): Option[String] = {
+    val lower = doc.toLowerCase
+    val openRe = "<table[\\s>]".r
+    openRe.findFirstMatchIn(lower).map { first =>
+      val bodyStart = lower.indexOf('>', first.start) + 1
+      var depth = 1
+      var pos = bodyStart
+      while (depth > 0 && pos < lower.length) {
+        val nextOpen = openRe.findFirstMatchIn(lower.substring(pos))
+          .map(_.start + pos).getOrElse(Int.MaxValue)
+        val nextClose = lower.indexOf("</table", pos)
+        if (nextClose < 0) { pos = lower.length; depth = 0 } // unclosed: take rest
+        else if (nextOpen < nextClose) { depth += 1; pos = nextOpen + 6 }
+        else {
+          depth -= 1
+          pos = if (depth == 0) nextClose else nextClose + 7
+        }
+      }
+      doc.substring(bodyStart, math.min(pos, doc.length))
+    }
+  }
+
   def fetch(spark: SparkSession): DataFrame = {
-    val doc = html()
-    val table = "(?s)<table[^>]*>(.*?)</table>".r
-      .findFirstMatchIn(doc)
+    // strip comments BEFORE locating the table: a commented-out <table>
+    // must not win, and comments inside the real table must not add cells
+    val doc = "(?s)<!--.*?-->".r.replaceAllIn(html(), "")
+    val table = firstTableBody(doc)
       .getOrElse(throw new IllegalStateException("no <table> found in page"))
-      .group(1)
     val rows = "(?s)<tr[^>]*>(.*?)</tr>".r.findAllMatchIn(table).map { m =>
       "(?s)<t[hd][^>]*>(.*?)</t[hd]>".r.findAllMatchIn(m.group(1))
         .map(c => "<[^>]+>".r.replaceAllIn(c.group(1), "").trim)

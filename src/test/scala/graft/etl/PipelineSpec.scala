@@ -78,6 +78,26 @@ class PipelineSpec extends SparkSpec {
     assert(brk.isNullAt(brk.fieldIndex("Volume"))) // missing column preserved as null
   }
 
+  test("pipeline over file:// URIs: sinks and consume-once purge are scheme-aware") {
+    val tmp = java.nio.file.Files.createTempDirectory("pipeuri").toString
+    writeBarsCsv(tmp)
+    val report = Pipeline.run(spark,
+      new HtmlTableConstituentSource(() => fixtureHtml),
+      new CsvBarSource(s"$tmp/bars.csv"),
+      java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-31"),
+      stageDir = s"file://$tmp/stage", warehouseDir = s"file://$tmp/warehouse")
+    assert(report.loadedRows == 4L)
+    // PURGE ran through the Hadoop FileSystem API against the URI path
+    // (a java.io.File walk would silently no-op on any scheme-ful path)
+    val p = new org.apache.hadoop.fs.Path(report.stagePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged =
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName) else Array.empty[String]
+    assert(!staged.exists(_.endsWith(".csv")), s"stage not purged: ${staged.toSeq}")
+    assert(graft.sinks.WarehouseLoad.verify(spark, report.warehousePath)
+      .getAs[Long]("total_rows") == 4L)
+  }
+
   test("pipeline fails fast on a page with no table (C5 guard)") {
     val tmp = java.nio.file.Files.createTempDirectory("pipeline2").toString
     writeBarsCsv(tmp)
@@ -88,6 +108,24 @@ class PipelineSpec extends SparkSpec {
         java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-31"),
         stageDir = s"$tmp/stage", warehouseDir = s"$tmp/warehouse")
     }
+  }
+
+  test("html parser: comments stripped; nested table does not truncate the outer one") {
+    val tricky =
+      """<html><body>
+        |<!-- <table><tr><th>Symbol</th></tr><tr><td>FAKE</td></tr></table> -->
+        |<table class="wikitable">
+        |<tr><th>Symbol</th><th>Note</th></tr>
+        |<tr><td>AAA</td><td><table><tr><td>inner</td></tr></table></td></tr>
+        |<tr><td>BBB</td><td>plain</td></tr>
+        |</table>
+        |</body></html>""".stripMargin
+    val df = new HtmlTableConstituentSource(() => tricky).fetch(spark)
+    // the commented-out table is ignored; the row AFTER the nested table
+    // still parses (the old lazy regex stopped at the inner </table>)
+    val syms = df.select("Symbol").collect().map(_.getString(0)).toSet
+    assert(syms.contains("BBB"), s"row after nested table lost: $syms")
+    assert(!syms.contains("FAKE"), "commented-out table was parsed")
   }
 
   test("live HTTP constituent source: UA header sent, non-2xx raises") {
