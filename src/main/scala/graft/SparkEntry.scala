@@ -379,6 +379,8 @@ object SparkEntry {
       Tables.documents(s, dir).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.whitespaceTokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
         length(col("text")).cast(LongType).as("n_chars_actual"))
     },
 
@@ -841,6 +843,10 @@ object SparkEntry {
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |    AS BIGINT) AS n_bpe_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars_actual
         |FROM documents""".stripMargin,
 

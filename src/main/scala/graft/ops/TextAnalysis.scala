@@ -20,6 +20,26 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
+  /** Whitespace tokens: maximal non-space runs (`\S+`) — the "wc -w"
+    * definition, robust to leading/trailing/multiple spaces.
+    */
+  def whitespaceTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast(LongType)
+
+  /** BPE-style pre-tokenizer segmentation (GPT-2-family): contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * whitespace runs. Deliberately lookahead-free (the canonical pattern's
+    * `\s+(?!\S)` trailing-space refinement needs lookahead, which RE2
+    * engines reject) so the count is reproducible across regex engines.
+    * This approximates BPE TOKEN counts well enough for corpus budgeting;
+    * exact counts need the real tokenizer's merges.
+    */
+  val bpePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePretokenPattern), lit(0))).cast(LongType)
+
   /** Normalized form for near-identity comparison: lowercase, non-alnum
     * runs collapsed to single spaces, trimmed.
     */

@@ -177,6 +177,24 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("whitespace and BPE-ish token counters on known strings") {
+    val df = Seq(
+      (1L, "It's   a test, isn't it?"),
+      (2L, ""),
+      (3L, "word")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.whitespaceTokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == 5L) // It's | a | test, | isn't | it?
+    // It|'s|\s+(2sp→" a" takes one; extra spaces)|... exact segmentation:
+    // [It]['s][  ( a takes 1 space, 2 extra → "\s+" run of 2? " a" consumes
+    // one space] — assert relative properties instead of brittle absolutes:
+    assert(out(1L)._2 > out(1L)._1, "BPE pre-tokens must outnumber ws tokens here")
+    assert(out(2L) == ((0L, 0L)))
+    assert(out(3L) == ((1L, 1L)))
+  }
+
   test("token count, fingerprint stability under formatting noise") {
     val df = Seq(
       (1L, "Hello,  World! THIS is Spark."),
