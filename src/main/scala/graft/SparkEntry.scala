@@ -373,6 +373,29 @@ object SparkEntry {
         "user_id", "ts", "event_id", gapSeconds = 86400L)
     },
 
+    // Sliding event-time windows (2 h size, 1 h slide) — the streaming
+    // window shape run as a batch query; each event lands in exactly two
+    // windows, which the oracle mirrors as a two-branch union.
+    "q_events_sliding" -> q { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          exactSum(col("value"), 2).as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+    },
+
+    // HLL++ approximate distinct (the sketch path for corpus statistics at
+    // 100 TB) side by side with the exact count. Rows-only: sketch
+    // estimates are engine-specific; the spec bounds the relative error.
+    "q_approx_distinct" -> q { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+    },
+
     // ---- text analysis (LLM-pipeline extensions) ----
 
     "q_text_tokens" -> q { (s, dir) =>
@@ -821,6 +844,18 @@ object SparkEntry {
         |  sum(round(value * 100)) / 100.0 AS total_value,
         |  sum(round(value * 100)) / 100.0 / count(*) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_events_sliding" ->
+      """SELECT ws AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  sum(round(value * 100)) / 100.0 AS total_value
+        |FROM (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP), event_type, value
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_events_props" ->
       """SELECT event_id, user_id, event_type,

@@ -1,5 +1,20 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+  test("approx_count_distinct stays within 10% of the exact count") {
+    val rows = SparkEntry.queries("q_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) =
+        (r.getAs[Long]("approx_orders"), r.getAs[Long]("exact_orders"))
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err < 0.10, s"HLL estimate off by ${err * 100}%: $approx vs $exact")
+    }
+  }
+}
+
 /** Smoke: every declared query runs and returns rows on sf0.001 (the
   * cell-level oracle comparison runs through graft.Verify + DuckDB in the
   * driver; see scripts/oracle_check.py for the local mirror).
