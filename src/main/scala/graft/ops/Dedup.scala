@@ -142,11 +142,11 @@ object Dedup {
     // may reference it freely (no recompute).
     // singleton postings (df = 1) generate no pairs — prune before the
     // explode; `sizes` below still counts them (they are real shingles of
-    // their document, just shared with nobody). Explicit repartition for
-    // the same AQE-coalescing reason as above: pair expansion is CPU-bound
-    // on few bytes.
+    // their document, just shared with nobody). No repartition here: with
+    // the cap the expansion is ≤ df²/2 ≤ 190 structs per row — light
+    // enough that AQE's coalescing does no harm (unlike the CPU-heavy
+    // shingle assembly above).
     val pairs = postings.where(size(col("ids")) >= 2)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(flatten(
       transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
@@ -188,13 +188,20 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 25): DataFrame = {
-    val und = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // materialize the input ONCE before mirroring it: the undirected union
+    // reads the edge frame twice, and an expensive upstream (e.g. the whole
+    // jaccard pipeline) must not run once per branch
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val und = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true) // read every round — cut the upstream plan once
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed labels with round 1 folded in: label₀ = min(id, min neighbor) is
+    // one aggregation (no join) and saves a full propagation round
+    var labels = und.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("id"), least(col("src"), col("__mn")).as("label"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
