@@ -109,6 +109,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream sessionization equals the batch twin on the real events table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import EventsStreaming.{Ev, SessionOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val gapS = 86400L
+    val events = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id")).as[Ev].collect()
+    val input = MemoryStream[Ev]
+    val sessions = EventsStreaming.sessionizeStream(input.toDS(), gapMs = gapS * 1000L)
+    val dir = java.nio.file.Files.createTempDirectory("sesseq").toString
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_eq_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      input.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      // a far-future sentinel advances the watermark past every real
+      // session's end + gap, flushing all open state
+      val maxTs = events.map(_.ts.getTime).max
+      input.addData(Ev(-1L, new java.sql.Timestamp(maxTs + 10 * gapS * 1000L), -1L))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_eq_out").as[SessionOut]
+        .filter(_.user_id >= 0)
+        .collect()
+        .groupBy(_.user_id)
+        .map { case (u, ss) => u -> (ss.length.toLong, ss.map(_.n_events).sum) }
+      val batch = graft.ops.Sessionize.userSessionStats(
+        graft.Tables.events(spark, sf), "user_id", "ts", "event_id", gapS)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed == batch,
+        s"stream/batch sessionization diverged: " +
+          s"${(streamed.toSet -- batch.toSet).take(3)} vs ${(batch.toSet -- streamed.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("availableNow file stream: hourly windowed aggregation over events") {
     // stream from a µs-timestamp copy of the events table (the streaming
     // parquet reader has no nanosAsLong shim)
