@@ -29,5 +29,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("l2_norm_f32"),
       new ExpressionInfo(classOf[L2NormF32].getName, "l2_norm_f32"),
       (es: Seq[Expression]) => L2NormF32(es.head)))
+    // hyperplane_bucket_f32(vec, planes, dim[, seed]) — the index geometry
+    // arguments must be literals (they parameterize plan-time constants)
+    e.injectFunction((new FunctionIdentifier("hyperplane_bucket_f32"),
+      new ExpressionInfo(classOf[HyperplaneBucketF32].getName, "hyperplane_bucket_f32"),
+      (es: Seq[Expression]) => HyperplaneBucketF32(es(0),
+        GraftExtensions.litInt(es(1), "planes"),
+        GraftExtensions.litInt(es(2), "dim"),
+        if (es.size > 3) GraftExtensions.litLong(es(3), "seed") else 42L)))
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  private[graft] def litInt(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private[graft] def litLong(e: Expression, name: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
   }
 }

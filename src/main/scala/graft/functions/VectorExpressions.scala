@@ -325,5 +325,11 @@ object VectorFunctions {
       es => DotProductF32(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("l2_norm_f32",
       es => L2NormF32(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_bucket_f32",
+      es => HyperplaneBucketF32(es(0),
+        graft.GraftExtensions.litInt(es(1), "planes"),
+        graft.GraftExtensions.litInt(es(2), "dim"),
+        if (es.size > 3) graft.GraftExtensions.litLong(es(3), "seed") else 42L),
+      "scala_udf")
   }
 }

@@ -55,6 +55,22 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(n == 0)
   }
 
+  test("SQL registration: hyperplane_bucket_f32 matches the Column API") {
+    VectorFunctions.register(spark)
+    graft.Tables.embeddings(spark, sf).createOrReplaceTempView("emb_v2")
+    val viaSql = spark.sql(
+      "SELECT vec_id, hyperplane_bucket_f32(embedding, 12, 64) AS b FROM emb_v2")
+    val viaApi = graft.Tables.embeddings(spark, sf).select(
+      $"vec_id", VectorFunctions.hyperplaneBucketF32($"embedding", 12, 64).as("b2"))
+    assert(viaSql.join(viaApi, "vec_id").where($"b" =!= $"b2").count() == 0)
+    // non-literal geometry argument is rejected with a clear error
+    val e = intercept[Exception] {
+      spark.sql("SELECT hyperplane_bucket_f32(embedding, vec_id + 1, 64) FROM emb_v2")
+        .collect()
+    }
+    assert(e.getMessage.contains("planes"))
+  }
+
   test("type check rejects non-float arrays") {
     val bad = Seq((1L, Array(1.0, 2.0))).toDF("id", "v")
     val e = intercept[Exception] {
