@@ -42,7 +42,17 @@ object VecBench {
         Similarity.toDoubleVec(col("embedding")),
         Similarity.toDoubleVec(col("q_vec")))).as("s")).head(); pairs.count()
     }
-    println(s"""{"bench":"vec_cosine","pairs":$nN,"native_sec":$tNative,"hof_sec":$tHof,"speedup":${tHof / tNative}}""")
+    // bucket kernels on the same amplified row count
+    val (tBucketNative, _) = time {
+      pairs.select(sum(VectorFunctions.hyperplaneBucketF32(col("embedding"), 12, 64))
+        .as("s")).head(); pairs.count()
+    }
+    val (tBucketHof, _) = time {
+      pairs.select(sum(Similarity.hyperplaneBucket(
+        Similarity.toDoubleVec(col("embedding")), 12, 64)).as("s")).head()
+      pairs.count()
+    }
+    println(s"""{"bench":"vec_kernels","pairs":$nN,"cosine_native_sec":$tNative,"cosine_hof_sec":$tHof,"cosine_speedup":${tHof / tNative},"bucket_native_sec":$tBucketNative,"bucket_hof_sec":$tBucketHof,"bucket_speedup":${tBucketHof / tBucketNative}}""")
     spark.stop()
   }
 }
