@@ -495,6 +495,25 @@ object SparkEntry {
       Dedup.duplicateGroups(pairs, "id_a", "id_b")
     },
 
+    // MinHash estimation quality: signature-estimated Jaccard vs the exact
+    // n-gram Jaccard on every candidate pair the banding surfaces
+    // (rows-only: the sketch is not SQL-portable; the exact side is oracled
+    // via q_dedup_ngram_jaccard). Error stats use exact integer sums of the
+    // 4-decimal errors, so the row is bit-deterministic.
+    "q_minhash_est_error" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val est = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4)
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.0, maxDocFreq = 20L)
+      est.join(exact, Seq("id_a", "id_b"))
+        .select(round(abs(col("est_jaccard") - col("jaccard")), 4).as("err"))
+        .agg(count(lit(1)).as("n_pairs"),
+          exactSum(col("err"), 4).as("total_abs_err"),
+          (exactSum(col("err"), 4) / count(lit(1))).as("mean_abs_err"),
+          max(col("err")).as("max_abs_err"))
+    },
+
     // MinHash signatures (rows-only: 64-perm xxhash sketch not in DuckDB).
     "q_minhash_signatures" -> q { (s, dir) =>
       Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")

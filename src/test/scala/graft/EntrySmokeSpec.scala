@@ -3,6 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 
 class SketchSpec extends SparkSpec {
+  test("minhash-estimated jaccard tracks the exact jaccard (mean abs err < 0.05)") {
+    val r = SparkEntry.queries("q_minhash_est_error")(spark, sf).head()
+    assert(r.getAs[Long]("n_pairs") > 0)
+    assert(r.getAs[Double]("mean_abs_err") < 0.05,
+      s"64-perm sketch mean error too high: $r")
+  }
+
   test("approx_count_distinct stays within 10% of the exact count") {
     val rows = SparkEntry.queries("q_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
