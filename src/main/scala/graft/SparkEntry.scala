@@ -501,12 +501,8 @@ object SparkEntry {
     // via q_dedup_ngram_jaccard). Error stats use exact integer sums of the
     // 4-decimal errors, so the row is bit-deterministic.
     "q_minhash_est_error" -> q { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      val est = Dedup.lshCandidatePairs(docs, "doc_id", "text",
-        n = 3, bands = 16, rowsPerBand = 4)
-      val exact = Dedup.jaccardPairs(docs, "doc_id", "text",
-        n = 3, minJaccard = 0.0, maxDocFreq = 20L)
-      est.join(exact, Seq("id_a", "id_b"))
+      Dedup.sketchVsExactPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, maxDocFreq = 20L)
         .select(round(abs(col("est_jaccard") - col("jaccard")), 4).as("err"))
         .agg(count(lit(1)).as("n_pairs"),
           exactSum(col("err"), 4).as("total_abs_err"),

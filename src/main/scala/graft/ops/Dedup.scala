@@ -121,7 +121,18 @@ object Dedup {
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
     def cached(df: DataFrame): DataFrame =
       persistLevel.fold(df)(df.persist)
-    val exploded = cached(explodedShingles(docs, idCol, textCol, n))
+    jaccardPairsFromExploded(
+      cached(explodedShingles(docs, idCol, textCol, n)),
+      minJaccard, maxDocFreq, cached)
+  }
+
+  /** Pair generation from an already-materialized distinct (doc_id,
+    * shingle) index — the composition point for operators that reuse one
+    * shingle pipeline across several sketches (see [[sketchVsExactPairs]]).
+    */
+  private[graft] def jaccardPairsFromExploded(exploded: DataFrame,
+      minJaccard: Double, maxDocFreq: Long,
+      cached: DataFrame => DataFrame): DataFrame = {
     // Phase 1: document frequency per shingle. Constant-size agg buffer per
     // key (map-side combine), so hot keys are harmless here.
     val rareShingles = exploded
@@ -279,16 +290,22 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64): DataFrame = {
-    val hashes = explodedShingles(docs, idCol, textCol, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val sigs = minhashSigsFromExploded(explodedShingles(docs, idCol, textCol, n), k)
+    docs.select(col(idCol).as("doc_id")).join(sigs, Seq("doc_id"), "left_outer")
+  }
+
+  /** (doc_id, sig) for every document with ≥1 shingle, from a materialized
+    * index (composition point — no null-signature restore join).
+    */
+  private[graft] def minhashSigsFromExploded(exploded: DataFrame, k: Int): DataFrame = {
+    val hashes = exploded.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val minCols = permSeeds(k).zipWithIndex.map { case ((a, b), i) =>
       min(col("h") * lit(a) + lit(b)).as(s"__m$i")
     }
-    val sigs = hashes.groupBy(col("doc_id"))
+    hashes.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
-    docs.select(col(idCol).as("doc_id")).join(sigs, Seq("doc_id"), "left_outer")
   }
 
   /** LSH banding: candidate pairs whose signatures collide in ≥1 of
@@ -297,10 +314,16 @@ object Dedup {
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      minEstJaccard: Double = 0.0): DataFrame = {
+      minEstJaccard: Double = 0.0): DataFrame =
+    lshCandidatesFromSigs(
+      minhashSigsFromExploded(explodedShingles(docs, idCol, textCol, n),
+        bands * rowsPerBand),
+      bands, rowsPerBand, minEstJaccard)
+
+  /** Banding over precomputed non-null signatures (composition point). */
+  private[graft] def lshCandidatesFromSigs(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int, minEstJaccard: Double): DataFrame = {
     val k = bands * rowsPerBand
-    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
-      .where(col("sig").isNotNull)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -320,6 +343,49 @@ object Dedup {
           m => m)).cast(DoubleType) / lit(k.toDouble))
       .where(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** Sketch-vs-exact comparison pairs: for every candidate pair the
+    * MinHash banding surfaces, the signature-estimated AND the exact
+    * n-gram Jaccard — the estimation-quality audit for sketch parameters.
+    * ONE shingle pipeline feeds both sides (the exploded index is
+    * materialized once and shared), instead of tokenizing the corpus twice.
+    */
+  def sketchVsExactPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      maxDocFreq: Long = 20L,
+      persistLevel: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    def cached(df: DataFrame): DataFrame =
+      persistLevel.fold(df)(df.persist)
+    val exploded = cached(explodedShingles(docs, idCol, textCol, n))
+    val est = cached(lshCandidatesFromSigs(
+      minhashSigsFromExploded(exploded, bands * rowsPerBand),
+      bands, rowsPerBand, 0.0))
+    // Exact Jaccard ONLY where the sketch found a candidate: the capped
+    // index is restricted to candidate documents, per-doc shingle sets are
+    // collected (candidate docs only — a tiny fraction of the corpus), and
+    // each pair is scored by set intersection. This avoids materializing
+    // the full threshold-0 pair matrix just to audit the sketch.
+    val rare = exploded.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq).select("shingle")
+    val idx = exploded.join(rare, Seq("shingle"), "left_semi")
+    val candDocs = est.select(col("id_a").as("doc_id"))
+      .unionByName(est.select(col("id_b").as("doc_id"))).distinct()
+    val docSets = idx.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
+    val nCommon = size(array_intersect(col("sh_a"), col("sh_b")))
+    est
+      .join(docSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_common", nCommon)
+      // parity with jaccardPairsFromExploded(minJaccard = 0): only pairs
+      // actually sharing a rare shingle have an exact row
+      .where(col("n_common") >= 1)
+      .withColumn("jaccard",
+        round(col("n_common").cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 4))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
   }
 
   /** 64-bit SimHash from a materialized token-hash column: bit b of the
