@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.ExactNum.exactSum
 import graft.etl.{StockBars, StockEtl}
-import graft.ops.{AsOfJoin, Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 plus the LLM-data-pipeline extensions, each with an
@@ -310,6 +310,25 @@ object SparkEntry {
         .select("symbol", "trade_date", "close")
       AsOfJoin.backward(probes, bars, "symbol", "probe_ts", "trade_date")
         .select("o_orderkey", "symbol", "probe_ts", "asof_trade_date", "close")
+    },
+
+    // Binned range join (point-in-interval, NO equi key): how many sampled
+    // orders fall inside each sampled supplier's quarterly activity
+    // interval. The bin turns the range predicate into a shuffled
+    // equi-join — no broadcast nested loop (see graft.ops.RangeJoin).
+    "q_range_join" -> q { (s, dir) =>
+      val intervals = Tables.lineitem(s, dir)
+        .where(col("l_suppkey") % 20 === 0)
+        .groupBy(col("l_suppkey"),
+          date_trunc("quarter", col("l_shipdate")).as("qtr"))
+        .agg(min(col("l_shipdate")).as("st"), max(col("l_shipdate")).as("en"))
+      val points = Tables.orders(s, dir)
+        .where(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      RangeJoin.pointInInterval(points, "o_orderdate", intervals, "st", "en",
+        binSeconds = 30L * 86400L)
+        .groupBy(col("l_suppkey"), col("qtr"))
+        .agg(count(lit(1)).as("n_orders"))
     },
 
     // Pivot (wide aggregation by categorical value).
@@ -835,6 +854,15 @@ object SparkEntry {
         |  b.trade_date AS asof_trade_date, b.close
         |FROM probes p ASOF JOIN bars b
         |  ON p.symbol = b.symbol AND p.probe_ts >= CAST(b.trade_date AS TIMESTAMP)""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT s.l_suppkey, s.qtr, count(*) AS n_orders
+        |FROM (SELECT l_suppkey, date_trunc('quarter', l_shipdate) AS qtr,
+        |        min(l_shipdate) AS st, max(l_shipdate) AS en
+        |      FROM lineitem WHERE l_suppkey % 20 = 0 GROUP BY 1, 2) s
+        |JOIN (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 50 = 0) p
+        |  ON p.o_orderdate BETWEEN s.st AND s.en
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_pivot_events" ->
       """SELECT user_id,
