@@ -494,6 +494,50 @@ object SparkEntry {
       y1995.except(y1996)
     },
 
+    // ---- corpus curation: sampling / rebalancing / quotas ----
+
+    // Reproducible 5% Bernoulli sample by key hash — row-level oracle: the
+    // exact same rows must be selected by DuckDB running the same integer
+    // arithmetic.
+    "q_sample_hash" -> q { (s, dir) =>
+      graft.ops.Sampling.bernoulliSample(
+          Tables.documents(s, dir), "doc_id", perMyriad = 500)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    },
+
+    // Stratum rebalancing: downsample dominant English to 10%, keep other
+    // languages at 80% — the mixture-weighting primitive.
+    "q_sample_stratified" -> q { (s, dir) =>
+      graft.ops.Sampling.stratifiedSample(
+          Tables.documents(s, dir), "doc_id", "lang",
+          rates = Map("en" -> 1000), defaultPerMyriad = 8000)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    },
+
+    // Per-domain quota: keep the 15 longest documents per source (unique
+    // ordering via doc_id tiebreak; 15 < the ~25 docs/source at sf0.01 so
+    // the cut binds at the correctness-gate scale). Plans with
+    // WindowGroupLimit, so a skewed domain never materializes beyond 15
+    // rows per task.
+    "q_domain_quota" -> q { (s, dir) =>
+      graft.ops.Sampling.quotaCap(Tables.documents(s, dir), "source",
+          Seq(col("n_chars").desc, col("doc_id")), n = 15)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+
+    // Sequence-length histogram over power-of-2 token buckets — the
+    // packing/budgeting profile (how many docs fit each context bucket).
+    "q_length_buckets" -> q { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(graft.ops.Sampling.pow2Bucket(col("n_tokens"))
+          .cast(LongType).as("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_tokens")).as("total_tokens"))
+    },
+
     // ---- dedup (LLM-pipeline extensions) ----
 
     "q_dedup_exact" -> q { (s, dir) =>
@@ -965,6 +1009,36 @@ object SparkEntry {
         |  CAST(sum(l_quantity) AS BIGINT) AS total_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // Sampling oracles reproduce graft.ops.Sampling.hashBucket verbatim:
+    // (key*A + c) mod 2^32 mod 10^4 — pure int64 arithmetic, all operands
+    // positive, so Spark pmod ≡ SQL %.
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE ((doc_id * 2654435761 + 104729) % 4294967296) % 10000 < 500""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE ((doc_id * 2654435761 + 104729) % 4294967296) % 10000 <
+        |  CASE WHEN lang = 'en' THEN 1000 ELSE 8000 END""".stripMargin,
+
+    "q_domain_quota" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15""".stripMargin,
+
+    "q_length_buckets" ->
+      """SELECT CAST(length(bin(n_tokens)) AS BIGINT) AS len_bucket,
+        |  count(*) AS n_docs,
+        |  min(n_tokens) AS min_tokens,
+        |  max(n_tokens) AS max_tokens,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM (SELECT CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT)
+        |        AS n_tokens FROM documents)
+        |GROUP BY 1""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-curation operators: reproducible sampling, stratum
+  * rebalancing and per-domain quota capping — the selection layer of a
+  * training-data pipeline (what runs between dedup/quality-scoring and the
+  * final mixture write).
+  *
+  * Design for 100 TB:
+  *  - Sampling is a pure narrow FILTER on a key hash — no shuffle, no RNG
+  *    state, no driver coordination. Reruns, retries and backfills select
+  *    the same rows (task-level `rand()` sampling does not survive task
+  *    retry; this does). The predicate is pushable to the scan when the
+  *    key is a partition/stats column.
+  *  - The hash is plain 64-bit integer arithmetic (Knuth multiplicative
+  *    hashing over a 2^32 ring), so any SQL engine reproduces the same
+  *    selection — which is also what makes the DuckDB oracle exact.
+  *  - Quota capping is one shuffle on the group key; the rank predicate is
+  *    pushed into the sort by Spark's WindowGroupLimit, so each map task
+  *    keeps only `n` rows per group before the exchange — a skewed domain
+  *    never materializes its full partition.
+  */
+object Sampling {
+
+  /** Ring size of the portable hash: 2^32. */
+  val HashRing: Long = 4294967296L
+
+  /** Deterministic bucket in [0, buckets) from an integer key: Knuth
+    * multiplicative hash (A = 2654435761, the golden-ratio multiplier) with
+    * an odd offset, reduced mod 2^32 then mod `buckets`. Identical integer
+    * arithmetic in any 64-bit SQL engine; keys must stay below ~3.4e9 for
+    * overflow-free portability (int64 product), which holds for ordinal
+    * document ids — for arbitrary 64-bit ids, swap in `xxhash64` and give
+    * up SQL-engine portability, not determinism.
+    */
+  def hashBucket(key: Column, buckets: Int = 10000): Column =
+    pmod(key * lit(2654435761L) + lit(104729L), lit(HashRing)) % buckets
+
+  /** Reproducible Bernoulli sample: keep rows whose key hashes into the
+    * first `perMyriad` of 10,000 buckets (perMyriad = 500 → 5%). The same
+    * key is always in or always out — stable across reruns, partitions and
+    * engines.
+    */
+  def bernoulliSample(df: DataFrame, keyCol: String, perMyriad: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < perMyriad)
+
+  /** Stratified sample with per-stratum rates (per-myriad), e.g. to
+    * downsample a dominant source or upsample a rare language before
+    * mixture weighting. Strata absent from `rates` use `defaultPerMyriad`.
+    * Still a single narrow filter — the rate lookup is a codegen'd CASE
+    * chain, not a join.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultPerMyriad: Int): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPerMyriad)) {
+      case (acc, (stratum, r)) => when(col(stratumCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < rate)
+  }
+
+  /** Keep at most `n` rows per group, preferring rows first under
+    * `ordering` (extend the ordering until unique, or the cut is
+    * nondeterministic). The per-domain quota cap of web-corpus curation.
+    * One shuffle on `groupCol`; WindowGroupLimit bounds memory per task to
+    * `n` rows per group on both sides of the exchange.
+    */
+  def quotaCap(df: DataFrame, groupCol: String, ordering: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(ordering: _*)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Power-of-2 length-bucket label for a non-negative count: the number of
+    * binary digits (0→1, 1→1, 2..3→2, 4..7→3, …). Integer/string ops only —
+    * no floating log2, whose rounding differs across libm builds.
+    */
+  def pow2Bucket(count: Column): Column = length(bin(count))
+}

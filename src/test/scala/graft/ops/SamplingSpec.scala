@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 2000L)
+    .map(i => (i, if (i % 5 == 0) "en" else if (i % 5 == 1) "de" else "fr",
+      s"src${i % 3}", 50L + i % 400))
+    .toDF("doc_id", "lang", "source", "n_chars")
+
+  test("hashBucket: deterministic, in range, near-uniform on sequential keys") {
+    val buckets = docs.select(Sampling.hashBucket($"doc_id").as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 10000))
+    // rerun selects identical buckets (stability under retry/backfill)
+    val again = docs.select(Sampling.hashBucket($"doc_id").as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets.sameElements(again))
+  }
+
+  test("bernoulliSample: rate within binomial tolerance, stable membership") {
+    val kept = Sampling.bernoulliSample(docs, "doc_id", perMyriad = 2000)
+    val n = kept.count()
+    // 20% of 2000 = 400 expected; 4 sigma ≈ 72
+    assert(n > 320 && n < 480, s"rate off: $n/2000 at 20%")
+    // sample of a sample at the same rate is the same set (hash, not RNG)
+    assert(Sampling.bernoulliSample(kept, "doc_id", 2000).count() == n)
+  }
+
+  test("stratifiedSample: per-stratum rates honored") {
+    val kept = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      rates = Map("en" -> 1000), defaultPerMyriad = 9000)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en: 10% of 400 = 40 ± 4σ≈24; de/fr: 90% of their strata
+    assert(byLang("en") < 70, s"en oversampled: ${byLang("en")}")
+    assert(byLang("de") > 300 && byLang("fr") > 900)
+  }
+
+  test("quotaCap: at most n per group, longest kept, deterministic cut") {
+    val capped = Sampling.quotaCap(docs, "source",
+      Seq($"n_chars".desc, $"doc_id"), n = 10)
+    val counts = capped.groupBy("source").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 10))
+    // kept rows dominate dropped rows under the ordering
+    val minKept = capped.agg(min("n_chars")).head().getLong(0)
+    assert(minKept >= 440, s"quota kept a short doc: min n_chars $minKept")
+  }
+
+  test("quotaCap plans WindowGroupLimit (rank pushed below the exchange)") {
+    val plan = Sampling.quotaCap(docs, "source",
+      Seq($"n_chars".desc, $"doc_id"), n = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
+  test("pow2Bucket: binary-digit bucket edges") {
+    val got = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L).toDF("n")
+      .select(Sampling.pow2Bucket($"n").as("b")).collect().map(_.getInt(0))
+    assert(got.sameElements(Array(1, 1, 2, 2, 3, 3, 4, 10, 11)))
+  }
+}
