@@ -469,6 +469,83 @@ object SparkEntry {
         .limit(50)
     },
 
+    // Gopher-style repetition quality signal: duplicate-token fraction per
+    // document — a shuffle-free narrow projection (no explode, no agg).
+    "q_text_repetition" -> q { (s, dir) =>
+      val (n, nd, ratio) = TextAnalysis.repetitionStats(col("toks"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), n.as("n_tokens"), nd.as("n_distinct"),
+          ratio.as("dup_ratio"))
+    },
+
+    // Dominant-token share per document (explode → count → WindowGroupLimit
+    // rank-1 pick with a lexicographic tiebreak) — the "single token
+    // dominates the document" spam signal.
+    "q_top_token" -> q { (s, dir) =>
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val rank = Window.partitionBy(col("doc_id"))
+        .orderBy(col("n").desc, col("token"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(byDoc))
+        .withColumn("rk", row_number().over(rank))
+        .where(col("rk") === 1)
+        .select(col("doc_id"), col("token").as("top_token"), col("n").as("top_n"),
+          (col("n").cast(DoubleType) / col("total").cast(DoubleType)).as("top_share"))
+    },
+
+    // Context-window packing: fixed 256-char chunks at stride 200 (56-char
+    // overlap) — row-level oracle: DuckDB re-derives the identical chunk
+    // boundaries and md5s from the same arithmetic.
+    "q_doc_chunks" -> q { (s, dir) =>
+      TextAnalysis.chunk(Tables.documents(s, dir), chunkLen = 256, stride = 200)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          md5(col("chunk_text")).as("chunk_md5"),
+          length(col("chunk_text")).cast(LongType).as("chunk_len"))
+    },
+
+    // PII scrub: the standard email/phone/id-number redaction rules (none
+    // fire on the synthetic corpus — proving the no-op identity) plus a
+    // corpus-firing entity rule, with per-rule audit counts and the digest
+    // of the scrubbed text for row-level parity.
+    "q_pii_redact" -> q { (s, dir) =>
+      val rules = TextAnalysis.defaultRedactionRules :+
+        ("\\bcustomer\\b" -> "<ENTITY>")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.matchCount(col("text"),
+          TextAnalysis.defaultRedactionRules.head._1).as("n_email"),
+        TextAnalysis.matchCount(col("text"), "\\bcustomer\\b").as("n_entity"),
+        md5(TextAnalysis.redact(col("text"), rules)).as("redacted_md5"))
+    },
+
+    // Corpus term weighting: per-source token frequency with corpus df and
+    // the exact tf/df rarity score; top-10 rows per source via the same
+    // WindowGroupLimit-ranked cap as q_domain_quota.
+    "q_term_weights" -> q { (s, dir) =>
+      val w = TextAnalysis.termWeights(Tables.documents(s, dir), "source")
+      val rank = Window.partitionBy(col("grp"))
+        .orderBy(col("score").desc, col("token"))
+      w.withColumn("rk", row_number().over(rank))
+        .where(col("rk") <= 10)
+        .select(col("grp").as("source"), col("token"), col("tf"), col("df"),
+          col("score"))
+    },
+
+    // Train/eval decontamination: eval split = doc_id % 20 == 0, corpus =
+    // the rest; flag corpus docs sharing ≥3 distinct 5-gram shingles with
+    // any eval doc (eval-side df cap 10 bounds the join fan-out).
+    "q_decontaminate" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5, minShared = 3L, maxEvalDf = 10L)
+    },
+
     // Salted two-phase aggregation over a genuinely hot key space
     // (l_returnflag: 3 groups for the whole table). Algebraically identical
     // to the plain GROUP BY — which is exactly what the oracle checks —
@@ -1039,6 +1116,80 @@ object SparkEntry {
         |FROM (SELECT CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT)
         |        AS n_tokens FROM documents)
         |GROUP BY 1""".stripMargin,
+
+    "q_text_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |  coalesce(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+        |        / CAST(nullif(len(t), 0) AS DOUBLE), 0) AS dup_ratio
+        |FROM (SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents)""".stripMargin,
+
+    "q_top_token" ->
+      """SELECT doc_id, token AS top_token, n AS top_n,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS top_share
+        |FROM (
+        |  SELECT doc_id, token, n,
+        |    sum(n) OVER (PARTITION BY doc_id) AS total,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, token) AS rk
+        |  FROM (
+        |    SELECT doc_id, t AS token, count(*) AS n
+        |    FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\w+')) AS t
+        |          FROM documents)
+        |    GROUP BY 1, 2))
+        |WHERE rk = 1""".stripMargin,
+
+    "q_doc_chunks" ->
+      """SELECT doc_id, s // 200 AS chunk_idx, s AS chunk_start,
+        |  md5(substring(text, CAST(s + 1 AS INT), 256)) AS chunk_md5,
+        |  CAST(length(substring(text, CAST(s + 1 AS INT), 256)) AS BIGINT) AS chunk_len
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, length(text) - 1, 200)) AS s
+        |      FROM documents WHERE length(text) > 0)""".stripMargin,
+
+    "q_pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\bcustomer\b')) AS BIGINT) AS n_entity,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}[- .]\d{3}[- .]\d{4}', '<PHONE>', 'g'),
+        |    '\d{6,}', '<IDNUM>', 'g'),
+        |    '\bcustomer\b', '<ENTITY>', 'g')) AS redacted_md5
+        |FROM documents""".stripMargin,
+
+    "q_term_weights" ->
+      """SELECT grp AS source, token, tf, df, score FROM (
+        |  SELECT grp, token, tf, df, CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY grp
+        |      ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, token) AS rk
+        |  FROM (
+        |    SELECT grp, token, tf, count(*) OVER (PARTITION BY token) AS df
+        |    FROM (
+        |      SELECT source AS grp, t AS token, count(*) AS tf
+        |      FROM (SELECT source, unnest(regexp_extract_all(text, '\w+')) AS t
+        |            FROM documents)
+        |      GROUP BY 1, 2)))
+        |WHERE rk <= 10""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(t) - 3),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+        |       FROM toks WHERE len(t) >= 5),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM e WHERE doc_id % 20 = 0),
+        |rare AS (SELECT shingle FROM ev GROUP BY shingle HAVING count(*) <= 10),
+        |evi AS (SELECT eval_id, shingle FROM ev JOIN rare USING (shingle)),
+        |co AS (SELECT doc_id, shingle FROM e WHERE doc_id % 20 <> 0)
+        |SELECT co.doc_id,
+        |  count(DISTINCT co.shingle) AS n_shared_shingles,
+        |  count(DISTINCT evi.eval_id) AS n_eval_docs
+        |FROM co JOIN evi USING (shingle)
+        |GROUP BY 1
+        |HAVING count(DISTINCT co.shingle) >= 3""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -428,6 +428,41 @@ object Dedup {
       .join(agg.select(col("doc_id"), sig.as("simhash")), Seq("doc_id"), "left_outer")
   }
 
+  /** Train/eval decontamination: flag corpus documents that share at least
+    * `minShared` distinct n-gram shingles with any held-out evaluation
+    * document — the standard benchmark-leakage sweep run before training.
+    *
+    * Scale design (corpus = 100 TB, eval set = small by construction):
+    *  - both sides are shingled with the same codegen'd explode+lead
+    *    pipeline as [[jaccardPairs]];
+    *  - eval shingles with document frequency > `maxEvalDf` (boilerplate
+    *    present in many eval docs) are dropped BEFORE the join, so a viral
+    *    shingle fans each corpus row out to at most `maxEvalDf` matches —
+    *    the join blow-up is bounded by a constant, not by |eval|;
+    *  - the pruned eval index is broadcast: the corpus side never
+    *    shuffles — the whole sweep is one map-side join plus one hash
+    *    aggregation keyed by corpus doc id.
+    *
+    * @return (doc_id, n_shared_shingles, n_eval_docs) for corpus docs at or
+    *         above the `minShared` threshold.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      minShared: Long = 3L, maxEvalDf: Long = 10L): DataFrame = {
+    val corpusSh = explodedShingles(corpus, idCol, textCol, n)
+    val evalSh = explodedShingles(evalSet, idCol, textCol, n)
+      .withColumnRenamed("doc_id", "eval_id")
+    val rareEval = evalSh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxEvalDf).select("shingle")
+    val evalIdx = evalSh.join(rareEval, Seq("shingle"), "left_semi")
+    corpusSh
+      .join(broadcast(evalIdx), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .where(col("n_shared_shingles") >= minShared)
+  }
+
   /** Embedding-cosine near-duplicate pairs: sub-quadratic candidate
     * generation via sign-random-projection LSH buckets (codegen'd
     * [[graft.functions.VectorFunctions.hyperplaneBucketF32]]), then exact

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -119,6 +120,88 @@ object TextAnalysis {
     }
     val best = array_max(array(scored: _*))
     when(best.getField("score") > 0.0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Repetition statistics from a materialized tokens column — the
+    * Gopher-style "excess duplication" quality signal: word-salad and
+    * boilerplate-looped documents show a high duplicate-token fraction.
+    * `dup_ratio = 1 - |distinct tokens| / |tokens|` (0 for empty docs).
+    *
+    * Shuffle-free narrow projection: `array_distinct` runs per row inside
+    * codegen, so at 100 TB this is a pure map over the corpus — no explode,
+    * no aggregation state.
+    */
+  def repetitionStats(toks: Column): (Column, Column, Column) = {
+    val n = size(toks).cast(LongType)
+    val nd = size(array_distinct(toks)).cast(LongType)
+    val ratio = lit(1.0) - nd.cast(DoubleType) /
+      nullif(n, lit(0L)).cast(DoubleType)
+    (n, nd, coalesce(ratio, lit(0.0)))
+  }
+
+  /** Sequentially applied (pattern → replacement) scrub — the PII-redaction
+    * primitive (emails, phone numbers, id-like digit runs). Pure
+    * `regexp_replace` chain: codegen'd, shuffle-free, linear in input.
+    * Patterns must stay in the RE2-compatible subset (no lookahead/backrefs)
+    * so the same scrub is reproducible on any engine.
+    */
+  def redact(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
+
+  /** Count of matches for one redaction pattern (audit/reporting column). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast(LongType)
+
+  val defaultRedactionRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\d{3}[- .]\\d{3}[- .]\\d{4}" -> "<PHONE>",
+    "\\d{6,}" -> "<IDNUM>")
+
+  /** Fixed-size character chunks with stride (stride < chunkLen ⇒ overlap) —
+    * the context-window packing primitive that turns documents into training
+    * samples. One `sequence` + `posexplode` + `substring`: a narrow
+    * shuffle-free generate, embarrassingly parallel at 100 TB (each task
+    * chunks only its own partition's documents).
+    *
+    * Emits (original columns…, chunk_idx, chunk_start, chunk_text). Empty
+    * documents produce no chunks.
+    */
+  def chunk(docs: DataFrame, textCol: String = "text",
+      chunkLen: Int = 256, stride: Int = 200): DataFrame = {
+    require(stride > 0 && chunkLen > 0, "chunkLen and stride must be positive")
+    val t = col(textCol)
+    docs
+      .where(length(t) > 0)
+      .select(col("*"),
+        posexplode(sequence(lit(0), length(t) - lit(1), lit(stride)))
+          .as(Seq("chunk_idx", "chunk_start")))
+      .withColumn("chunk_text",
+        substring(t, col("chunk_start") + lit(1), lit(chunkLen)))
+      .withColumn("chunk_idx", col("chunk_idx").cast(LongType))
+      .withColumn("chunk_start", col("chunk_start").cast(LongType))
+  }
+
+  /** Corpus term weighting: per-(group, token) frequency with corpus-wide
+    * document frequency and an exact rarity score `tf / df` (a TF-IDF
+    * variant that avoids `log`, whose last-ulp behavior differs across libm
+    * implementations — tf and df are exact integers, so the IEEE division
+    * is bit-reproducible on every engine).
+    *
+    * Two shuffles total at any scale: one hash aggregation to (group,
+    * token) grain, then ONE window partitioned by token that computes df
+    * in-place — replacing the textbook `tf ⋈ df` self-join, which would
+    * cost a third shuffle of the tf relation.
+    */
+  def termWeights(docs: DataFrame, groupCol: String, textCol: String = "text")
+      : DataFrame = {
+    val tf = docs
+      .select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("grp", "token")
+      .agg(count(lit(1)).as("tf"))
+    val byToken = Window.partitionBy(col("token"))
+    tf.withColumn("df", count(lit(1)).over(byToken))
+      .withColumn("score", col("tf").cast(DoubleType) / col("df").cast(DoubleType))
   }
 
   /** Full per-document text-statistics projection. Tokenizes once (staged

@@ -227,6 +227,105 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s(1L) > s(2L))
     assert(s.values.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("repetition stats: duplicate-token fraction, empty-doc zero") {
+    val df = Seq(
+      (1L, "a a a b"),
+      (2L, "all words here are unique"),
+      (3L, "")).toDF("doc_id", "text")
+    val (n, nd, ratio) = TextAnalysis.repetitionStats(col("toks"))
+    val out = df.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), n.as("n"), nd.as("nd"), ratio.as("r"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 2L, 0.5)))
+    assert(out(2L) == ((5L, 5L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("redaction scrubs PII patterns and counts matches") {
+    val df = Seq(
+      (1L, "mail me at jane.doe@example.com or call 555-123-4567, acct 12345678"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.redact(col("text"), TextAnalysis.defaultRedactionRules).as("red"),
+      TextAnalysis.matchCount(col("text"),
+        TextAnalysis.defaultRedactionRules.head._1).as("n_email"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 == "mail me at <EMAIL> or call <PHONE>, acct <IDNUM>")
+    assert(out(1L)._2 == 1L)
+    assert(out(2L) == (("no pii here", 0L)))
+  }
+
+  test("chunking: stride boundaries, tail chunk, overlap, empty doc") {
+    val text = ("x" * 199) + "Y" + ("z" * 300) // length 500
+    val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunk(df, chunkLen = 256, stride = 200)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(chunks.forall(_._1 == 1L), "empty doc must produce no chunks")
+    assert(chunks.map(c => (c._2, c._3)).sorted.toSeq ==
+      Seq((0L, 0L), (1L, 200L), (2L, 400L)))
+    val byIdx = chunks.map(c => c._2 -> c._4).toMap
+    assert(byIdx(0L).length == 256 && byIdx(1L).length == 256)
+    assert(byIdx(2L).length == 100, "tail chunk is the remainder")
+    // 56-char overlap: chunk 0's last 56 chars == chunk 1's first 56 chars
+    assert(byIdx(0L).takeRight(56) == byIdx(1L).take(56))
+    assert(byIdx(0L)(199) == 'Y' && byIdx(1L)(0) == 'z')
+  }
+
+  test("term weights: tf, corpus df, exact tf/df score") {
+    val df = Seq(
+      ("s1", "spark spark rare1"),
+      ("s2", "spark common"),
+      ("s3", "common other")).toDF("source", "text")
+    val out = TextAnalysis.termWeights(df, "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("s1", "spark")) == ((2L, 2L, 1.0))) // tf=2, in 2 sources
+    assert(out(("s2", "spark")) == ((1L, 2L, 0.5)))
+    assert(out(("s1", "rare1")) == ((1L, 1L, 1.0))) // unique to s1
+    assert(out(("s2", "common")) == ((1L, 2L, 0.5)))
+  }
+}
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpus docs sharing >= minShared 5-grams with eval set are flagged") {
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the full leading 8-gram run with eval doc 100 → many 5-grams
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      // no 5 consecutive tokens in common
+      (2L, "completely unrelated content about distributed query engines"),
+      // shares exactly one 5-gram ("jumps over the lazy dog")
+      (3L, "it jumps over the lazy dog daily")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, evalDocs, "doc_id", "text",
+        n = 5, minShared = 3L, maxEvalDf = 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.contains(1L), "heavy overlap must be flagged")
+    assert(out(1L)._1 >= 3L && out(1L)._2 == 1L)
+    assert(!out.contains(2L), "disjoint doc must pass")
+    assert(!out.contains(3L), "one shared shingle is below minShared=3")
+  }
+
+  test("eval-side df cap drops boilerplate shingles from the sweep") {
+    // the same 5-gram appears in 3 eval docs; cap 2 excludes it entirely
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "alpha beta gamma delta epsilon"),
+      (102L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val capped = Dedup.decontaminate(corpus, evalDocs, "doc_id", "text",
+      n = 5, minShared = 1L, maxEvalDf = 2L)
+    assert(capped.count() == 0, "boilerplate shingle must be pruned by the cap")
+    val uncapped = Dedup.decontaminate(corpus, evalDocs, "doc_id", "text",
+      n = 5, minShared = 1L, maxEvalDf = 10L)
+    assert(uncapped.count() == 1)
+  }
 }
 
 class SessionizeSpec extends SparkSpec {
