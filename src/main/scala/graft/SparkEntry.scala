@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.ExactNum.exactSum
 import graft.etl.{StockBars, StockEtl}
-import graft.ops.{AsOfJoin, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Dedup, Layout, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 plus the LLM-data-pipeline extensions, each with an
@@ -546,6 +546,16 @@ object SparkEntry {
         "doc_id", "text", n = 5, minShared = 3L, maxEvalDf = 10L)
     },
 
+    // Z-order (Morton) clustering key over two join/filter dimensions —
+    // the multi-dimensional layout primitive behind q_zorder-sorted writes
+    // (Layout.writeSorted). Pure codegen'd shift/mask arithmetic, so the
+    // key itself is oracle-checkable bit-for-bit.
+    "q_zorder_key" -> q { (s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        Layout.mortonZ(col("l_partkey"), col("l_suppkey")).as("zval"))
+    },
+
     // Salted two-phase aggregation over a genuinely hot key space
     // (l_returnflag: 3 groups for the whole table). Algebraically identical
     // to the plain GROUP BY — which is exactly what the oracle checks —
@@ -639,9 +649,15 @@ object SparkEntry {
     // n-gram Jaccard on every candidate pair the banding surfaces
     // (rows-only: the sketch is not SQL-portable; the exact side is oracled
     // via q_dedup_ngram_jaccard). Error stats use exact integer sums of the
-    // 4-decimal errors, so the row is bit-deterministic.
+    // 4-decimal errors, so the row is bit-deterministic. Audited on the
+    // deterministic 50% hash-sample: a sketch-parameter audit needs a
+    // statistically sufficient sample, not the corpus — at 100 TB running
+    // it in full would double the cost of the dedup pass it validates.
     "q_minhash_est_error" -> q { (s, dir) =>
-      Dedup.sketchVsExactPairs(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.sketchVsExactPairs(
+        graft.ops.Sampling.bernoulliSample(
+          Tables.documents(s, dir), "doc_id", perMyriad = 5000),
+        "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 4, maxDocFreq = 20L)
         .select(round(abs(col("est_jaccard") - col("jaccard")), 4).as("err"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -1116,6 +1132,11 @@ object SparkEntry {
         |FROM (SELECT CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT)
         |        AS n_tokens FROM documents)
         |GROUP BY 1""".stripMargin,
+
+    "q_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber,
+        |  ${Layout.mortonZSql("l_partkey", "l_suppkey")} AS zval
+        |FROM lineitem""".stripMargin,
 
     "q_text_repetition" ->
       """SELECT doc_id,
