@@ -546,6 +546,31 @@ object SparkEntry {
         "doc_id", "text", n = 5, minShared = 3L, maxEvalDf = 10L)
     },
 
+    // Stream-static dimension enrichment (batch twin of
+    // EventsStreaming.enrichStream — the same function, same plan shape:
+    // broadcast dim, stream/fact side never shuffles for the join).
+    "q_events_enriched" -> q { (s, dir) =>
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.streaming.EventsStreaming.enrichStream(
+          Tables.events(s, dir), dim, Seq("user_id"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          exactSum(col("value"), 2).as("total_value"))
+    },
+
+    // Event-time interval join (batch twin of the watermarked stream-stream
+    // EventsStreaming.attributionJoin): views attributed to purchases of
+    // the same user within the trailing hour.
+    "q_event_attribution" -> q { (s, dir) =>
+      val e = Tables.events(s, dir)
+      graft.streaming.EventsStreaming.attributionJoin(
+          e.where(col("event_type") === "view"),
+          e.where(col("event_type") === "purchase"))
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_views"), max(col("view_ts")).as("last_view_ts"))
+    },
+
     // Z-order (Morton) clustering key over two join/filter dimensions —
     // the multi-dimensional layout primitive behind q_zorder-sorted writes
     // (Layout.writeSorted). Pure codegen'd shift/mask arithmetic, so the
@@ -1131,6 +1156,21 @@ object SparkEntry {
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM (SELECT CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT)
         |        AS n_tokens FROM documents)
+        |GROUP BY 1""".stripMargin,
+
+    "q_events_enriched" ->
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
+        |  sum(round(e.value * 100)) / 100.0 AS total_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_event_attribution" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_views,
+        |  max(v.ts) AS last_view_ts
+        |FROM events p JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        |  AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase'
         |GROUP BY 1""".stripMargin,
 
     "q_zorder_key" ->

@@ -59,6 +59,47 @@ object EventsStreaming {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-static dimension enrichment: every micro-batch joins against
+    * the broadcast static side — no streaming state, and the stream side
+    * never shuffles. The SAME function serves batch frames (the batch twin
+    * is oracled as `q_events_enriched`), which is the point: enrichment
+    * logic written once runs in both modes.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left_outer")
+
+  /** Watermarked stream-stream attribution join over the standard events
+    * schema (user_id, ts, event_id): each `purchases` event is matched to
+    * the `views` events of the same user within the trailing `horizon`.
+    *
+    * Both inputs carry watermarks and the join predicate bounds the
+    * event-time distance, so each side's join state is capped at
+    * (arrival rate × (horizon + watermark delay)) rows — the condition
+    * Spark needs to evict state; an unbounded stream-stream join is the
+    * canonical streaming OOM. On batch frames `withWatermark` is a no-op
+    * and this is a plain interval join (batch twin oracled as
+    * `q_event_attribution`).
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermarkDelay)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    p.join(v,
+      col("v_user") === col("p_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") > col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("purchase_ts"), col("p_user").as("user_id"),
+        col("view_id"), col("view_ts"))
+  }
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SessionOut(user_id: Long, n_events: Long, start: java.sql.Timestamp,
       end: java.sql.Timestamp)

@@ -150,6 +150,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: dim attributes joined per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val dim = Seq((7L, "GOLD"), (8L, "SILVER")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Long, Double)]
+    val enriched = EventsStreaming.enrichStream(
+      input.toDS().toDF("event_id", "user_id", "value"), dim, Seq("user_id"))
+    val dir = java.nio.file.Files.createTempDirectory("enrich").toString
+    val q = enriched.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("enrich_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      input.addData((1L, 7L, 1.0), (2L, 9L, 2.0))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .select("event_id", "tier").as[(Long, Option[String])].collect().toMap
+      assert(out(1L).contains("GOLD"))
+      assert(out(2L).isEmpty, "unmatched user keeps a null dim attribute")
+    } finally q.stop()
+  }
+
+  test("stream-stream attribution join matches the batch twin semantics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val t = java.sql.Timestamp.valueOf(_: String)
+    val views = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    def named(s: MemoryStream[(Long, java.sql.Timestamp, Long)]) =
+      s.toDS().toDF("event_id", "ts", "user_id")
+    val joined = EventsStreaming.attributionJoin(named(views), named(purchases))
+    val dir = java.nio.file.Files.createTempDirectory("attr").toString
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("attr_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      views.addData(
+        (10L, t("2024-01-01 09:30:00"), 7L),  // in horizon
+        (11L, t("2024-01-01 08:30:00"), 7L),  // too old (>1h before)
+        (12L, t("2024-01-01 09:45:00"), 8L))  // other user
+      purchases.addData((20L, t("2024-01-01 10:00:00"), 7L))
+      q.processAllAvailable()
+      val out = spark.table("attr_out")
+        .select("purchase_id", "view_id").as[(Long, Long)].collect().toSet
+      assert(out == Set((20L, 10L)),
+        s"only the same-user in-horizon view attributes, got $out")
+    } finally q.stop()
+  }
+
   test("availableNow file stream: hourly windowed aggregation over events") {
     // stream from a µs-timestamp copy of the events table (the streaming
     // parquet reader has no nanosAsLong shim)
