@@ -37,11 +37,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.litInt(es(1), "planes"),
         GraftExtensions.litInt(es(2), "dim"),
         if (es.size > 3) GraftExtensions.litLong(es(3), "seed") else 42L)))
+    // morton_z(a, b) — Z-order clustering key; expands to the same
+    // shift/mask expression tree as graft.ops.Layout.mortonZ (composed
+    // builtins, fully codegen'd — no custom Expression needed)
+    e.injectFunction((new FunctionIdentifier("morton_z"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "morton_z"),
+      (es: Seq[Expression]) => GraftExtensions.mortonZExpr(es(0), es(1))))
   }
 }
 
 object GraftExtensions {
-  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Literal, ShiftLeft}
+  import org.apache.spark.sql.types.LongType
+
+  /** Catalyst twin of [[graft.ops.Layout.mortonZ]] for the SQL function
+    * registry (a Column built outside an analyzer run cannot be re-used as
+    * a function-builder result — the tree must be native Expressions).
+    */
+  private[graft] def mortonZExpr(a: Expression, b: Expression): Expression = {
+    def spread(x: Expression): Expression = {
+      val steps = Seq(
+        16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+        4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+        1 -> 0x5555555555555555L)
+      val base = BitwiseAnd(Cast(x, LongType), Literal(0xFFFFFFFFL))
+      steps.foldLeft(base: Expression) { case (c, (sh, m)) =>
+        BitwiseAnd(BitwiseOr(c, ShiftLeft(c, Literal(sh))), Literal(m))
+      }
+    }
+    BitwiseOr(spread(a), ShiftLeft(spread(b), Literal(1)))
+  }
 
   private[graft] def litInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v

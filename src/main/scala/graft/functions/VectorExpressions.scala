@@ -331,5 +331,7 @@ object VectorFunctions {
         graft.GraftExtensions.litInt(es(2), "dim"),
         if (es.size > 3) graft.GraftExtensions.litLong(es(3), "seed") else 42L),
       "scala_udf")
+    reg.createOrReplaceTempFunction("morton_z",
+      es => graft.GraftExtensions.mortonZExpr(es(0), es(1)), "scala_udf")
   }
 }

@@ -36,6 +36,17 @@ class LayoutSpec extends SparkSpec {
     assert(sqlGot == exp)
   }
 
+  test("SQL registration: morton_z matches the Column API") {
+    graft.functions.VectorFunctions.register(spark)
+    val df = Seq((3L, 1L), (123L, 456L)).toDF("a", "b")
+    df.createOrReplaceTempView("mz_v")
+    val viaSql = spark.sql("SELECT morton_z(a, b) AS z FROM mz_v")
+      .as[Long].collect().toSeq
+    val viaApi = df.select(Layout.mortonZ(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    assert(viaSql == viaApi)
+  }
+
   test("writeSorted: non-overlapping per-file ranges for min/max pruning") {
     val dir = tmpDir() + "/sorted"
     val df = (0 until 1000).map(i => (i * 7919 % 1000, s"row$i"))
