@@ -535,6 +535,30 @@ object SparkEntry {
           col("score"))
     },
 
+    // Sequence packing: documents → 2048-token training bins across 32
+    // independent packing streams (per-bucket running-sum window; integer
+    // arithmetic reproducible in DuckDB row for row).
+    "q_pack_sequences" -> q { (s, dir) =>
+      graft.ops.Sampling.packSequences(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 2048L, buckets = 32)
+        .select("doc_id", "n_tokens", "pack_bucket", "pack_bin", "bin_offset")
+    },
+
+    // Canonicalization: one survivor per near-dup cluster, keeping the
+    // LONGEST copy (n_chars desc, doc_id tiebreak) — policy-based pick,
+    // not merely min-id; singletons pass through.
+    "q_dedup_canonical" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDocFreq = 20L)
+      Dedup.keepCanonical(docs, "doc_id", pairs, "id_a", "id_b",
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select("doc_id", "source", "n_chars")
+    },
+
     // Train/eval decontamination: eval split = doc_id % 20 == 0, corpus =
     // the rest; flag corpus docs sharing ≥3 distinct 5-gram shingles with
     // any eval doc (eval-side df cap 10 bounds the join fan-out).
@@ -1233,6 +1257,40 @@ object SparkEntry {
         |            FROM documents)
         |      GROUP BY 1, 2)))
         |WHERE rk <= 10""".stripMargin,
+
+    "q_pack_sequences" ->
+      """SELECT doc_id, n_tokens, pack_bucket,
+        |  (cum - n_tokens) // 2048 AS pack_bin,
+        |  (cum - n_tokens) - ((cum - n_tokens) // 2048) * 2048 AS bin_offset
+        |FROM (
+        |  SELECT doc_id, n_tokens, pack_bucket,
+        |    sum(n_tokens) OVER (PARTITION BY pack_bucket
+        |      ORDER BY n_tokens DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (SELECT doc_id,
+        |          CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens,
+        |          doc_id % 32 AS pack_bucket
+        |        FROM documents))""".stripMargin,
+
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT reach.id, x.dst FROM reach JOIN edges x ON reach.r = x.src),
+        |labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id),
+        |grouped AS (
+        |  SELECT d.doc_id, d.source, d.n_chars,
+        |    coalesce(l.label, d.doc_id) AS grp
+        |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+        |SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY grp
+        |                       ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM grouped)
+        |WHERE rk = 1""".stripMargin,
 
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents),

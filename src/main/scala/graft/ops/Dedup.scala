@@ -428,6 +428,32 @@ object Dedup {
       .join(agg.select(col("doc_id"), sig.as("simhash")), Seq("doc_id"), "left_outer")
   }
 
+  /** Canonicalization: given near-duplicate pairs, keep exactly ONE
+    * document per duplicate cluster chosen by an explicit preference order
+    * (e.g. longest copy first), not merely the smallest id — the curation
+    * policy step after pair generation. Non-duplicate documents pass
+    * through untouched (each is its own singleton group).
+    *
+    * Scale shape: connected components label only the documents that
+    * appear in a pair (a vanishing fraction of the corpus under a df cap),
+    * the label join is a shuffled equi-join on the id, and the pick is one
+    * `row_number` window per cluster — WindowGroupLimit keeps a single row
+    * per group per task before the exchange.
+    */
+  def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, preference: Seq[Column]): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val labeled = docs.join(labels, Seq(idCol), "left_outer")
+      .withColumn("__grp", coalesce(col("label"), col(idCol)))
+    val w = Window.partitionBy(col("__grp"))
+      .orderBy(preference: _*)
+    labeled
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__rk", "__grp", "label")
+  }
+
   /** Train/eval decontamination: flag corpus documents that share at least
     * `minShared` distinct n-gram shingles with any held-out evaluation
     * document — the standard benchmark-leakage sweep run before training.

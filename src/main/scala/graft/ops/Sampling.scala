@@ -79,4 +79,38 @@ object Sampling {
     * no floating log2, whose rounding differs across libm builds.
     */
   def pow2Bucket(count: Column): Column = length(bin(count))
+
+  /** Sequence packing: assign documents to fixed token-budget bins — the
+    * sample-packing step that turns a curated corpus into dense training
+    * sequences. Two-level and fully deterministic:
+    *
+    *  1. each document lands in one of `buckets` independent packing
+    *     streams by key arithmetic (`id % buckets`) — the distribution
+    *     unit, so packing parallelizes without a global order;
+    *  2. within a bucket, documents are laid end-to-end in (length desc,
+    *     id) order by a running-sum window; a document's bin is the
+    *     budget-quotient of its start offset.
+    *
+    * A single global-order cumsum would serialize on one partition — the
+    * per-bucket formulation is the scalable shape (one window shuffle on
+    * the bucket key), and its integer arithmetic is reproducible on any
+    * engine. Documents longer than the budget start a bin at their offset
+    * (first-fit-by-running-sum semantics).
+    *
+    * @return input plus (pack_bucket, pack_bin, bin_offset).
+    */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+      budget: Long, buckets: Int = 32): DataFrame = {
+    require(budget > 0 && buckets > 0, "budget and buckets must be positive")
+    val w = Window.partitionBy(col("pack_bucket"))
+      .orderBy(col(nTokensCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("pack_bucket", col(idCol) % buckets)
+      .withColumn("__start", sum(col(nTokensCol)).over(w) - col(nTokensCol))
+      // start offsets stay far below 2^53, so the double division is exact
+      // enough to truncate to the true quotient on every engine
+      .withColumn("pack_bin", (col("__start") / budget).cast("long"))
+      .withColumn("bin_offset", col("__start") - col("pack_bin") * budget)
+      .drop("__start")
+  }
 }

@@ -289,6 +289,25 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class CanonicalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keepCanonical: longest copy survives per cluster, singletons pass") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 44L),
+      (2L, "the quick brown fox jumps over the lazy dog extended", 52L), // near-dup of 1, longer
+      (3L, "completely different content about spark engines and scale", 59L))
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5, maxDocFreq = 10L)
+    assert(pairs.count() == 1, "fixture must produce exactly the (1,2) pair")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs, "id_a", "id_b",
+        Seq(col("n_chars").desc, col("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), s"longest of the cluster + the singleton, got $kept")
+  }
+}
+
 class DecontaminateSpec extends SparkSpec {
   import spark.implicits._
 

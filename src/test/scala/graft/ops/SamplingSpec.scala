@@ -62,4 +62,26 @@ class SamplingSpec extends SparkSpec {
       .select(Sampling.pow2Bucket($"n").as("b")).collect().map(_.getInt(0))
     assert(got.sameElements(Array(1, 1, 2, 2, 3, 3, 4, 10, 11)))
   }
+
+  test("packSequences: running-sum bins, offsets, bucket independence") {
+    // one bucket (ids all ≡ 0 mod 1): lengths desc → 60, 50, 40, 30
+    val df = Seq((10L, 60L), (11L, 50L), (12L, 40L), (13L, 30L))
+      .toDF("doc_id", "n_tokens")
+    val out = Sampling.packSequences(df, "doc_id", "n_tokens",
+        budget = 100L, buckets = 1)
+      .select("doc_id", "pack_bin", "bin_offset")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // starts: 60→0, 50→60, 40→110, 30→150
+    assert(out(10L) == ((0L, 0L)))
+    assert(out(11L) == ((0L, 60L)))
+    assert(out(12L) == ((1L, 10L)))
+    assert(out(13L) == ((1L, 50L)))
+    // two buckets: odd/even ids pack independently, each starting at bin 0
+    val out2 = Sampling.packSequences(df, "doc_id", "n_tokens",
+        budget = 100L, buckets = 2)
+      .select("doc_id", "pack_bucket", "pack_bin", "bin_offset")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out2(10L) == ((0L, 0L, 0L)) && out2(12L) == ((0L, 0L, 60L)))
+    assert(out2(11L) == ((1L, 0L, 0L)) && out2(13L) == ((1L, 0L, 50L)))
+  }
 }
