@@ -62,4 +62,32 @@ class PlanAuditSpec extends SparkSpec {
         s"$n: expected exactly one hash exchange feeding the window, got $exchanges:\n$p")
     }
   }
+
+  test("q_doc_chunks / q_text_repetition / q_pii_redact / q_zorder_key: shuffle-free narrow plans") {
+    Seq("q_doc_chunks", "q_text_repetition", "q_pii_redact", "q_zorder_key")
+      .foreach { n =>
+        val p = plan(n)
+        assert(!p.contains("Exchange"),
+          s"$n must be a narrow projection (no shuffle):\n$p")
+      }
+  }
+
+  test("q_decontaminate: pruned eval index broadcast — corpus side never shuffles for the join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval index not broadcast:\n$p")
+  }
+
+  test("q_term_weights / q_domain_quota: rank pushed below the exchange (WindowGroupLimit)") {
+    Seq("q_term_weights", "q_domain_quota").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("WindowGroupLimit"),
+        s"$n: rank-cap not pushed below the exchange:\n$p")
+    }
+  }
+
+  test("q_events_enriched: dim broadcast — fact side never shuffles for the join") {
+    val p = plan("q_events_enriched")
+    assert(p.contains("BroadcastHashJoin"), s"dim not broadcast:\n$p")
+  }
 }

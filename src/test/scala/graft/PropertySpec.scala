@@ -114,4 +114,69 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected.toMap, s"sessions=$got expected=$expected")
   }
+
+  test("mortonZ matches a bit-by-bit reference on random 32-bit pairs") {
+    def ref(a: Long, b: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+      }
+    val gen = Gen.listOfN(500,
+      Gen.zip(Gen.chooseNum(0L, 0xFFFFFFFFL), Gen.chooseNum(0L, 0xFFFFFFFFL)))
+    val pairs = sample(gen, 7L)
+    val got = pairs.toDF("a", "b")
+      .select(graft.ops.Layout.mortonZ(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == pairs.map { case (a, b) => ref(a, b) },
+      "mortonZ diverged from the bit-by-bit reference")
+  }
+
+  test("packSequences invariants: offsets in [0, budget), bins contiguous per bucket") {
+    val gen = Gen.listOfN(200,
+      Gen.zip(Gen.chooseNum(0L, 100000L), Gen.chooseNum(1L, 900L)))
+    (1 to 5).foreach { seed =>
+      val docs = sample(gen, seed.toLong).distinctBy(_._1)
+      val budget = 1000L
+      val out = graft.ops.Sampling.packSequences(
+          docs.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens",
+          budget = budget, buckets = 8)
+        .select("pack_bucket", "pack_bin", "bin_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.forall { case (_, _, off) => off >= 0 && off < budget },
+        s"seed=$seed: offset outside [0, budget)")
+      // bins within a bucket are contiguous from 0 (no empty bin is ever
+      // created: a bin index appears only when a document starts in it;
+      // gaps would mean lost capacity accounting)
+      out.groupBy(_._1).foreach { case (bkt, rows) =>
+        val bins = rows.map(_._2).distinct.sorted.toSeq
+        assert(bins == (0L until bins.size.toLong),
+          s"seed=$seed bucket=$bkt: non-contiguous bins $bins")
+      }
+    }
+  }
+
+  test("keepCanonical: exactly one survivor per component, singletons untouched") {
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L)))
+      .map(_.filter { case (a, b) => a != b })
+    (1 to 5).foreach { seed =>
+      val edges = sample(edgeGen, seed.toLong)
+      val docs = (0L to 40L).map(i => (i, i * 13 % 37)).toDF("doc_id", "w")
+      if (edges.nonEmpty) {
+        val pairs = edges.toDF("id_a", "id_b")
+        val kept = graft.ops.Dedup.keepCanonical(docs, "doc_id", pairs,
+            "id_a", "id_b", Seq(col("w").desc, col("doc_id")))
+          .select("doc_id").as[Long].collect().toSet
+        // driver-side union-find for expected component structure
+        val parent = scala.collection.mutable.Map((0L to 40L).map(i => i -> i): _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        val comps = (0L to 40L).groupBy(find)
+        comps.foreach { case (_, members) =>
+          assert(members.count(kept) == 1,
+            s"seed=$seed: component $members kept ${members.filter(kept)}")
+        }
+      }
+    }
+  }
 }
