@@ -570,6 +570,28 @@ object SparkEntry {
         "doc_id", "text", n = 5, minShared = 3L, maxEvalDf = 10L)
     },
 
+    // CDC compaction: latest state per (user_id, event_type) from the
+    // append-only events log — SCD-1 merge-on-read semantics, one shuffle,
+    // rank-1 predicate pushed below the exchange (WindowGroupLimit).
+    "q_upsert_latest" -> q { (s, dir) =>
+      graft.ops.Upsert.latestByKey(Tables.events(s, dir),
+          Seq("user_id", "event_type"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"), col("ts").as("last_ts"),
+          col("value").as("last_value"))
+    },
+
+    // Exact global rank WITHOUT the single-partition global-window trap:
+    // range repartition + in-partition sort + zipWithIndex offsets. The
+    // oracle checks the ids equal row_number() over the same total order.
+    "q_global_rank" -> q { (s, dir) =>
+      graft.ops.Ids.globalRank(
+          Tables.documents(s, dir).select("doc_id", "n_chars"),
+          Seq("n_chars", "doc_id"))
+        .select("doc_id", "n_chars", "rid")
+    },
+
     // Stream-static dimension enrichment (batch twin of
     // EventsStreaming.enrichStream — the same function, same plan shape:
     // broadcast dim, stream/fact side never shuffles for the join).
@@ -1181,6 +1203,19 @@ object SparkEntry {
         |FROM (SELECT CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT)
         |        AS n_tokens FROM documents)
         |GROUP BY 1""".stripMargin,
+
+    "q_upsert_latest" ->
+      """SELECT user_id, event_type, event_id AS last_event_id,
+        |  ts AS last_ts, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rk
+        |      FROM events)
+        |WHERE rk = 1""".stripMargin,
+
+    "q_global_rank" ->
+      """SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rid
+        |FROM documents""".stripMargin,
 
     "q_events_enriched" ->
       """SELECT c.c_mktsegment, e.event_type, count(*) AS n_events,
