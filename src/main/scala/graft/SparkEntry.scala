@@ -570,6 +570,28 @@ object SparkEntry {
         "doc_id", "text", n = 5, minShared = 3L, maxEvalDf = 10L)
     },
 
+    // Time-series regularization: per-symbol daily spine + LOCF gap-fill
+    // over the derived bars (the market-data forward-fill; the spine is
+    // generated per key from its own range — no driver-side calendar).
+    "q_resample_locf" -> q { (s, dir) =>
+      graft.ops.Resample.resampleDailyLocf(
+          StockBars.fromLineitem(s, dir)
+            .select("symbol", "trade_date", "close", "volume"),
+          "symbol", "trade_date", Seq("close", "volume"))
+        .select("symbol", "trade_date", "close", "volume", "is_observed")
+    },
+
+    // Wide→long reshape (melt): the inverse of q_pivot_events, via the
+    // native unpivot operator (a Generate — narrow, shuffle-free).
+    "q_unpivot_bars" -> q { (s, dir) =>
+      StockBars.fromLineitem(s, dir)
+        .select("symbol", "trade_date", "low", "high", "close")
+        .unpivot(
+          Array(col("symbol"), col("trade_date")),
+          Array(col("low"), col("high"), col("close")),
+          "metric", "value")
+    },
+
     // CDC compaction: latest state per (user_id, event_type) from the
     // append-only events log — SCD-1 merge-on-read semantics, one shuffle,
     // rank-1 predicate pushed below the exchange (WindowGroupLimit).
@@ -1203,6 +1225,39 @@ object SparkEntry {
         |FROM (SELECT CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT)
         |        AS n_tokens FROM documents)
         |GROUP BY 1""".stripMargin,
+
+    "q_resample_locf" ->
+      """WITH bars AS (
+        |  SELECT 'S' || l_suppkey AS symbol, CAST(l_shipdate AS DATE) AS trade_date,
+        |    sum(round(l_extendedprice * 100)) / 100.0 / count(*) AS close,
+        |    CAST(sum(l_quantity) AS BIGINT) AS volume
+        |  FROM lineitem GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT symbol,
+        |    unnest(generate_series(min(trade_date), max(trade_date), INTERVAL 1 DAY)) AS dd
+        |  FROM bars GROUP BY symbol),
+        |joined AS (
+        |  SELECT s.symbol, CAST(s.dd AS DATE) AS trade_date, b.close, b.volume,
+        |    (b.close IS NOT NULL OR b.volume IS NOT NULL) AS is_observed
+        |  FROM spine s LEFT JOIN bars b
+        |    ON b.symbol = s.symbol AND b.trade_date = CAST(s.dd AS DATE))
+        |SELECT symbol, trade_date,
+        |  last_value(close IGNORE NULLS) OVER (PARTITION BY symbol
+        |    ORDER BY trade_date ROWS UNBOUNDED PRECEDING) AS close,
+        |  last_value(volume IGNORE NULLS) OVER (PARTITION BY symbol
+        |    ORDER BY trade_date ROWS UNBOUNDED PRECEDING) AS volume,
+        |  is_observed
+        |FROM joined""".stripMargin,
+
+    "q_unpivot_bars" ->
+      """WITH bars AS (
+        |  SELECT 'S' || l_suppkey AS symbol, CAST(l_shipdate AS DATE) AS trade_date,
+        |    min(l_extendedprice) AS low, max(l_extendedprice) AS high,
+        |    sum(round(l_extendedprice * 100)) / 100.0 / count(*) AS close
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT symbol, trade_date, 'low' AS metric, low AS value FROM bars
+        |UNION ALL SELECT symbol, trade_date, 'high', high FROM bars
+        |UNION ALL SELECT symbol, trade_date, 'close', close FROM bars""".stripMargin,
 
     "q_upsert_latest" ->
       """SELECT user_id, event_type, event_id AS last_event_id,
