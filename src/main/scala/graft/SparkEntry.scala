@@ -392,6 +392,19 @@ object SparkEntry {
         "user_id", "ts", "event_id", gapSeconds = 86400L)
     },
 
+    // Native session windows (the built-in operator; complements the
+    // custom stateful streaming sessionization). Spark merge rule: an
+    // event extends the session iff its gap to the previous event is
+    // STRICTLY less than the gap duration — the oracle mirrors the >=
+    // split edge exactly.
+    "q_session_windows" -> q { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "24 hours").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+    },
+
     // Sliding event-time windows (2 h size, 1 h slide) — the streaming
     // window shape run as a batch query; each event lands in exactly two
     // windows, which the oracle mirrors as a two-branch union.
@@ -1147,6 +1160,21 @@ object SparkEntry {
         |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |          FROM events)))
         |GROUP BY user_id""".stripMargin,
+
+    "q_session_windows" ->
+      """SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 24 HOURS AS session_end, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts, sum(is_new) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 24 HOURS
+        |           THEN 1 ELSE 0 END AS is_new
+        |    FROM (SELECT user_id, ts, event_id,
+        |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |          FROM events)))
+        |GROUP BY user_id, session_seq""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,
