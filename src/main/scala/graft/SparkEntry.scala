@@ -605,6 +605,26 @@ object SparkEntry {
           "metric", "value")
     },
 
+    // Multimodal metadata ops are decode-free arithmetic → fully
+    // oracle-able (unlike the stubbed byte decode, which is rows-only).
+    // Resize planning never touches the binary column.
+    "q_multimodal_resize" -> q { (s, dir) =>
+      Multimodal.planResize(
+          Multimodal.fixtureFromDocuments(Tables.documents(s, dir)), 512)
+        .select(col("media_id"), col("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("resize_plan.target_width").as("target_width"),
+          col("resize_plan.target_height").as("target_height"),
+          col("resize_plan.needs_resize").as("needs_resize"))
+    },
+
+    // Frame-sampling plan: one row per sampled frame index, bytes never
+    // exploded across frame rows.
+    "q_frame_plan" -> q { (s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.fixtureFromDocuments(Tables.documents(s, dir)), everyNth = 5)
+    },
+
     // CDC compaction: latest state per (user_id, event_type) from the
     // append-only events log — SCD-1 merge-on-read semantics, one shuffle,
     // rank-1 predicate pushed below the exchange (WindowGroupLimit).
@@ -1253,6 +1273,27 @@ object SparkEntry {
         |FROM (SELECT CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT)
         |        AS n_tokens FROM documents)
         |GROUP BY 1""".stripMargin,
+
+    "q_multimodal_resize" ->
+      """SELECT media_id, kind, width, height,
+        |  CAST(round(width * scale) AS INT) AS target_width,
+        |  CAST(round(height * scale) AS INT) AS target_height,
+        |  scale < 1.0 AS needs_resize
+        |FROM (
+        |  SELECT media_id, kind, width, height,
+        |    least(1.0, 512.0 / CAST(greatest(width, height) AS DOUBLE)) AS scale
+        |  FROM (
+        |    SELECT doc_id AS media_id,
+        |      CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |           ELSE 'video' END AS kind,
+        |      CAST(n_chars % 1024 + 64 AS INT) AS width,
+        |      CAST(n_chars % 768 + 64 AS INT) AS height
+        |    FROM documents))""".stripMargin,
+
+    "q_frame_plan" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(unnest(generate_series(0, doc_id % 30, 5)) AS INT) AS frame_idx
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
 
     "q_resample_locf" ->
       """WITH bars AS (
