@@ -392,6 +392,36 @@ object SparkEntry {
         "user_id", "ts", "event_id", gapSeconds = 86400L)
     },
 
+    // Multi-level aggregation lattice: CUBE over (returnflag, linestatus)
+    // with grouping_id distinguishing the subtotal levels — exact integer
+    // measures only (float sums across grouping levels would re-order).
+    "q_cube_revenue" -> q { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).cast(LongType).as("total_qty"),
+          grouping_id().as("gid"))
+    },
+
+    // Time-RANGE window frame: trailing 7-day totals per symbol over the
+    // IRREGULAR daily bar series (range frame on epoch days — rows-frames
+    // cannot express calendar windows over sparse dates). Exact integer
+    // measures: a range frame's summation order differs across engines,
+    // so float sums would diverge in the last ulp.
+    "q_rolling_7d" -> q { (s, dir) =>
+      val bars = StockBars.fromLineitem(s, dir)
+        .select(col("symbol"), col("trade_date"),
+          datediff(col("trade_date"), lit("1970-01-01").cast(DateType))
+            .cast(LongType).as("d_epoch"),
+          col("volume"), col("n_trades"))
+      val w = Window.partitionBy(col("symbol")).orderBy(col("d_epoch"))
+        .rangeBetween(-6, 0)
+      bars.select(col("symbol"), col("trade_date"),
+        sum(col("volume")).over(w).as("vol_7d"),
+        sum(col("n_trades")).over(w).as("trades_7d"),
+        count(lit(1)).over(w).as("days_observed_7d"))
+    },
+
     // Native session windows (the built-in operator; complements the
     // custom stateful streaming sessionization). Spark merge rule: an
     // event extends the session iff its gap to the previous event is
@@ -1180,6 +1210,29 @@ object SparkEntry {
         |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |          FROM events)))
         |GROUP BY user_id""".stripMargin,
+
+    "q_cube_revenue" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_rolling_7d" ->
+      """WITH bars AS (
+        |  SELECT 'S' || l_suppkey AS symbol, CAST(l_shipdate AS DATE) AS trade_date,
+        |    CAST(sum(l_quantity) AS BIGINT) AS volume, count(*) AS n_trades
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT symbol, trade_date,
+        |  sum(volume) OVER w AS vol_7d,
+        |  sum(n_trades) OVER w AS trades_7d,
+        |  count(*) OVER w AS days_observed_7d
+        |FROM (SELECT symbol, trade_date,
+        |        CAST(trade_date - DATE '1970-01-01' AS BIGINT) AS d_epoch,
+        |        volume, n_trades
+        |      FROM bars)
+        |WINDOW w AS (PARTITION BY symbol ORDER BY d_epoch
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_session_windows" ->
       """SELECT user_id, min(ts) AS session_start,
