@@ -667,6 +667,25 @@ object SparkEntry {
           col("value").as("last_value"))
     },
 
+    // SCD-2 historization: each update becomes a validity interval
+    // [valid_from, valid_to) with the open current row flagged — the
+    // history-table twin of q_upsert_latest's compaction (same single
+    // shuffle, lead() instead of a rank filter).
+    "q_scd2_history" -> q { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val nextTs = lead(col("ts"), 1).over(w)
+      // open intervals use the conventional 9999-12-31 sentinel, NOT null:
+      // a null timestamp compares as NaT != NaT under the oracle gate's
+      // cell comparison (NaN-like semantics)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), col("ts").as("valid_from"),
+          coalesce(nextTs, lit("9999-12-31 00:00:00").cast(TimestampType))
+            .as("valid_to"),
+          nextTs.isNull.as("is_current"))
+    },
+
     // Exact global rank WITHOUT the single-partition global-window trap:
     // range repartition + in-partition sort + zipWithIndex offsets. The
     // oracle checks the ids equal row_number() over the same total order.
@@ -1388,6 +1407,16 @@ object SparkEntry {
         |        ORDER BY ts DESC, event_id DESC) AS rk
         |      FROM events)
         |WHERE rk = 1""".stripMargin,
+
+    "q_scd2_history" ->
+      """SELECT user_id, event_type, event_id, value,
+        |  ts AS valid_from,
+        |  coalesce(lead(ts) OVER (PARTITION BY user_id, event_type
+        |                          ORDER BY ts, event_id),
+        |           TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id, event_type
+        |                 ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events""".stripMargin,
 
     "q_global_rank" ->
       """SELECT doc_id, n_chars,
