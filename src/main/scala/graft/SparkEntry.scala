@@ -458,6 +458,22 @@ object SparkEntry {
           countDistinct(col("l_orderkey")).as("exact_orders"))
     },
 
+    // Approximate percentiles (Greenwald-Khanna sketch, mergeable across
+    // partitions — the quantile path when exact sorting of 100 TB is off
+    // the table) side by side with the exact values. Rows-only: sketch
+    // outputs are engine-specific; the spec bounds the rank error.
+    "q_approx_percentiles" -> q { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(10000)).as("approx_p"),
+          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("exact_p"))
+        .select(col("l_returnflag"),
+          col("approx_p")(0).as("approx_p50"), col("approx_p")(1).as("approx_p95"),
+          col("exact_p")(0).as("exact_p50"), col("exact_p")(1).as("exact_p95"))
+    },
+
     // ---- text analysis (LLM-pipeline extensions) ----
 
     "q_text_tokens" -> q { (s, dir) =>

@@ -100,6 +100,48 @@ object EventsStreaming {
         col("view_id"), col("view_ts"))
   }
 
+  /** Incremental materialized view: maintain a latest-state-per-key table
+    * under a continuous update stream with `foreachBatch` +
+    * [[graft.ops.Upsert.merge]] — each micro-batch is first compacted to
+    * one row per key (tiny), then merged into the base table.
+    *
+    * This is the standard no-table-format formulation of streaming upsert:
+    * the expensive side (the base) is rewritten once per batch, the stream
+    * side never accumulates state in the store. Exactly-once comes from
+    * the sink's overwrite idempotence plus checkpointed batch ids (a
+    * replayed batch merges to the same result — merge is idempotent for
+    * identical input).
+    *
+    * @return the running StreamingQuery; callers own stop().
+    */
+  def maintainLatestState(updates: DataFrame, tablePath: String,
+      checkpoint: String, keys: Seq[String],
+      recency: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val target = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = target.getFileSystem(hconf)
+        val compacted = graft.ops.Upsert.latestByKey(batch.toDF(), keys, recency)
+        val merged =
+          if (fs.exists(target)) {
+            val base = spark.read.parquet(tablePath)
+            graft.ops.Upsert.merge(base, compacted, keys, recency)
+          } else compacted
+        // write-new-then-swap, never read-and-overwrite in place (the
+        // distributed write would race its own input); rename is atomic
+        // on HDFS, metadata-only with a rename-capable committer
+        val tmp = new org.apache.hadoop.fs.Path(tablePath + "_next")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(target, true)
+        fs.rename(tmp, target)
+        ()
+      }
+      .start()
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SessionOut(user_id: Long, n_events: Long, start: java.sql.Timestamp,
       end: java.sql.Timestamp)

@@ -10,6 +10,19 @@ class SketchSpec extends SparkSpec {
       s"64-perm sketch mean error too high: $r")
   }
 
+  test("approx percentiles stay within 1% of the exact values") {
+    val rows = SparkEntry.queries("q_approx_percentiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(("approx_p50", "exact_p50"), ("approx_p95", "exact_p95")).foreach {
+        case (a, e) =>
+          val (approx, exact) = (r.getAs[Double](a), r.getAs[Double](e))
+          val err = math.abs(approx - exact) / exact
+          assert(err < 0.01, s"GK sketch off by ${err * 100}%: $approx vs $exact")
+      }
+    }
+  }
+
   test("approx_count_distinct stays within 10% of the exact count") {
     val rows = SparkEntry.queries("q_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)

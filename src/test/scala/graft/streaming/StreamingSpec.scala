@@ -208,6 +208,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental upsert maintains latest-state table across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val t = java.sql.Timestamp.valueOf(_: String)
+    val dir = java.nio.file.Files.createTempDirectory("mview").toString
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Double)]
+    val q = EventsStreaming.maintainLatestState(
+      input.toDS().toDF("event_id", "key", "ts", "value"),
+      s"$dir/state", s"$dir/ckpt", Seq("key"),
+      Seq(col("ts").desc, col("event_id").desc))
+    try {
+      input.addData(
+        (1L, "k1", t("2024-01-01 10:00:00"), 1.0),
+        (2L, "k1", t("2024-01-01 11:00:00"), 2.0), // in-batch compaction
+        (3L, "k2", t("2024-01-01 10:00:00"), 3.0))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(s"$dir/state")
+        .select("key", "value").as[(String, Double)].collect().toMap
+      assert(s1 == Map("k1" -> 2.0, "k2" -> 3.0))
+      // batch 2: update k1, add k3 — k2 must survive the merge untouched
+      input.addData(
+        (4L, "k1", t("2024-01-01 12:00:00"), 9.0),
+        (5L, "k3", t("2024-01-01 10:00:00"), 7.0))
+      q.processAllAvailable()
+      val s2 = spark.read.parquet(s"$dir/state")
+        .select("key", "value").as[(String, Double)].collect().toMap
+      assert(s2 == Map("k1" -> 9.0, "k2" -> 3.0, "k3" -> 7.0))
+    } finally q.stop()
+  }
+
   test("availableNow file stream: hourly windowed aggregation over events") {
     // stream from a µs-timestamp copy of the events table (the streaming
     // parquet reader has no nanosAsLong shim)
