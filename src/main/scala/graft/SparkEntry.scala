@@ -528,6 +528,14 @@ object SparkEntry {
         .limit(50)
     },
 
+    // Entity resolution: fuzzy candidate matches over the distinct part
+    // names — first-token blocking turns the O(n²) edit-distance sweep
+    // into an in-block equi-join; levenshtein only runs inside blocks.
+    "q_fuzzy_match" -> q { (s, dir) =>
+      graft.ops.Fuzzy.blockedMatches(Tables.part(s, dir), "p_name",
+        graft.ops.Fuzzy.firstTokenBlock, maxDistance = 3)
+    },
+
     // Gopher-style repetition quality signal: duplicate-token fraction per
     // document — a shuffle-free narrow projection (no explode, no agg).
     "q_text_repetition" -> q { (s, dir) =>
@@ -1458,6 +1466,16 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber,
         |  ${Layout.mortonZSql("l_partkey", "l_suppkey")} AS zval
         |FROM lineitem""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 1) AS block
+        |  FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS distance
+        |FROM names a JOIN names b
+        |  ON a.block = b.block AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 3""".stripMargin,
 
     "q_text_repetition" ->
       """SELECT doc_id,

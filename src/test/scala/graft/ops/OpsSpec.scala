@@ -289,6 +289,26 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("blockedMatches: in-block near-names found, cross-block pairs never compared") {
+    val df = Seq("red bolt", "red bolts", "red widget", "blue bolt", "blue bolt")
+      .toDF("name")
+    val got = Fuzzy.blockedMatches(df, "name", Fuzzy.firstTokenBlock, 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(("red bolt", "red bolts", 1)),
+      s"expected only the in-block near-pair, got $got")
+    // "red bolt" vs "blue bolt" is distance 3 but must not even be
+    // compared (different blocks); distance 2 cap excludes widget
+  }
+
+  test("blockedMatches: duplicates collapse before pairing") {
+    val df = Seq("blue bolt", "blue bolt", "blue bolt").toDF("name")
+    assert(Fuzzy.blockedMatches(df, "name", Fuzzy.firstTokenBlock, 5).count() == 0)
+  }
+}
+
 class CanonicalSpec extends SparkSpec {
   import spark.implicits._
 
