@@ -1005,6 +1005,47 @@ object SparkEntry {
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
           element_at(col("features"), 1).as("f0"))
+    },
+
+    // Full ranking-function surface. Two window specs on purpose:
+    // rank/dense_rank/percent_rank/cume_dist depend only on the ORDER key
+    // VALUES, so they are deterministic under ties and must use the
+    // natural (non-unique) ordering to actually exercise tie handling;
+    // row_number/ntile depend on row POSITION, so they get the
+    // tie-broken unique ordering or the result differs across engines.
+    "q_rank_functions" -> q { (s, dir) =>
+      val byPrice = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc)
+      val unique = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .where(col("o_orderkey") % 10 === 0)
+        .select(
+          col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(unique).cast(LongType).as("rn"),
+          rank().over(byPrice).cast(LongType).as("rnk"),
+          dense_rank().over(byPrice).cast(LongType).as("drnk"),
+          ntile(4).over(unique).cast(LongType).as("quartile"),
+          percent_rank().over(byPrice).as("pct_rank"),
+          cume_dist().over(byPrice).as("cume"))
+    },
+
+    // Typed semi-structured access over events.props: from_json with an
+    // explicit schema (ONE parse to a typed struct — the production path,
+    // codegen'd) beside the ad-hoc get_json_object path access; the
+    // n_path_eq column proves the two parse paths agree row-for-row.
+    "q_json_extract" -> q { (s, dir) =>
+      val propsSchema = StructType(Seq(StructField("k", LongType)))
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), propsSchema).getField("k").as("k_typed"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k_path"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k_typed")).as("sum_k"),
+          max(col("k_typed")).as("max_k"),
+          sum(when(col("k_typed") <=> col("k_path"), 1L).otherwise(0L))
+            .as("n_path_eq"))
     })
 
   // ------------------------------------------------------------- oracle SQL
@@ -1643,5 +1684,27 @@ object SparkEntry {
         |  min(d) AS earliest_date,
         |  max(d) AS latest_date,
         |  count(*) AS loaded_rows
-        |FROM bars""".stripMargin)
+        |FROM bars""".stripMargin,
+
+    "q_rank_functions" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER u AS rn,
+        |  rank() OVER p AS rnk,
+        |  dense_rank() OVER p AS drnk,
+        |  ntile(4) OVER u AS quartile,
+        |  percent_rank() OVER p AS pct_rank,
+        |  cume_dist() OVER p AS cume
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |WINDOW
+        |  p AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC),
+        |  u AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+        |                     IS NOT DISTINCT FROM CAST(json_extract(props, '$.k') AS BIGINT)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_path_eq
+        |FROM events GROUP BY event_type""".stripMargin)
 }
