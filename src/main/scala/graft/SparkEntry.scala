@@ -1046,6 +1046,30 @@ object SparkEntry {
           max(col("k_typed")).as("max_k"),
           sum(when(col("k_typed") <=> col("k_path"), 1L).otherwise(0L))
             .as("n_path_eq"))
+    },
+
+    // Conjunctive keyword search through the inverted index: the postings
+    // scan is pruned to the query terms (bucket pruning on a
+    // token-bucketed index at scale), so probe cost follows the matched
+    // postings, not the corpus size — vs the full-scan LIKE the oracle
+    // runs.
+    "q_keyword_search" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.searchAll(
+          TextAnalysis.invertedIndex(docs, "doc_id"),
+          Seq("spark", "join", "window"))
+        .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+          Seq("doc_id"))
+    },
+
+    // Int8 scalar quantization audit: per-vector affine codes plus the max
+    // reconstruction error — the 4×-smaller storage layout for a 100 TB
+    // embedding store, checked bit-for-bit (fixed-order IEEE arithmetic)
+    // against the oracle's re-run of the identical formula.
+    "q_embed_quantize" -> q { (s, dir) =>
+      graft.ops.Quantize.auditInt8(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding")
     })
 
   // ------------------------------------------------------------- oracle SQL
@@ -1706,5 +1730,34 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
         |                     IS NOT DISTINCT FROM CAST(json_extract(props, '$.k') AS BIGINT)
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_path_eq
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_keyword_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, n_chars,
+        |    list_distinct(regexp_extract_all(lower(text), '\w+')) AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(3 AS BIGINT) AS n_matched, source, n_chars
+        |FROM toks
+        |WHERE list_contains(t, 'spark') AND list_contains(t, 'join')
+        |  AND list_contains(t, 'window')""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v, list_min(v) AS qmin, list_max(v) AS qmax FROM e),
+        |c AS (SELECT vec_id, v, qmin, qmax,
+        |        CASE WHEN qmax - qmin = 0
+        |             THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |             ELSE list_transform(v,
+        |               x -> CAST(round((x - qmin) / ((qmax - qmin) / 255.0)) AS BIGINT))
+        |        END AS codes
+        |      FROM q)
+        |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims, qmin, qmax,
+        |  CAST(list_sum(codes) AS BIGINT) AS c_sum,
+        |  list_min(codes) AS c_min, list_max(codes) AS c_max,
+        |  CASE WHEN qmax - qmin = 0 THEN 0.0
+        |       ELSE list_max(list_transform(range(1, len(v) + 1),
+        |              i -> abs(qmin + codes[i] * ((qmax - qmin) / 255.0) - v[i])))
+        |  END AS max_abs_err
+        |FROM c""".stripMargin)
 }

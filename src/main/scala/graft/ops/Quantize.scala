@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar int8 quantization of embedding columns — the storage path for
+  * large vector corpora: a 100 TB float32 embedding store compresses 4×
+  * (plus two doubles of per-vector scale metadata), which is routinely the
+  * difference between "fits on the cluster" and "doesn't" for ANN index
+  * builds. Asymmetric per-vector affine quantization (the faiss
+  * `SQ8`-style baseline): x → round((x − min) / scale), scale =
+  * (max − min) / 255, dequant x̂ = min + code·scale.
+  *
+  * Everything is a narrow shuffle-free projection over codegen'd array
+  * higher-order functions — per-row work, embarrassingly parallel at any
+  * scale. All arithmetic is double-precision IEEE with a fixed operation
+  * order, so the codes (and even the reconstruction error) are
+  * bit-reproducible across engines — the oracle re-runs the identical
+  * formula.
+  */
+object Quantize {
+
+  private val span: Column = col("qmax") - col("qmin")
+  private val scale: Column = span / lit(255.0)
+
+  /** Adds per-vector quantization columns to `df`:
+    * qmin/qmax (double), codes (array<long> in [0,255]). Constant vectors
+    * (span 0) quantize to all-zero codes rather than dividing by zero.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame =
+    df
+      .withColumn("__v", transform(col(vecCol), _.cast(DoubleType)))
+      .withColumn("qmin", array_min(col("__v")))
+      .withColumn("qmax", array_max(col("__v")))
+      .withColumn("codes",
+        when(span === lit(0.0),
+          transform(col("__v"), _ => lit(0L)))
+          .otherwise(transform(col("__v"),
+            x => round((x - col("qmin")) / scale).cast(LongType))))
+
+  /** Quantization audit at vector grain: code stats plus the max absolute
+    * reconstruction error |x̂ − x| — the quality number that decides
+    * whether SQ8 is acceptable for a given corpus before committing the
+    * 4×-smaller layout.
+    */
+  def auditInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizeInt8(df, vecCol)
+      .select(col(idCol),
+        size(col("__v")).cast(LongType).as("n_dims"),
+        col("qmin"), col("qmax"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("c_sum"),
+        array_min(col("codes")).as("c_min"),
+        array_max(col("codes")).as("c_max"),
+        when(span === lit(0.0), lit(0.0))
+          .otherwise(array_max(zip_with(col("codes"), col("__v"),
+            (c, x) => abs(col("qmin") + c.cast(DoubleType) * scale - x))))
+          .as("max_abs_err"))
+}

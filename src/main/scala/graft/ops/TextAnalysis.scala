@@ -204,6 +204,33 @@ object TextAnalysis {
       .withColumn("score", col("tf").cast(DoubleType) / col("df").cast(DoubleType))
   }
 
+  /** Token → document inverted index: one row per DISTINCT (doc, token)
+    * pair, case-folded. This is the materialize-once search structure: at
+    * 100 TB it is written bucketed by `token` (see [[Bucketing]]) so a
+    * query probe reads only the buckets of its own terms — the full-corpus
+    * LIKE scan this replaces reads everything for every query.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(tokens(lower(col(textCol))))).as("token"))
+
+  /** Conjunctive (AND) keyword search against an inverted index: a doc
+    * matches iff it contains EVERY query term. The `isin` predicate prunes
+    * the postings scan to the query's terms (partition/bucket pruning on a
+    * token-bucketed index), then one count-aggregation per surviving doc —
+    * cost scales with the matched postings, not the corpus.
+    */
+  def searchAll(index: DataFrame, terms: Seq[String]): DataFrame = {
+    val t = terms.map(_.toLowerCase).distinct
+    require(t.nonEmpty, "at least one search term")
+    index
+      .where(col("token").isin(t: _*))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .where(col("n_matched") === t.length)
+  }
+
   /** Full per-document text-statistics projection. Tokenizes once (staged
     * column), then derives every statistic from the attribute.
     */

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(0.0f, 1.0f, 2.0f, 3.0f)),       // uniform ramp
+    (2L, Array(-1.0f, 0.0f, 1.0f)),            // negative min
+    (3L, Array(0.5f, 0.5f, 0.5f)),             // constant (span 0)
+    (4L, Array(0.0f, 255.0f))                  // scale exactly 1
+  ).toDF("vec_id", "embedding")
+
+  test("codes span [0,255], endpoints exact, constant vector all-zero") {
+    val audit = Quantize.auditInt8(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(audit(1L).getAs[Long]("c_min") == 0L)
+    assert(audit(1L).getAs[Long]("c_max") == 255L)
+    assert(audit(3L).getAs[Long]("c_sum") == 0L)
+    assert(audit(3L).getAs[Double]("max_abs_err") == 0.0)
+    assert(audit(4L).getAs[Long]("c_sum") == 255L)
+    assert(audit(4L).getAs[Double]("max_abs_err") == 0.0)
+  }
+
+  test("reconstruction error bounded by half a quantization step") {
+    val bad = Quantize.quantizeInt8(vecs, "embedding")
+      .select(col("vec_id"), col("qmin"), col("qmax"), col("codes"),
+        col("__v"))
+      .withColumn("step",
+        (col("qmax") - col("qmin")) / lit(255.0))
+      .withColumn("errs", zip_with(col("codes"), col("__v"),
+        (c, x) => abs(col("qmin") + c.cast("double") *
+          (col("qmax") - col("qmin")) / lit(255.0) - x)))
+      .where(exists(col("errs"), e => e > col("step") * lit(0.5) + lit(1e-12)))
+    assert(bad.count() == 0)
+  }
+
+  test("real embeddings: every code in range, error below half step") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(50)
+    val audit = Quantize.auditInt8(emb, "vec_id", "embedding").collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("c_min") >= 0L && r.getAs[Long]("c_max") <= 255L)
+      val step = (r.getAs[Double]("qmax") - r.getAs[Double]("qmin")) / 255.0
+      assert(r.getAs[Double]("max_abs_err") <= step * 0.5 + 1e-12)
+    }
+  }
+}
+
+class KeywordSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "Spark join the window world"),
+    (2L, "spark spark spark join window"),     // repeats collapse in index
+    (3L, "join window but no engine word"),
+    (4L, "SPARK and JOIN only"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("inverted index holds distinct case-folded (doc, token) pairs") {
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id")
+    val d2 = idx.where($"doc_id" === 2L).collect().map(_.getString(1)).sorted
+    assert(d2.toSeq == Seq("join", "spark", "window"))
+    assert(idx.where($"doc_id" === 5L).count() == 0)
+  }
+
+  test("conjunctive search returns exactly the docs containing all terms") {
+    val idx = TextAnalysis.invertedIndex(docs, "doc_id")
+    val hits = TextAnalysis.searchAll(idx, Seq("Spark", "JOIN", "window"))
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 2L))
+    val single = TextAnalysis.searchAll(idx, Seq("engine"))
+      .collect().map(_.getLong(0)).toSet
+    assert(single == Set(3L))
+  }
+}
