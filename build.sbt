@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ~80 driver queries of whole-stage codegen overflow the JVM's default
+  // 240 MB code cache mid-suite; once it fills, compiled plans fall back
+  // to the interpreter and late-suite queries measure 5-10× slow.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -77,6 +77,10 @@ object Bench {
         // min is the standard steady-state estimator for that regime
         try {
           val times = (1 to 2).map { _ =>
+            // settle garbage carried over from the previous execution
+            // OUTSIDE the timed region — each run then measures the
+            // query's own allocation cost, not its predecessors' debt
+            System.gc()
             val t0 = System.nanoTime()
             runOnce(name)
             (System.nanoTime() - t0) / 1e9
