@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+import graft.functions.TextExpressions.UnicodeNormalize
 import graft.functions.VectorExpressions._
 
 /** SparkSessionExtensions wiring: makes the engine's native expressions
@@ -43,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("morton_z"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "morton_z"),
       (es: Seq[Expression]) => GraftExtensions.mortonZExpr(es(0), es(1))))
+    // unicode_normalize(s, 'NFC'|'NFD'|'NFKC'|'NFKD') — form is a
+    // plan-time constant
+    e.injectFunction((new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_normalize"),
+      (es: Seq[Expression]) => UnicodeNormalize(es(0),
+        GraftExtensions.litString(es(1), "form"))))
   }
 }
 
@@ -79,5 +86,11 @@ object GraftExtensions {
     case Literal(v: Long, _) => v
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got $other")
+  }
+
+  private[graft] def litString(e: Expression, name: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $other")
   }
 }

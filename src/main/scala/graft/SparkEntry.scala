@@ -1070,6 +1070,22 @@ object SparkEntry {
       graft.ops.Quantize.auditInt8(
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding")
+    },
+
+    // Unicode canonicalization (NFC + accent fold + casefold + whitespace
+    // collapse) ahead of fingerprinting. The appended literal carries
+    // composed accents and mixed whitespace through the native
+    // unicode_normalize expression, so the oracle comparison (md5 of the
+    // canonical form vs DuckDB's nfc_normalize/strip_accents) checks real
+    // normalization work, not an ASCII identity.
+    "q_text_canonical" -> q { (s, dir) =>
+      val canon = TextAnalysis.canonicalize(
+        concat(col("text"), lit(" Café  Zürich\tniño São façade ")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), canon.as("__c"))
+        .select(col("doc_id"),
+          length(col("__c")).cast(LongType).as("n_chars_canon"),
+          md5(col("__c")).as("canon_md5"))
     })
 
   // ------------------------------------------------------------- oracle SQL
@@ -1759,5 +1775,17 @@ object SparkEntry {
         |       ELSE list_max(list_transform(range(1, len(v) + 1),
         |              i -> abs(qmin + codes[i] * ((qmax - qmin) / 255.0) - v[i])))
         |  END AS max_abs_err
+        |FROM c""".stripMargin,
+
+    "q_text_canonical" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      lower(strip_accents(nfc_normalize(
+        |        text || ' Café  Zürich' || chr(9) || 'niño São façade '))),
+        |      '\s+', ' ', 'g')) AS canon
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(canon) AS BIGINT) AS n_chars_canon,
+        |  md5(canon) AS canon_md5
         |FROM c""".stripMargin)
 }

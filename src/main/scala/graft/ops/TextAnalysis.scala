@@ -204,6 +204,31 @@ object TextAnalysis {
       .withColumn("score", col("tf").cast(DoubleType) / col("df").cast(DoubleType))
   }
 
+  /** Unicode NFC normalization (native codegen'd expression — see
+    * [[graft.functions.TextExpressions]]): one canonical byte string per
+    * canonically-equivalent text, the precondition for hash-based dedup.
+    */
+  def nfc(text: Column): Column =
+    graft.functions.TextFunctions.unicodeNormalize(text, "NFC")
+
+  /** Accent folding: NFD decomposition, then strip combining marks —
+    * `é`/`e`+U+0301 both become `e`. (The same algorithm DuckDB's
+    * `strip_accents` applies for Latin scripts.)
+    */
+  def stripAccents(text: Column): Column =
+    regexp_replace(
+      graft.functions.TextFunctions.unicodeNormalize(text, "NFD"),
+      "\\p{M}+", "")
+
+  /** Full canonical form for cross-source text matching: NFC → accent
+    * fold → lowercase → whitespace runs collapsed → trim. A narrow
+    * codegen'd projection (no shuffle); at 100 TB this runs once per
+    * document ahead of fingerprinting, making byte-identical what is
+    * humanly identical.
+    */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(lower(stripAccents(nfc(text))), "\\s+", " "))
+
   /** Token → document inverted index: one row per DISTINCT (doc, token)
     * pair, case-folded. This is the materialize-once search structure: at
     * 100 TB it is written bucketed by `token` (see [[Bucketing]]) so a
