@@ -145,3 +145,29 @@ final class ParquetBarSource(path: String) extends BarSource {
       .where(col("Date").between(lit(start), lit(end)))
       .join(broadcast(symbols.select(col("Symbol"))), Seq("Symbol"), "left_semi")
 }
+
+/** Format-generic bar source: one contract over parquet / orc / json-lines
+  * / csv. An EXPLICIT schema is required for the text formats — schema
+  * inference is a full extra pass over the data (a non-starter at 100 TB)
+  * and silently widens types; columnar formats carry their own. The date
+  * predicate reaches parquet/orc as a footer-stats pushed filter; for text
+  * formats it is still evaluated at the scan (no decode of non-matching
+  * rows' remaining columns), just without stats skipping.
+  */
+final class FileBarSource(path: String, format: String,
+    schema: Option[StructType] = None) extends BarSource {
+  require(Set("parquet", "orc", "json", "csv").contains(format),
+    s"unsupported bar format $format")
+  def fetch(spark: SparkSession, symbols: DataFrame,
+      start: java.sql.Date, end: java.sql.Date): DataFrame = {
+    require(schema.nonEmpty || format == "parquet" || format == "orc",
+      s"$format bars need an explicit schema (inference scans the data twice)")
+    val base = spark.read.format(format)
+      .option("mode", "PERMISSIVE") // C4: a bad row never kills the run
+      .option("header", "true")     // csv only; ignored elsewhere
+    val raw = schema.fold(base)(base.schema).load(path)
+    raw
+      .where(to_date(col("Date")).between(lit(start), lit(end)))
+      .join(broadcast(symbols.select(col("Symbol"))), Seq("Symbol"), "left_semi")
+  }
+}
