@@ -1086,6 +1086,78 @@ object SparkEntry {
         .select(col("doc_id"),
           length(col("__c")).cast(LongType).as("n_chars_canon"),
           md5(col("__c")).as("canon_md5"))
+    },
+
+    // The SQL frontend surface: TPC-H Q3 (shipping-priority) phrased as
+    // ANSI SQL through spark.sql over temp views — same Catalyst plan
+    // machinery (broadcast/shuffle selection, pushdown) as the DataFrame
+    // API, proven by running the near-identical text on the oracle.
+    "q_sql_tpch_q3" -> q { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_orderkey,
+          sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0
+            AS revenue,
+          o_orderdate, o_orderpriority
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")
+    },
+
+    // FULL OUTER join with unmatched keys on BOTH sides (deliberately
+    // non-overlapping nation filters): the one outer-join shape the suite
+    // didn't cover.
+    "q_join_full_outer" -> q { (s, dir) =>
+      val custs = Tables.customer(s, dir)
+        .where(col("c_nationkey") < 15)
+        .groupBy(col("c_nationkey").cast(LongType).as("nationkey"))
+        .agg(count(lit(1)).as("n_custs"))
+      val supps = Tables.supplier(s, dir)
+        .where(col("s_nationkey") >= 10)
+        .groupBy(col("s_nationkey").cast(LongType).as("nationkey"))
+        .agg(count(lit(1)).as("n_supps"))
+      custs.join(supps, Seq("nationkey"), "full_outer")
+    },
+
+    // Statistical moments from EXACT sums — deliberately NOT the builtin
+    // stddev/corr aggregates: those merge running moments (Welford) in
+    // partition order, so their low bits are nondeterministic across
+    // engines AND across runs. Decimal/long power sums are
+    // order-independent and exact; the closed-form moment formulas then
+    // see identical operands on both engines. The sqrt outputs are
+    // irrational → safe to round.
+    "q_stats_moments" -> q { (s, dir) =>
+      val cents = round(col("l_extendedprice") * lit(100.0))
+        .cast(DecimalType(20, 0))
+      val qty = col("l_quantity").cast(LongType)
+      val g = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), cents.as("y"), qty.as("x"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y")).as("sy"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      val (n, sx, sxx) = (col("n").cast(DoubleType),
+        col("sx").cast(DoubleType), col("sxx").cast(DoubleType))
+      val (sy, syy, sxy) = (col("sy").cast(DoubleType),
+        col("syy").cast(DoubleType), col("sxy").cast(DoubleType))
+      val varX = (n * sxx - sx * sx) / (n * n)
+      val varY = (n * syy - sy * sy) / (n * n)
+      val cov = (n * sxy - sx * sy) / (n * n)
+      g.select(col("l_returnflag"), col("n"),
+        round(sqrt(varX), 4).as("stddev_qty"),
+        (round(sqrt(varY), 4) / lit(100.0)).as("stddev_price"),
+        round(cov / (sqrt(varX) * sqrt(varY)), 4).as("corr_qty_price"))
     })
 
   // ------------------------------------------------------------- oracle SQL
@@ -1787,5 +1859,54 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, CAST(length(canon) AS BIGINT) AS n_chars_canon,
         |  md5(canon) AS canon_md5
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+
+    "q_sql_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0
+        |    AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_join_full_outer" ->
+      """SELECT nationkey, n_custs, n_supps FROM
+        |  (SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_custs
+        |   FROM customer WHERE c_nationkey < 15 GROUP BY 1) c
+        |FULL JOIN
+        |  (SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n_supps
+        |   FROM supplier WHERE s_nationkey >= 10 GROUP BY 1) s
+        |USING (nationkey)""".stripMargin,
+
+    "q_stats_moments" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+        |    sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+        |        * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy,
+        |    sum(CAST(l_quantity AS BIGINT)
+        |        * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM sums)
+        |SELECT l_returnflag, n,
+        |  round(sqrt((nd * sxxd - sxd * sxd) / (nd * nd)), 4) AS stddev_qty,
+        |  round(sqrt((nd * syyd - syd * syd) / (nd * nd)), 4) / 100.0 AS stddev_price,
+        |  round(((nd * sxyd - sxd * syd) / (nd * nd))
+        |        / (sqrt((nd * sxxd - sxd * sxd) / (nd * nd))
+        |           * sqrt((nd * syyd - syd * syd) / (nd * nd))), 4) AS corr_qty_price
+        |FROM d""".stripMargin)
 }
