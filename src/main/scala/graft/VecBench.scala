@@ -52,7 +52,16 @@ object VecBench {
         Similarity.toDoubleVec(col("embedding")), 12, 64)).as("s")).head()
       pairs.count()
     }
-    println(s"""{"bench":"vec_kernels","pairs":$nN,"cosine_native_sec":$tNative,"cosine_hof_sec":$tHof,"cosine_speedup":${tHof / tNative},"bucket_native_sec":$tBucketNative,"bucket_hof_sec":$tBucketHof,"bucket_speedup":${tBucketHof / tBucketNative}}""")
+    // quantize-audit kernel vs the HOF chain, same amplified rows
+    val (tQuantNative, _) = time {
+      val d = graft.ops.Quantize.auditInt8(pairs, "vec_id", "embedding")
+      d.select(sum(col("c_sum")).as("s")).head(); d.count()
+    }
+    val (tQuantHof, _) = time {
+      val d = graft.ops.Quantize.auditInt8Hof(pairs, "vec_id", "embedding")
+      d.select(sum(col("c_sum")).as("s")).head(); d.count()
+    }
+    println(s"""{"bench":"vec_kernels","pairs":$nN,"cosine_native_sec":$tNative,"cosine_hof_sec":$tHof,"cosine_speedup":${tHof / tNative},"bucket_native_sec":$tBucketNative,"bucket_hof_sec":$tBucketHof,"bucket_speedup":${tBucketHof / tBucketNative},"quant_native_sec":$tQuantNative,"quant_hof_sec":$tQuantHof,"quant_speedup":${tQuantHof / tQuantNative}}""")
     spark.stop()
   }
 }

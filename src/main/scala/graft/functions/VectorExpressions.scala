@@ -258,6 +258,51 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Int8 scalar-quantization audit over an `array<float>` embedding in
+    * ONE fused pass: min/max scan, affine codes, code stats, and the max
+    * reconstruction error, returned as a struct — no intermediate arrays
+    * materialize at all (the HOF formulation allocates the cast copy, the
+    * codes array, and the error array per row). At 100 TB the quantization
+    * projection is exactly this loop.
+    *
+    * Bit-parity contract with the HOF formulation in
+    * [[graft.ops.Quantize]] and the DuckDB oracle: same double-precision
+    * operation order, and round-half-up on the (always non-negative)
+    * scaled value implemented exactly — `floor`-based tricks drift one ulp
+    * on values just below .5.
+    */
+  case class QuantizeAuditInt8F32(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float> argument, got ${other.simpleString}")
+    }
+    override def dataType: DataType = QuantizeAuditInt8F32.schema
+    override def prettyName: String = "quantize_audit_int8_f32"
+
+    override def nullSafeEval(a: Any): Any =
+      QuantizeKernels.audit(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""${ev.value} = graft.functions.QuantizeKernels.audit($a);""")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  object QuantizeAuditInt8F32 {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val schema: StructType = StructType(Seq(
+      StructField("n_dims", LongType, nullable = false),
+      StructField("qmin", DoubleType, nullable = true),
+      StructField("qmax", DoubleType, nullable = true),
+      StructField("c_sum", LongType, nullable = true),
+      StructField("c_min", LongType, nullable = true),
+      StructField("c_max", LongType, nullable = true),
+      StructField("max_abs_err", DoubleType, nullable = true)))
+  }
+
   /** ‖v‖₂ in one pass. */
   case class L2NormF32(child: Expression)
       extends UnaryExpression {
@@ -297,6 +342,64 @@ object VectorExpressions {
   }
 }
 
+/** Static loop body for [[VectorExpressions.QuantizeAuditInt8F32]] — a
+  * top-level object so generated code reaches it as a plain static call
+  * (`graft.functions.QuantizeKernels.audit(arr)`), keeping the expression
+  * inside the whole-stage-codegen span with zero per-element dispatch.
+  */
+object QuantizeKernels {
+
+  /** Exact round-half-up for non-negative d (parity with Spark round()
+    * HALF_UP and DuckDB round() half-away-from-zero on positives):
+    * `d - floor(d)` is exact for d < 2^52, so the .5 comparison cannot be
+    * perturbed the way `floor(d + 0.5)` is.
+    */
+  private def roundHalfUpNonNeg(d: Double): Long = {
+    val f = d.toLong
+    if (d - f >= 0.5) f + 1L else f
+  }
+
+  /** One fused pass: min/max, affine int8 codes, code stats, max
+    * reconstruction error. Shared by interpreted eval and generated code.
+    */
+  def audit(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    if (n == 0) // matches the HOF formulation: aggregate(empty)=0, min/max null
+      return org.apache.spark.sql.catalyst.InternalRow(
+        0L, null, null, 0L, null, null, null)
+    var qmin = v.getFloat(0).toDouble
+    var qmax = qmin
+    var i = 1
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      if (x < qmin) qmin = x
+      if (x > qmax) qmax = x
+      i += 1
+    }
+    val span = qmax - qmin
+    val scale = span / 255.0
+    var cSum = 0L
+    var cMin = Long.MaxValue
+    var cMax = Long.MinValue
+    var maxErr = 0.0
+    i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      val c = if (span == 0.0) 0L else roundHalfUpNonNeg((x - qmin) / scale)
+      cSum += c
+      if (c < cMin) cMin = c
+      if (c > cMax) cMax = c
+      if (span != 0.0) {
+        val err = math.abs(qmin + c.toDouble * scale - x)
+        if (err > maxErr) maxErr = err
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      n.toLong, qmin, qmax, cSum, cMin, cMax, maxErr)
+  }
+}
+
 /** Column-level API + SQL registration for the native vector kernels. */
 object VectorFunctions {
   import VectorExpressions._
@@ -313,6 +416,8 @@ object VectorFunctions {
     asColumn(HyperplaneBucketF32(expression(v), planes, dim, seed))
   def nearestCentroidF32(v: Column, centroidsFlat: Array[Double], dim: Int): Column =
     asColumn(NearestCentroidF32(expression(v), centroidsFlat, dim))
+  def quantizeAuditInt8F32(v: Column): Column =
+    asColumn(QuantizeAuditInt8F32(expression(v)))
 
   private def expression(c: Column): Expression = GraftExpressionBridge.expression(c)
 
@@ -333,5 +438,7 @@ object VectorFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction("morton_z",
       es => graft.GraftExtensions.mortonZExpr(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("quantize_audit_int8_f32",
+      es => QuantizeAuditInt8F32(es.head), "scala_udf")
   }
 }

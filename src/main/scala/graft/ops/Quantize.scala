@@ -43,8 +43,27 @@ object Quantize {
     * reconstruction error |x̂ − x| — the quality number that decides
     * whether SQ8 is acceptable for a given corpus before committing the
     * 4×-smaller layout.
+    *
+    * Runs the fused native kernel
+    * ([[graft.functions.VectorExpressions.QuantizeAuditInt8F32]]): one
+    * codegen'd pass per row, no intermediate arrays. [[auditInt8Hof]] is
+    * the bit-parity reference formulation.
     */
   def auditInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.withColumn("__q",
+        graft.functions.VectorFunctions.quantizeAuditInt8F32(col(vecCol)))
+      .select(col(idCol),
+        col("__q.n_dims").as("n_dims"),
+        col("__q.qmin").as("qmin"), col("__q.qmax").as("qmax"),
+        col("__q.c_sum").as("c_sum"),
+        col("__q.c_min").as("c_min"), col("__q.c_max").as("c_max"),
+        col("__q.max_abs_err").as("max_abs_err"))
+
+  /** Higher-order-function reference formulation of [[auditInt8]] —
+    * bit-identical output by contract (asserted in QuantizeSpec); kept as
+    * the executable spec of the kernel's arithmetic.
+    */
+  def auditInt8Hof(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     quantizeInt8(df, vecCol)
       .select(col(idCol),
         size(col("__v")).cast(LongType).as("n_dims"),

@@ -37,6 +37,22 @@ class QuantizeSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("native kernel and HOF formulation are bit-identical") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val native = Quantize.auditInt8(emb, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet
+    val hof = Quantize.auditInt8Hof(emb, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet
+    assert(native == hof)
+    // fixtures cover the span-0 and exact-endpoint edges through both paths
+    val nf = Quantize.auditInt8(vecs, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet
+    val hf = Quantize.auditInt8Hof(vecs, "vec_id", "embedding")
+      .collect().map(_.toSeq).toSet
+    assert(nf == hf)
+  }
+
   test("real embeddings: every code in range, error below half step") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding")).limit(50)
