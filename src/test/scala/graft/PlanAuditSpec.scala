@@ -90,4 +90,29 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_events_enriched")
     assert(p.contains("BroadcastHashJoin"), s"dim not broadcast:\n$p")
   }
+
+  test("q_embed_quantize / q_text_canonical: shuffle-free narrow plans inside codegen") {
+    Seq("q_embed_quantize", "q_text_canonical").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("Exchange"),
+        s"$n must be a narrow projection (no shuffle):\n$p")
+      assert(p.contains("codegen id"), s"$n: no codegen span:\n$p")
+    }
+  }
+
+  test("q_sql_tpch_q3: SQL frontend broadcasts the filtered customer dim") {
+    val p = plan("q_sql_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer dim not broadcast in the SQL-frontend plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ORDER BY+LIMIT fell back to a global sort:\n$p")
+  }
+
+  test("q_keyword_search: postings scan filtered before aggregation (no full-corpus join)") {
+    val p = plan("q_keyword_search")
+    // the isin predicate must sit below the aggregation: the only rows that
+    // reach the shuffle are postings of the query terms
+    assert(p.contains("token") && p.contains("IN ("),
+      s"term predicate missing from the postings scan:\n$p")
+  }
 }
