@@ -1158,6 +1158,43 @@ object SparkEntry {
         round(sqrt(varX), 4).as("stddev_qty"),
         (round(sqrt(varY), 4) / lit(100.0)).as("stddev_price"),
         round(cov / (sqrt(varX) * sqrt(varY)), 4).as("corr_qty_price"))
+    },
+
+    // Snapshot diff — backfill/migration verification: two deterministic
+    // "versions" of orders (disjoint key drops + a payload bump) classified
+    // row-by-row through ONE full-outer join with null-safe payload
+    // comparison (no row hashing: it hides which column moved and its
+    // format never matches across engines).
+    "q_snapshot_diff" -> q { (s, dir) =>
+      val payload = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+      val orders = Tables.orders(s, dir)
+      val oldV = orders.where(col("o_orderkey") % 5 =!= 4)
+        .select((Seq("o_orderkey") ++ payload).map(col): _*)
+      val newV = orders.where(col("o_orderkey") % 5 =!= 3)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+        .select((Seq("o_orderkey") ++ payload).map(col): _*)
+      graft.ops.Diff.snapshotDiff(oldV, newV, Seq("o_orderkey"), payload)
+        .where(col("change_type") =!= "unchanged")
+    },
+
+    // Declarative data-quality gate: every row-level rule folds into ONE
+    // scan (conditional counters in a single hash-agg), plus one
+    // aggregation for key uniqueness and one anti-join for referential
+    // integrity — the (rule, n_violations) contract a pipeline checks
+    // before publishing.
+    "q_dq_checks" -> q { (s, dir) =>
+      import graft.ops.Checks
+      Checks.summary(Tables.lineitem(s, dir),
+        rules = Seq(
+          Checks.notNull("l_shipdate"),
+          Checks.inRange("l_quantity", 1, 45),
+          Checks.positive("l_extendedprice"),
+          Checks.inRange("l_discount", 0.0, 0.05)),
+        uniqueKey = Seq("l_orderkey", "l_linenumber"),
+        refChecks = Seq(
+          ("fk_lineitem_orders", Tables.orders(s, dir), "l_orderkey", "o_orderkey")))
     })
 
   // ------------------------------------------------------------- oracle SQL
@@ -1908,5 +1945,54 @@ object SparkEntry {
         |  round(((nd * sxyd - sxd * syd) / (nd * nd))
         |        / (sqrt((nd * sxxd - sxd * sxd) / (nd * nd))
         |           * sqrt((nd * syyd - syd * syd) / (nd * nd))), 4) AS corr_qty_price
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH v_old AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 != 4),
+        |v_new AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 != 3),
+        |d AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |          AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |          AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+        |           THEN 'unchanged'
+        |         ELSE 'changed' END AS change_type
+        |  FROM v_old o FULL JOIN v_new n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, change_type FROM d
+        |WHERE change_type != 'unchanged'""".stripMargin,
+
+    "q_dq_checks" ->
+      """SELECT 'not_null_l_shipdate' AS rule,
+        |  CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_violations FROM lineitem
+        |UNION ALL
+        |SELECT 'range_l_quantity',
+        |  CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 45 THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'positive_l_extendedprice',
+        |  CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'range_l_discount',
+        |  CAST(sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.05 THEN 0 ELSE 1 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'unique_l_orderkey_l_linenumber',
+        |  CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS n FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'fk_lineitem_orders', count(*)
+        |FROM lineitem l
+        |WHERE l_orderkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin)
 }
