@@ -116,3 +116,44 @@ class PlanAuditSpec extends SparkSpec {
       s"term predicate missing from the postings scan:\n$p")
   }
 }
+
+/** At 100 TB, a selective dim filter should prune the FACT scan too:
+  * Spark's InjectRuntimeFilter builds a bloom filter from the filtered
+  * build side and pushes a `might_contain` probe into the big side's scan.
+  * This guards the capability stays on (it is size-gated; a conf change
+  * or plan-shape regression silently loses it).
+  */
+class RuntimeFilterSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // testdata is far below the 10 GB production gate
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .where(col("o_totalprice") > 300000)
+        .select("o_orderkey")
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$p")
+      // and the filter must not change the result
+      val expected = li.join(ord.hint("broadcast"),
+        li("l_orderkey") === ord("o_orderkey")).count()
+      assert(j.count() == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+}
