@@ -1179,6 +1179,52 @@ object SparkEntry {
         .where(col("change_type") =!= "unchanged")
     },
 
+    // CDC apply WITH DELETES: tombstoned change log folded into the base
+    // snapshot in one shuffle (epoch column + rank-1 pick, tombstone
+    // filter after the pick) — the merge-on-read DELETE path a warehouse
+    // needs beyond SCD-1 upserts.
+    "q_cdc_apply" -> q { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+      val base = e.where(col("event_id") % 2 === 0)
+      val changes = e.where(col("event_id") % 2 === 1)
+        .withColumn("op",
+          when(col("event_id") % 13 === 0, lit("D")).otherwise(lit("U")))
+      graft.ops.Upsert.applyCdc(base, changes, Seq("user_id", "event_type"),
+          Seq(col("ts").desc, col("event_id").desc), "op")
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"), col("ts").as("last_ts"),
+          col("value").as("last_value"))
+    },
+
+    // Volume-weighted average price per symbol — the reference-domain
+    // aggregate (finance), in exact integer arithmetic: cent-price ×
+    // volume products are exact integers, their sum stays below 2^53, so
+    // the final division is bit-deterministic.
+    "q_vwap" -> q { (s, dir) =>
+      StockBars.fromLineitem(s, dir)
+        .groupBy(col("symbol"))
+        .agg(
+          sum(round(col("close") * lit(100.0)).cast(LongType) * col("volume"))
+            .as("pv_cents"),
+          sum(col("volume")).as("total_volume"))
+        .select(col("symbol"),
+          (col("pv_cents") / col("total_volume") / lit(100.0)).as("vwap"),
+          col("total_volume"))
+    },
+
+    // Window navigation functions (first/last/nth over the full-partition
+    // frame) — the per-key "opening/closing/second print" lookup pattern.
+    "q_window_navigation" -> q { (s, dir) =>
+      val w = Window.partitionBy(col("symbol")).orderBy(col("trade_date"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      StockBars.fromLineitem(s, dir)
+        .select(col("symbol"), col("trade_date"), col("close"),
+          first(col("close")).over(w).as("first_close"),
+          last(col("close")).over(w).as("last_close"),
+          nth_value(col("close"), 2).over(w).as("second_close"))
+    },
+
     // Declarative data-quality gate: every row-level rule folds into ONE
     // scan (conditional counters in a single hash-agg), plus one
     // aggregation for key uniqueness and one anti-join for referential
@@ -1994,5 +2040,47 @@ object SparkEntry {
         |SELECT 'fk_lineitem_orders', count(*)
         |FROM lineitem l
         |WHERE l_orderkey IS NOT NULL
-        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |    CASE WHEN event_id % 2 = 1 AND event_id % 13 = 0 THEN 'D'
+        |         ELSE 'U' END AS op,
+        |    event_id % 2 AS epoch
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch DESC, ts DESC, event_id DESC) AS rk
+        |  FROM tagged)
+        |SELECT user_id, event_type, event_id AS last_event_id,
+        |  ts AS last_ts, value AS last_value
+        |FROM r WHERE rk = 1 AND op != 'D'""".stripMargin,
+
+    "q_vwap" ->
+      """WITH bars AS (
+        |  SELECT 'S' || l_suppkey AS symbol,
+        |    CAST(l_shipdate AS DATE) AS trade_date,
+        |    sum(round(l_extendedprice * 100)) / 100.0 / count(*) AS close,
+        |    CAST(sum(l_quantity) AS BIGINT) AS volume
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT symbol,
+        |  CAST(sum(CAST(round(close * 100) AS BIGINT) * volume) AS BIGINT)
+        |    / CAST(sum(volume) AS BIGINT) / 100.0 AS vwap,
+        |  CAST(sum(volume) AS BIGINT) AS total_volume
+        |FROM bars GROUP BY symbol""".stripMargin,
+
+    "q_window_navigation" ->
+      """WITH bars AS (
+        |  SELECT 'S' || l_suppkey AS symbol,
+        |    CAST(l_shipdate AS DATE) AS trade_date,
+        |    sum(round(l_extendedprice * 100)) / 100.0 / count(*) AS close
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT symbol, trade_date, close,
+        |  first_value(close) OVER w AS first_close,
+        |  last_value(close) OVER w AS last_close,
+        |  nth_value(close, 2) OVER w AS second_close
+        |FROM bars
+        |WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)
 }

@@ -40,4 +40,21 @@ object Upsert {
     latestByKey(tagged, keys, col("__epoch").desc +: recency)
       .drop("__epoch")
   }
+
+  /** Apply a full CDC log WITH DELETES: `opCol` marks each change 'U'
+    * (upsert) or 'D' (delete). The latest change per key wins exactly as
+    * in [[merge]]; keys whose LATEST change is a delete leave the
+    * snapshot. Same single-shuffle shape — the tombstone filter runs
+    * after the rank-1 pick, so a key deleted and re-inserted 10⁶ times
+    * still ships one row per map task.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      recency: Seq[Column], opCol: String): DataFrame = {
+    val tagged = base
+      .withColumn(opCol, lit("U")).withColumn("__epoch", lit(0))
+      .unionByName(changes.withColumn("__epoch", lit(1)))
+    latestByKey(tagged, keys, col("__epoch").desc +: recency)
+      .where(col(opCol) =!= "D")
+      .drop("__epoch", opCol)
+  }
 }

@@ -39,6 +39,24 @@ class UpsertSpec extends SparkSpec {
     assert(out == Map("k1" -> "upd1", "k2" -> "base2", "k3" -> "upd3"))
   }
 
+  test("applyCdc: latest tombstone deletes the key; delete-then-reinsert survives") {
+    val base = Seq(
+      (1L, "k1", t("2024-01-01 10:00:00"), "base1"),
+      (2L, "k2", t("2024-01-01 10:00:00"), "base2"),
+      (3L, "k4", t("2024-01-01 10:00:00"), "base4"))
+      .toDF("event_id", "key", "ts", "v")
+    val changes = Seq(
+      (4L, "k1", t("2024-01-01 11:00:00"), "upd1", "U"),
+      (5L, "k2", t("2024-01-01 11:00:00"), "del2", "D"),   // k2 deleted
+      (6L, "k3", t("2024-01-01 11:00:00"), "del3", "D"),   // delete then...
+      (7L, "k3", t("2024-01-01 12:00:00"), "reins3", "U")) // ...reinsert wins
+      .toDF("event_id", "key", "ts", "v", "op")
+    val out = Upsert.applyCdc(base, changes, Seq("key"),
+        Seq(col("ts").desc, col("event_id").desc), "op")
+      .select("key", "v").as[(String, String)].collect().toMap
+    assert(out == Map("k1" -> "upd1", "k3" -> "reins3", "k4" -> "base4"))
+  }
+
   test("latestByKey plans WindowGroupLimit (rank pushed below the exchange)") {
     // parquet-backed input: the group-limit push does not trigger over a
     // LocalTableScan, so audit the plan the real query runs
