@@ -92,4 +92,34 @@ class KeywordSearchSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(single == Set(3L))
   }
+
+  test("bucketed index probe prunes to the query terms' buckets") {
+    // the 100-TB layout: postings written ONCE bucketed by token; a probe
+    // then reads only the buckets its terms hash to — scan cost follows
+    // the query, not the corpus
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    Bucketing.writeBucketed(
+      TextAnalysis.invertedIndex(corpus, "doc_id"), "t_postings", "token", 8)
+    // the planner auto-disables bucketed scans when no join/agg needs the
+    // bucket distribution — which also forfeits bucket PRUNING; a probe
+    // workload wants the pruning, so pin the bucketed scan on
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val probe = TextAnalysis.searchAll(spark.table("t_postings"),
+        Seq("spark", "join"))
+      val p = probe.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p)
+      assert(m.isDefined, s"no bucket pruning in probe plan:\n$p")
+      assert(m.get.group(1).toInt < m.get.group(2).toInt,
+        s"probe read every bucket:\n$p")
+      // result parity with the unbucketed formulation
+      val expected = TextAnalysis.searchAll(
+        TextAnalysis.invertedIndex(corpus, "doc_id"), Seq("spark", "join"))
+        .collect().map(_.getLong(0)).toSet
+      assert(probe.collect().map(_.getLong(0)).toSet == expected)
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS t_postings")
+    }
+  }
 }
