@@ -1225,6 +1225,34 @@ object SparkEntry {
           nth_value(col("close"), 2).over(w).as("second_close"))
     },
 
+    // Deterministic train/val/test split: the label is a pure function of
+    // the KEY (hash-bucket → cumulative weights), so reruns, engines, and
+    // later corpus growth never move a document between splits — the
+    // invariant that keeps eval sets honest. Row-level oracle re-runs the
+    // identical integer arithmetic.
+    "q_split_assign" -> q { (s, dir) =>
+      graft.ops.Sampling.splitAssign(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          "doc_id", Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+        .select("doc_id", "source", "split")
+    },
+
+    // Deterministic negative sampling for contrastive pairs: k partner ids
+    // per anchor from integer hash arithmetic — a narrow generate, no
+    // join/shuffle/RNG, reproducible across reruns and engines.
+    "q_negative_pairs" -> q { (s, dir) =>
+      val n = Tables.cachedRowCount(s, dir, "documents")
+      graft.ops.Sampling.negativePairs(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", n, k = 3)
+    },
+
+    // Tokenizer-precursor vocabulary: corpus token frequencies with a
+    // min-count floor and dense (freq desc, token) ids via the
+    // distributed global-rank assignment (no single-partition window).
+    "q_build_vocab" -> q { (s, dir) =>
+      TextAnalysis.buildVocab(Tables.documents(s, dir), minCount = 5L)
+    },
+
     // Declarative data-quality gate: every row-level rule folds into ONE
     // scan (conditional counters in a single hash-agg), plus one
     // aggregation for key uniqueness and one anti-join for referential
@@ -2082,5 +2110,35 @@ object SparkEntry {
         |  nth_value(close, 2) OVER w AS second_close
         |FROM bars
         |WINDOW w AS (PARTITION BY symbol ORDER BY trade_date
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN (doc_id * 2654435761 + 104729) % 4294967296 % 10000 < 8000
+        |         THEN 'train'
+        |       WHEN (doc_id * 2654435761 + 104729) % 4294967296 % 10000 < 9000
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "q_negative_pairs" ->
+      """WITH ks AS (SELECT unnest(range(1, 4)) AS j),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, CAST(j AS BIGINT) AS j,
+        |  CASE WHEN (doc_id * 2654435761 + j * 104729 + 7919) % n_docs = doc_id
+        |       THEN ((doc_id * 2654435761 + j * 104729 + 7919) % n_docs + 1) % n_docs
+        |       ELSE (doc_id * 2654435761 + j * 104729 + 7919) % n_docs
+        |  END AS neg_id
+        |FROM documents, ks, n""".stripMargin,
+
+    "q_build_vocab" ->
+      """WITH counts AS (
+        |  SELECT token, count(*) AS n FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
+        |    FROM documents)
+        |  GROUP BY token HAVING count(*) >= 5)
+        |SELECT token, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT)
+        |    AS token_id
+        |FROM counts""".stripMargin)
 }

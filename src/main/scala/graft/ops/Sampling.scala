@@ -61,6 +61,42 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < rate)
   }
 
+  /** Deterministic train/val/test split assignment: the key's hash bucket
+    * is mapped to a split label by cumulative per-myriad weights (e.g.
+    * 8000/1000/1000). The split is a property of the KEY — stable across
+    * reruns, engines, partitionings and later corpus additions (a new
+    * document never moves an old one between splits, the invariant that
+    * keeps eval sets honest as a corpus grows).
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.map(_._2).sum == 10000,
+      s"split weights must sum to 10000 per-myriad, got ${splits.map(_._2).sum}")
+    val bucket = hashBucket(col(keyCol))
+    val cumulative = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val label = splits.zip(cumulative).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), acc) => when(bucket < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Deterministic negative-pair generation for contrastive training: for
+    * each anchor key, `k` pseudo-random partner ids in [0, n) from integer
+    * hash arithmetic (collision with the anchor advances by one, mod n).
+    * A narrow generate — no join, no shuffle, no RNG state: the pairs are
+    * a pure function of (key, j), so a rerun or a different cluster
+    * produces the identical training set.
+    */
+  def negativePairs(df: DataFrame, keyCol: String, n: Long, k: Int): DataFrame = {
+    require(n > 1, "need at least two keys to draw negatives")
+    val j = col("j")
+    val raw = pmod(col(keyCol) * lit(2654435761L) + j * lit(104729L) + lit(7919L),
+      lit(n))
+    val neg = when(raw === col(keyCol), pmod(raw + 1, lit(n))).otherwise(raw)
+    df.select(col(keyCol), explode(sequence(lit(1), lit(k))).as("j"))
+      .select(col(keyCol), j.cast("long").as("j"), neg.as("neg_id"))
+  }
+
   /** Keep at most `n` rows per group, preferring rows first under
     * `ordering` (extend the ordering until unique, or the cut is
     * nondeterministic). The per-domain quota cap of web-corpus curation.

@@ -256,6 +256,24 @@ object TextAnalysis {
       .where(col("n_matched") === t.length)
   }
 
+  /** Vocabulary construction — the deterministic precursor of tokenizer
+    * training: corpus-wide case-folded token frequencies, a minimum-count
+    * floor (drops the long junk tail BEFORE it needs ids), and dense ids
+    * assigned by (frequency desc, token) through the distributed
+    * [[Ids.globalRank]] — no single-partition global window even when the
+    * surviving vocabulary is large.
+    */
+  def buildVocab(docs: DataFrame, textCol: String = "text",
+      minCount: Long = 5L): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .withColumn("__negn", -col("n"))
+    Ids.globalRank(counts, Seq("__negn", "token"), "token_id")
+      .select(col("token"), col("n"), col("token_id"))
+  }
+
   /** Full per-document text-statistics projection. Tokenizes once (staged
     * column), then derives every statistic from the attribute.
     */

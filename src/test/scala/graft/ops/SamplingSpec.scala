@@ -84,4 +84,48 @@ class SamplingSpec extends SparkSpec {
     assert(out2(10L) == ((0L, 0L, 0L)) && out2(12L) == ((0L, 0L, 60L)))
     assert(out2(11L) == ((1L, 0L, 0L)) && out2(13L) == ((1L, 0L, 50L)))
   }
+
+  test("splitAssign: partitioned, exhaustive, key-stable, near-target rates") {
+    val docs = spark.range(0, 10000).toDF("doc_id")
+    val splits = Seq("train" -> 8000, "val" -> 1000, "test" -> 1000)
+    val out = Sampling.splitAssign(docs, "doc_id", splits)
+    val byLabel = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel.values.sum == 10000L)
+    assert(math.abs(byLabel("train") - 8000L) < 400, byLabel.toString)
+    // stability: a grown corpus never reassigns an existing key
+    val grown = Sampling.splitAssign(spark.range(0, 20000).toDF("doc_id"),
+      "doc_id", splits)
+    val joined = out.withColumnRenamed("split", "s1")
+      .join(grown.withColumnRenamed("split", "s2"), "doc_id")
+    assert(joined.where(col("s1") =!= col("s2")).count() == 0)
+    // weights must sum to 10000
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, "doc_id", Seq("a" -> 5000, "b" -> 4000))
+    }
+  }
+
+  test("negativePairs: k per anchor, in range, never the anchor itself") {
+    val docs = spark.range(0, 50).toDF("doc_id")
+    val pairs = Sampling.negativePairs(docs, "doc_id", n = 50L, k = 3)
+    assert(pairs.count() == 150)
+    assert(pairs.where(col("neg_id") === col("doc_id")).count() == 0)
+    assert(pairs.where(col("neg_id") < 0 || col("neg_id") >= 50).count() == 0)
+    // deterministic: two runs identical
+    val again = Sampling.negativePairs(docs, "doc_id", n = 50L, k = 3)
+    assert(pairs.exceptAll(again).count() == 0)
+  }
+
+  test("buildVocab: min-count floor, dense freq-ordered ids") {
+    import spark.implicits._
+    val docs = Seq.fill(6)("alpha beta").zipWithIndex
+      .map { case (t, i) => (i.toLong, if (i < 3) t + " gamma" else t) }
+      .toDF("doc_id", "text")
+    val v = TextAnalysis.buildVocab(docs, minCount = 3L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // alpha=6, beta=6, gamma=3; ids: (6,alpha)=0, (6,beta)=1, (3,gamma)=2
+    assert(v == Map("alpha" -> ((6L, 0L)), "beta" -> ((6L, 1L)),
+      "gamma" -> ((3L, 2L))))
+  }
 }
