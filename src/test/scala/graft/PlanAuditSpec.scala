@@ -117,6 +117,37 @@ class PlanAuditSpec extends SparkSpec {
   }
 }
 
+/** A self-join over one aggregation must scan and shuffle the input ONCE:
+  * Spark's ReuseExchange rule deduplicates identical exchange subtrees, so
+  * the second consumer reads the first's shuffle files. Losing this (e.g.
+  * by making the two subplans drift apart) doubles the dominant cost of
+  * every self-comparison query at 100 TB.
+  */
+class ExchangeReuseSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("aggregation self-join reuses one exchange") {
+    val c = spark.conf
+    val saved = c.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // broadcast would make the two sides' exchanges differ (hash vs
+      // broadcast); reuse needs identical subtrees — force the shuffle join
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val spend = spark.read.parquet(s"$sf/orders.parquet")
+        .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("spent"))
+      val j = spend.as("a").join(spend.withColumnRenamed("spent", "spent2"),
+        Seq("o_custkey"))
+      j.collect() // run THIS plan so the AQE final plan is inspectable
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+        s"self-join did not reuse the aggregation exchange:\n$p")
+    } finally saved match {
+      case Some(v) => c.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => c.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
+
 /** At 100 TB, a selective dim filter should prune the FACT scan too:
   * Spark's InjectRuntimeFilter builds a bloom filter from the filtered
   * build side and pushes a `might_contain` probe into the big side's scan.
