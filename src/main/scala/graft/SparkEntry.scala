@@ -1225,6 +1225,53 @@ object SparkEntry {
           nth_value(col("close"), 2).over(w).as("second_close"))
     },
 
+    // Ordered funnel analysis (view → click → purchase): each user's first
+    // view, first click AFTER that view, first purchase AFTER that click —
+    // ONE conditional-aggregation pass per step over a single shuffle on
+    // user_id (no per-step self-joins, which would shuffle the event log
+    // three times at 100 TB).
+    "q_funnel" -> q { (s, dir) =>
+      // chained per-user window aggregates: t_click's predicate references
+      // t_view (itself a window result) — consecutive Window operators
+      // share the user_id partitioning, so the WHOLE stepwise funnel costs
+      // ONE shuffle of the event log (per-step self-joins would cost one
+      // each), and the per-user dedup aggregation reuses that partitioning
+      val wu = Window.partitionBy(col("user_id"))
+      val perUser = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(wu))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+            col("ts"))).over(wu))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+            col("ts"))).over(wu))
+        .groupBy(col("user_id"))
+        .agg(max(col("t_view")).as("t_view"),
+          max(col("t_click")).as("t_click"),
+          max(col("t_purchase")).as("t_purchase"))
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t_click").isNotNull, 1L).otherwise(0L)).as("n_click_after_view"),
+        sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("n_purchase_after_click"))
+    },
+
+    // Cohort retention: users grouped by first-activity day, activity
+    // counted at day offsets — first-touch attribution + one broadcastable
+    // cohort join (the cohort table is |users|, tiny next to the event
+    // log).
+    "q_cohort_retention" -> q { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohorts = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      e.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast(LongType).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    },
+
     // Deterministic train/val/test split: the label is a pure function of
     // the KEY (hash-bucket → cumulative weights), so reruns, engines, and
     // later corpus growth never move a document between splits — the
@@ -2130,6 +2177,41 @@ object SparkEntry {
         |       ELSE (doc_id * 2654435761 + j * 104729 + 7919) % n_docs
         |  END AS neg_id
         |FROM documents, ks, n""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_view
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_click
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_purchase
+        |  FROM s2),
+        |pu AS (
+        |  SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+        |    max(t_purchase) AS t_purchase
+        |  FROM s3 GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_click_after_view,
+        |  CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchase_after_click
+        |FROM pu""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT cohort_day,
+        |  CAST(datediff('day', cohort_day, d) AS BIGINT) AS day_offset,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_build_vocab" ->
       """WITH counts AS (

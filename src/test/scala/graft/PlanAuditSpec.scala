@@ -91,6 +91,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"dim not broadcast:\n$p")
   }
 
+  test("q_funnel: stepwise windows + per-user dedup share ONE event-log shuffle") {
+    val p = plan("q_funnel")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    // one hash exchange on user_id (windows + groupBy reuse it) + the
+    // single-partition exchange of the final 1-row rollup
+    assert(exchanges <= 2,
+      s"funnel shuffles the event log more than once ($exchanges exchanges):\n$p")
+  }
+
   test("q_embed_quantize / q_text_canonical: shuffle-free narrow plans inside codegen") {
     Seq("q_embed_quantize", "q_text_canonical").foreach { n =>
       val p = plan(n)
