@@ -126,6 +126,47 @@ class PlanAuditSpec extends SparkSpec {
   }
 }
 
+/** AQE must split a skewed shuffle partition at runtime (OptimizeSkewedJoin)
+  * — the complement of ops.Skew's compile-time salting: salting handles the
+  * aggregations AQE can't touch, AQE handles the joins nobody predicted.
+  * Thresholds are lowered to make the testdata's hot key register as skew.
+  */
+class SkewJoinAqeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("AQE splits the hot key's partition in a sort-merge join") {
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "10KB")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key carrying 50k rows vs 1k uniform keys
+      val left = spark.range(0, 51000)
+        .select(when($"id" < 50000, 0L).otherwise($"id" % 1000).as("k"),
+          $"id".as("payload"))
+      val right = spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("v"))
+      val j = left.join(right, Seq("k"))
+      assert(j.collect().length == 51000) // run THIS plan → final AQE plan
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+}
+
 /** A self-join over one aggregation must scan and shuffle the input ONCE:
   * Spark's ReuseExchange rule deduplicates identical exchange subtrees, so
   * the second consumer reads the first's shuffle files. Losing this (e.g.
