@@ -51,9 +51,13 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  // form is a plan-time constant; resolve the enum once, not per row
+  private val forms: Map[String, Normalizer.Form] =
+    Normalizer.Form.values().map(f => f.name -> f).toMap
+
   /** Shared by interpreted eval and generated code (static call target). */
   def normalize(s: UTF8String, form: String): UTF8String = {
-    val f = Normalizer.Form.valueOf(form)
+    val f = forms(form)
     val str = s.toString
     if (Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(Normalizer.normalize(str, f))

@@ -367,13 +367,16 @@ object QuantizeKernels {
     if (n == 0) // matches the HOF formulation: aggregate(empty)=0, min/max null
       return org.apache.spark.sql.catalyst.InternalRow(
         0L, null, null, 0L, null, null, null)
+    // min/max under SPARK's ordering (NaN sorts greatest): array_min skips
+    // NaN unless all elements are NaN, array_max is NaN if ANY element is —
+    // the HOF formulation sees exactly this, so the kernel must too
     var qmin = v.getFloat(0).toDouble
     var qmax = qmin
     var i = 1
     while (i < n) {
       val x = v.getFloat(i).toDouble
-      if (x < qmin) qmin = x
-      if (x > qmax) qmax = x
+      if (x < qmin || qmin.isNaN) qmin = x
+      if (x > qmax || x.isNaN) qmax = x
       i += 1
     }
     val span = qmax - qmin
@@ -391,7 +394,8 @@ object QuantizeKernels {
       if (c > cMax) cMax = c
       if (span != 0.0) {
         val err = math.abs(qmin + c.toDouble * scale - x)
-        if (err > maxErr) maxErr = err
+        // array_max semantics again: NaN (from a NaN element) wins and sticks
+        if (err > maxErr || err.isNaN) maxErr = err
       }
       i += 1
     }

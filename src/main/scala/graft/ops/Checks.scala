@@ -25,11 +25,16 @@ object Checks {
     Rule(s"range_$c", col(c) >= lo && col(c) <= hi)
   def positive(c: String): Rule = Rule(s"positive_$c", col(c) > 0)
 
-  /** All row-level rules in one pass: conditional sums over one scan. */
+  /** All row-level rules in one pass: conditional sums over one scan.
+    * Zero-row input reports 0 per rule (not null — `sum` over no rows is
+    * null, and a null count would let a gate like `n_violations =!= 0`
+    * silently pass).
+    */
   def violations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
     val counters = rules.map(r =>
-      sum(when(coalesce(r.valid, lit(false)), 0L).otherwise(1L)).as(r.name))
+      coalesce(sum(when(coalesce(r.valid, lit(false)), 0L).otherwise(1L)),
+        lit(0L)).as(r.name))
     val wide = df.agg(counters.head, counters.tail: _*)
     wide.unpivot(Array.empty, rules.map(r => col(r.name)).toArray,
         "rule", "n_violations")

@@ -28,9 +28,11 @@ object Diff {
     val n = newDf.select((keys ++ payload).map(col): _*)
       .withColumn("__new", lit(1))
       .withColumnsRenamed(payload.map(c => c -> s"__n_$c").toMap)
+    // empty payload = keys-only existence diff: everything present on both
+    // sides is 'unchanged' (foldLeft, not reduce — reduce throws on Nil)
     val same = payload
       .map(c => col(s"__o_$c") <=> col(s"__n_$c"))
-      .reduce(_ && _)
+      .foldLeft(lit(true))(_ && _)
     o.join(n, keys, "full_outer")
       .withColumn("change_type",
         when(col("__old").isNull, lit("added"))

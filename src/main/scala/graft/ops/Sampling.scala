@@ -85,7 +85,10 @@ object Sampling {
     * hash arithmetic (collision with the anchor advances by one, mod n).
     * A narrow generate — no join, no shuffle, no RNG state: the pairs are
     * a pure function of (key, j), so a rerun or a different cluster
-    * produces the identical training set.
+    * produces the identical training set. Same portability bound as
+    * [[hashBucket]]: keys must stay below ~3.4e9 so `key * A` cannot
+    * overflow int64 — Spark would wrap silently while another engine
+    * errors or widens, breaking cross-engine agreement.
     */
   def negativePairs(df: DataFrame, keyCol: String, n: Long, k: Int): DataFrame = {
     require(n > 1, "need at least two keys to draw negatives")

@@ -220,14 +220,15 @@ object TextAnalysis {
       graft.functions.TextFunctions.unicodeNormalize(text, "NFD"),
       "\\p{M}+", "")
 
-  /** Full canonical form for cross-source text matching: NFC → accent
-    * fold → lowercase → whitespace runs collapsed → trim. A narrow
-    * codegen'd projection (no shuffle); at 100 TB this runs once per
-    * document ahead of fingerprinting, making byte-identical what is
-    * humanly identical.
+  /** Full canonical form for cross-source text matching: accent fold
+    * (which itself normalizes to NFD — a separate NFC pass first would be
+    * a redundant second normalization scan, since NFD∘NFC ≡ NFD) →
+    * lowercase → whitespace runs collapsed → trim. A narrow codegen'd
+    * projection (no shuffle); at 100 TB this runs once per document ahead
+    * of fingerprinting, making byte-identical what is humanly identical.
     */
   def canonicalize(text: Column): Column =
-    trim(regexp_replace(lower(stripAccents(nfc(text))), "\\s+", " "))
+    trim(regexp_replace(lower(stripAccents(text)), "\\s+", " "))
 
   /** Token → document inverted index: one row per DISTINCT (doc, token)
     * pair, case-folded. This is the materialize-once search structure: at
@@ -247,7 +248,10 @@ object TextAnalysis {
     * cost scales with the matched postings, not the corpus.
     */
   def searchAll(index: DataFrame, terms: Seq[String]): DataFrame = {
-    val t = terms.map(_.toLowerCase).distinct
+    // Locale.ROOT: the index is case-folded by Spark's locale-independent
+    // lower(); a default-locale toLowerCase would break matching under
+    // e.g. a Turkish JVM locale (I → ı)
+    val t = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     require(t.nonEmpty, "at least one search term")
     index
       .where(col("token").isin(t: _*))

@@ -53,8 +53,11 @@ object Upsert {
     val tagged = base
       .withColumn(opCol, lit("U")).withColumn("__epoch", lit(0))
       .unionByName(changes.withColumn("__epoch", lit(1)))
+    // null-safe: a malformed change with op = null must be treated as an
+    // upsert, not silently tombstone the key (=!= is null for null op and
+    // the filter would drop the row)
     latestByKey(tagged, keys, col("__epoch").desc +: recency)
-      .where(col(opCol) =!= "D")
+      .where(!(col(opCol) <=> lit("D")))
       .drop("__epoch", opCol)
   }
 }

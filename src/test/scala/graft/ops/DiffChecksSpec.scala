@@ -31,6 +31,13 @@ class DiffSpec extends SparkSpec {
     assert(s == Map("unchanged" -> 2L, "changed" -> 1L,
       "removed" -> 1L, "added" -> 1L))
   }
+
+  test("keys-only diff (empty payload): pure existence comparison") {
+    val d = Diff.snapshotDiff(oldV, newV, Seq("k"), Nil)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "unchanged", 2L -> "unchanged", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"))
+  }
 }
 
 class ChecksSpec extends SparkSpec {
@@ -47,6 +54,13 @@ class ChecksSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // positive: -1.0 violates AND the null row fails closed -> 2
     assert(v == Map("positive_amount" -> 2L, "not_null_amount" -> 1L))
+  }
+
+  test("zero-row input reports 0 violations, not null") {
+    val empty = df.where(col("order_id") < 0)
+    val v = Checks.violations(empty, Seq(Checks.positive("amount")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("positive_amount" -> 0L))
   }
 
   test("duplicate keys and orphans surface as rules in the summary") {

@@ -10,7 +10,9 @@ class QuantizeSpec extends SparkSpec {
     (1L, Array(0.0f, 1.0f, 2.0f, 3.0f)),       // uniform ramp
     (2L, Array(-1.0f, 0.0f, 1.0f)),            // negative min
     (3L, Array(0.5f, 0.5f, 0.5f)),             // constant (span 0)
-    (4L, Array(0.0f, 255.0f))                  // scale exactly 1
+    (4L, Array(0.0f, 255.0f)),                 // scale exactly 1
+    (5L, Array(0.0f, Float.NaN, 2.0f)),        // NaN element (max = NaN)
+    (6L, Array(Float.NaN, Float.NaN))          // all-NaN
   ).toDF("vec_id", "embedding")
 
   test("codes span [0,255], endpoints exact, constant vector all-zero") {
@@ -38,19 +40,19 @@ class QuantizeSpec extends SparkSpec {
   }
 
   test("native kernel and HOF formulation are bit-identical") {
+    // NaN-tolerant bit comparison (NaN != NaN under ==)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case d: Double => java.lang.Double.doubleToLongBits(d)
+        case x => x
+      }).toSet
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    val native = Quantize.auditInt8(emb, "vec_id", "embedding")
-      .collect().map(_.toSeq).toSet
-    val hof = Quantize.auditInt8Hof(emb, "vec_id", "embedding")
-      .collect().map(_.toSeq).toSet
-    assert(native == hof)
-    // fixtures cover the span-0 and exact-endpoint edges through both paths
-    val nf = Quantize.auditInt8(vecs, "vec_id", "embedding")
-      .collect().map(_.toSeq).toSet
-    val hf = Quantize.auditInt8Hof(vecs, "vec_id", "embedding")
-      .collect().map(_.toSeq).toSet
-    assert(nf == hf)
+    assert(rows(Quantize.auditInt8(emb, "vec_id", "embedding")) ==
+      rows(Quantize.auditInt8Hof(emb, "vec_id", "embedding")))
+    // fixtures cover span-0, exact-endpoint, NaN-element and all-NaN edges
+    assert(rows(Quantize.auditInt8(vecs, "vec_id", "embedding")) ==
+      rows(Quantize.auditInt8Hof(vecs, "vec_id", "embedding")))
   }
 
   test("real embeddings: every code in range, error below half step") {

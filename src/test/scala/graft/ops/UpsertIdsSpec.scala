@@ -57,6 +57,18 @@ class UpsertSpec extends SparkSpec {
     assert(out == Map("k1" -> "upd1", "k3" -> "reins3", "k4" -> "base4"))
   }
 
+  test("applyCdc: a malformed null-op change upserts, never tombstones") {
+    val base = Seq((1L, "k1", t("2024-01-01 10:00:00"), "base1"))
+      .toDF("event_id", "key", "ts", "v")
+    val changes = Seq(
+      (2L, "k1", t("2024-01-01 11:00:00"), "corrupt", null.asInstanceOf[String]))
+      .toDF("event_id", "key", "ts", "v", "op")
+    val out = Upsert.applyCdc(base, changes, Seq("key"),
+        Seq(col("ts").desc, col("event_id").desc), "op")
+      .select("key", "v").as[(String, String)].collect().toMap
+    assert(out == Map("k1" -> "corrupt"))
+  }
+
   test("latestByKey plans WindowGroupLimit (rank pushed below the exchange)") {
     // parquet-backed input: the group-limit push does not trigger over a
     // LocalTableScan, so audit the plan the real query runs
