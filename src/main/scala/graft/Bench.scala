@@ -31,6 +31,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // NOTE: size-based AQE coalescing (parallelismFirst=false) was
+      // measured here and REGRESSED the suite 57 s → 67 s: at local[32]
+      // the CPU-bound stages (shingles, windows) want all cores, and the
+      // scheduling overhead it saves is smaller than the parallelism it
+      // gives up. Keep the default.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()

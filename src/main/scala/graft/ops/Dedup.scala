@@ -222,11 +222,15 @@ object Dedup {
           Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("dst_label")).as("nbr_min"))
+      // LAZY checkpoint: the convergence count below is the action that
+      // materializes it, so each round costs ONE job (eager checkpoint +
+      // separate count was two jobs per round — pure scheduling overhead
+      // on an iteration whose per-round data is tiny)
       val next = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left_outer")
         .select(col("id"), col("label").as("__prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.where(col("label") =!= col("__prev")).count()
       labels = next.drop("__prev")
       iter += 1
