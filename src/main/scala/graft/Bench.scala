@@ -45,14 +45,18 @@ object Bench {
       "region", "events", "documents", "embeddings")
       .foreach(t => Tables(spark, sfDir, t).count())
 
-    def runOnce(name: String): Unit = {
+    def runOnce(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      // drop blocks this query persisted (dedup postings, CC rounds):
-      // accumulated cache from 46 queries × 2 runs otherwise drives the
-      // single 8 GiB JVM into GC churn that taxes whoever runs LATER —
-      // each query must be measured against the same clean heap
+
+    // Cache isolation BETWEEN runs, outside the timed region: a timed run
+    // must start with an empty cache (or run 2 would re-read run 1's
+    // persisted intermediates and report a fake time), but dropping the
+    // blocks is harness cleanup, not query work — it does not belong in
+    // the measurement.
+    def isolate(): Unit = {
       spark.sqlContext.clearCache()
+      System.gc()
     }
 
     // q_pipeline_verify is correctness-gated (Verify) but not timed: its
@@ -82,14 +86,12 @@ object Bench {
         // min is the standard steady-state estimator for that regime
         try {
           val times = (1 to 2).map { _ =>
-            // settle garbage carried over from the previous execution
-            // OUTSIDE the timed region — each run then measures the
-            // query's own allocation cost, not its predecessors' debt
-            System.gc()
+            isolate() // empty cache + settled heap, outside the timer
             val t0 = System.nanoTime()
             runOnce(name)
             (System.nanoTime() - t0) / 1e9
           }
+          isolate()
           name -> times.min
         } catch {
           case e: Throwable =>
