@@ -855,7 +855,7 @@ object SparkEntry {
     "q_minhash_est_error" -> q { (s, dir) =>
       Dedup.sketchVsExactPairs(
         graft.ops.Sampling.bernoulliSample(
-          Tables.documents(s, dir), "doc_id", perMyriad = 2500),
+          Tables.documents(s, dir), "doc_id", perMyriad = 5000),
         "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 4, maxDocFreq = 20L)
         .select(round(abs(col("est_jaccard") - col("jaccard")), 4).as("err"))
