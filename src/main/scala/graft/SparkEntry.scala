@@ -1225,6 +1225,36 @@ object SparkEntry {
           nth_value(col("close"), 2).over(w).as("second_close"))
     },
 
+    // Metric anomaly detection: hourly event counts scored against the
+    // TRAILING 24-hour window's mean/std — the monitoring primitive over
+    // any metric stream. Moments come from exact integer window sums
+    // (count and count², order-independent), so mean/std/z are
+    // bit-deterministic; at 100 TB this is one shuffle to (type, hour)
+    // grain and one window sort per type, never a self-join of the log.
+    "q_anomaly_zscore" -> q { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-24, -1)
+      val (sn, snn, cnt) = (sum(col("n")).over(w),
+        sum(col("n") * col("n")).over(w), count(lit(1)).over(w))
+      val scored = hourly
+        .withColumn("w_n", cnt)
+        .withColumn("mean", sn.cast(DoubleType) / cnt.cast(DoubleType))
+        .withColumn("var",
+          (cnt.cast(DoubleType) * snn.cast(DoubleType)
+            - sn.cast(DoubleType) * sn.cast(DoubleType))
+            / (cnt.cast(DoubleType) * cnt.cast(DoubleType)))
+        .where(col("w_n") >= 12 && col("var") > 0)
+        .withColumn("z",
+          (col("n").cast(DoubleType) - col("mean")) / sqrt(col("var")))
+      scored
+        .where(abs(col("z")) > 2.0)
+        .select(col("event_type"), col("h"), col("n"), col("w_n"),
+          round(col("z"), 4).as("zscore"))
+    },
+
     // Ordered funnel analysis (view → click → purchase): each user's first
     // view, first click AFTER that view, first purchase AFTER that click —
     // ONE conditional-aggregation pass per step over a single shuffle on
@@ -2177,6 +2207,28 @@ object SparkEntry {
         |       ELSE (doc_id * 2654435761 + j * 104729 + 7919) % n_docs
         |  END AS neg_id
         |FROM documents, ks, n""".stripMargin,
+
+    "q_anomaly_zscore" ->
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT event_type, h, n,
+        |    count(*) OVER w AS w_n,
+        |    CAST(sum(n) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS mean,
+        |    (CAST(count(*) OVER w AS DOUBLE) * CAST(sum(n * n) OVER w AS DOUBLE)
+        |     - CAST(sum(n) OVER w AS DOUBLE) * CAST(sum(n) OVER w AS DOUBLE))
+        |    / (CAST(count(*) OVER w AS DOUBLE) * CAST(count(*) OVER w AS DOUBLE))
+        |      AS var
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, h, n, w_n,
+        |  round((CAST(n AS DOUBLE) - mean) / sqrt(var), 4) AS zscore
+        |FROM scored
+        |WHERE w_n >= 12 AND var > 0
+        |  AND abs((CAST(n AS DOUBLE) - mean) / sqrt(var)) > 2.0""".stripMargin,
 
     "q_funnel" ->
       """WITH s1 AS (
