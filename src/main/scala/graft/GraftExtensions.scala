@@ -67,7 +67,7 @@ object GraftExtensions {
         16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
         4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
         1 -> 0x5555555555555555L)
-      val base = BitwiseAnd(Cast(x, LongType), Literal(0xFFFFFFFFL))
+      val base = BitwiseAnd(Cast(x, LongType), Literal(0x7FFFFFFFL))
       steps.foldLeft(base: Expression) { case (c, (sh, m)) =>
         BitwiseAnd(BitwiseOr(c, ShiftLeft(c, Literal(sh))), Literal(m))
       }

@@ -12,12 +12,18 @@ import org.apache.spark.sql.types._
   */
 object Layout {
 
-  /** Morton (Z-order) interleave of two non-negative 32-bit keys into one
+  /** Morton (Z-order) interleave of two non-negative 31-bit keys into one
     * long: bit i of `a` lands at position 2i, bit i of `b` at 2i+1. Rows
     * sorted by the Z-value cluster in BOTH dimensions at once, so range
     * predicates on either key prune parquet row groups — the standard
     * multi-dimensional clustering trick when a single sort column can only
     * serve one predicate.
+    *
+    * 31 bits per dimension, NOT 32: bit 31 of `b` would land on the
+    * long's SIGN bit, making upper-half keys sort NEGATIVE — before all
+    * other rows — which destroys exactly the clustering this key exists
+    * to provide. Keys ≥ 2^31 alias into the masked range (document or
+    * pre-bucket such keys).
     *
     * Pure shift/mask arithmetic (the magic-number bit-spread), fully
     * codegen'd — identical integer semantics on any engine, so the value
@@ -27,8 +33,8 @@ object Layout {
     spreadBits(a.cast(LongType)).bitwiseOR(
       shiftleft(spreadBits(b.cast(LongType)), 1))
 
-  /** Spread the low 32 bits of a long to the even bit positions (0, 2, 4,
-    * …, 62) — the classic 5-step mask cascade.
+  /** Spread the low 31 bits of a long to the even bit positions (0, 2, 4,
+    * …, 60) — the classic 5-step mask cascade.
     */
   private[ops] def spreadBits(x: Column): Column = {
     val steps = Seq(
@@ -37,7 +43,7 @@ object Layout {
       4  -> 0x0F0F0F0F0F0F0F0FL,
       2  -> 0x3333333333333333L,
       1  -> 0x5555555555555555L)
-    steps.foldLeft(x.bitwiseAND(lit(0xFFFFFFFFL))) { case (c, (sh, mask)) =>
+    steps.foldLeft(x.bitwiseAND(lit(0x7FFFFFFFL))) { case (c, (sh, mask)) =>
       c.bitwiseOR(shiftleft(c, sh)).bitwiseAND(lit(mask))
     }
   }
@@ -53,7 +59,7 @@ object Layout {
         4  -> 1085102592571150095L,  // 0x0F0F0F0F0F0F0F0F
         2  -> 3689348814741910323L,  // 0x3333333333333333
         1  -> 6148914691236517205L)  // 0x5555555555555555
-      steps.foldLeft(s"(CAST($e AS BIGINT) & 4294967295)") { case (c, (sh, m)) =>
+      steps.foldLeft(s"(CAST($e AS BIGINT) & 2147483647)") { case (c, (sh, m)) =>
         s"((($c | ($c << $sh)) & $m))"
       }
     }
@@ -105,10 +111,15 @@ object Layout {
     spark.read.parquet(path)
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(hadoopPath, true)
-    // rename, not copy: atomic on HDFS, metadata-only on object stores
-    // with a rename-capable committer
+    // swap via rename-aside, NEVER delete-then-rename: a crash between a
+    // delete and the rename would lose the dataset entirely, while a crash
+    // here leaves either the old table in place or a recoverable backup
+    // directory (renames are atomic on HDFS)
+    val backup = new org.apache.hadoop.fs.Path(path + "_compacting_old")
+    fs.delete(backup, true) // clear any stale backup from a prior crash
+    fs.rename(hadoopPath, backup)
     fs.rename(tmp, hadoopPath)
+    fs.delete(backup, true)
     fs.listStatus(hadoopPath).count(_.getPath.getName.endsWith(".parquet"))
   }
 }

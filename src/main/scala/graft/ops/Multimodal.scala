@@ -54,9 +54,13 @@ object Multimodal {
       batch.map { m =>
         val h = java.util.Arrays.hashCode(m.bytes).toLong & 0xffffffffL
         val feats = Array.tabulate(4)(i => ((h >> (i * 8)) & 0xff).toDouble / 255.0)
+        // meta is nullable in mediaSchema — a metadata-less row decodes
+        // with zero dimensions rather than NPE-ing the partition (the
+        // bytes null case on the next line gets the same treatment)
+        val meta = Option(m.meta)
         MediaFeatures(m.media_id, m.kind,
           if (m.bytes == null) 0L else m.bytes.length.toLong,
-          m.meta.width, m.meta.height, feats)
+          meta.fold(0)(_.width), meta.fold(0)(_.height), feats)
       }
   }
 
@@ -104,9 +108,13 @@ object Multimodal {
     * index (metadata-driven generator; bytes stay untouched/unexploded so
     * the heavy column is not duplicated across frame rows).
     */
-  def sampleFrames(media: DataFrame, everyNth: Int): DataFrame =
-    media.where(col("kind") === "video")
+  def sampleFrames(media: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
+    // n_frames <= 0 (or null) would make sequence() throw and fail the
+    // whole job for one malformed row — frameless videos sample no frames
+    media.where(col("kind") === "video" && col("meta.n_frames") > 0)
       .select(col("media_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyNth)))
           .as("frame_idx"))
+  }
 }

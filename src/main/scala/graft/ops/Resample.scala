@@ -34,6 +34,13 @@ object Resample {
     */
   def resampleDailyLocf(df: DataFrame, keyCol: String, dateCol: String,
       valueCols: Seq[String]): DataFrame = {
+    // a DAILY spine equi-joined back to observations requires day-grain
+    // keys: with a timestamp column, rows at a different time-of-day than
+    // min(ts) would never match the spine and their values would SILENTLY
+    // vanish — fail loudly instead (truncate to DateType upstream)
+    require(df.schema(dateCol).dataType == org.apache.spark.sql.types.DateType,
+      s"resampleDailyLocf needs a DateType $dateCol, got " +
+        s"${df.schema(dateCol).dataType.simpleString} — cast/trunc first")
     val spine = dateSpine(df, keyCol, dateCol)
     val joined = spine.join(df, Seq(keyCol, dateCol), "left_outer")
       .withColumn("is_observed",

@@ -55,6 +55,10 @@ object Similarity {
     val q = typedLit(query.map(_.toFloat))
     vecs
       .withColumn("cos_sim", VectorFunctions.cosineF32(col(vecCol), q))
+      // a zero-norm vector (missing/failed embedding) scores 0/0 = NaN and
+      // Spark sorts NaN GREATEST — without this guard k such rows would
+      // displace every real neighbor from the top-k
+      .where(!isnan(col("cos_sim")))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -105,6 +109,7 @@ object Similarity {
     lshBuckets(vecs, idCol, vecCol, planes, dim)
       .where(col("bucket").isin(probes: _*))
       .withColumn("cos_sim", VectorFunctions.cosineF32(col(vecCol), q))
+      .where(!isnan(col("cos_sim"))) // zero-norm guard (see bruteForceTopK)
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("cos_sim"), col("bucket"))
@@ -149,6 +154,7 @@ object Similarity {
   def trainIvfCentroids(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, sampleSize: Int = 2048, iters: Int = 10): IvfIndex = {
     val sample = vecs
+      .where(col(vecCol).isNotNull) // null embeddings cannot train a quantizer
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(sampleSize)
       .select(col(vecCol))
@@ -164,15 +170,16 @@ object Similarity {
       sample.foreach { v =>
         var best = 0; var bestDist = Double.MaxValue
         var c = 0
+        val vd = math.min(dim, v.length) // ragged-dim clamp (kernel parity)
         while (c < kk) {
           var dist = 0.0; var j = 0
-          while (j < dim) { val d = v(j) - centroids(c)(j); dist += d * d; j += 1 }
+          while (j < vd) { val d = v(j) - centroids(c)(j); dist += d * d; j += 1 }
           if (dist < bestDist) { bestDist = dist; best = c }
           c += 1
         }
         counts(best) += 1
         var j = 0
-        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        while (j < vd) { sums(best)(j) += v(j); j += 1 }
       }
       centroids = Array.tabulate(kk) { c =>
         if (counts(c) == 0) centroids(c)
@@ -206,6 +213,7 @@ object Similarity {
     ivfAssign(vecs, idCol, vecCol, index)
       .where(col("centroid_id").isin(probeIds: _*))
       .withColumn("cos_sim", VectorFunctions.cosineF32(col(vecCol), q))
+      .where(!isnan(col("cos_sim"))) // zero-norm guard (see bruteForceTopK)
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("cos_sim"), col("centroid_id"))

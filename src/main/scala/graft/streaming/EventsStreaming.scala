@@ -20,12 +20,27 @@ object EventsStreaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Watermarked tumbling-window aggregation over a parquet file stream. */
+  /** Event schema as stored in the driver fixtures: `ts` is parquet
+    * TIMESTAMP(NANOS), which Spark's reader only accepts as a LONG (via
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — set by every session
+    * in this repo). The conversion to TimestampType happens in the query.
+    */
+  val eventNanosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Watermarked tumbling-window aggregation over a parquet file stream of
+    * the driver's events fixture (nanos timestamps — see
+    * [[eventNanosSchema]]; the micros division matches
+    * [[graft.Tables.events]] exactly).
+    */
   def hourlyCounts(spark: SparkSession, inputDir: String): DataFrame =
     spark.readStream
-      .schema(eventSchema)
+      .schema(eventNanosSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(inputDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
@@ -132,12 +147,18 @@ object EventsStreaming {
             graft.ops.Upsert.merge(base, compacted, keys, recency)
           } else compacted
         // write-new-then-swap, never read-and-overwrite in place (the
-        // distributed write would race its own input); rename is atomic
-        // on HDFS, metadata-only with a rename-capable committer
+        // distributed write would race its own input). The swap is
+        // rename-ASIDE, never delete-then-rename: a crash between a
+        // delete and a rename would lose the whole accumulated state
+        // table, while a crash here leaves either the old table or a
+        // recoverable backup (renames are atomic on HDFS)
         val tmp = new org.apache.hadoop.fs.Path(tablePath + "_next")
         merged.write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(target, true)
+        val backup = new org.apache.hadoop.fs.Path(tablePath + "_prev")
+        fs.delete(backup, true) // stale backup from a prior crash
+        if (fs.exists(target)) fs.rename(target, backup)
         fs.rename(tmp, target)
+        fs.delete(backup, true)
         ()
       }
       .start()
@@ -152,6 +173,13 @@ object EventsStreaming {
     * wall-clock dependence) and replayable from a checkpoint — the correct
     * semantics for late-data streams at scale. Batch twin:
     * [[graft.ops.Sessionize]].
+    *
+    * Memory bound: one key's events WITHIN ONE MICRO-BATCH are buffered and
+    * sorted on the executor (flatMapGroupsWithState provides no secondary
+    * sort). That is the operator's skew exposure — cap micro-batch size at
+    * the source (`maxFilesPerTrigger` / rate limits) so a bot-grade hot key
+    * stays bounded per batch; cross-batch state is one SessionOut per key
+    * regardless.
     */
   def sessionizeStream(events: Dataset[Ev], gapMs: Long,
       watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {

@@ -11,24 +11,28 @@ class LayoutSpec extends SparkSpec {
   private def tmpDir(): String =
     Files.createTempDirectory("graft-layout").toFile.getAbsolutePath
 
-  test("mortonZ: known interleavings and SQL-twin parity") {
-    val df = Seq(
+  test("mortonZ: known interleavings, SQL-twin parity, never negative") {
+    val cases = Seq(
       (0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L),
-      (0xFFFFFFFFL, 0L), (0L, 0xFFFFFFFFL),
-      (123456789L, 987654321L)).toDF("a", "b")
+      (0x7FFFFFFFL, 0L), (0L, 0x7FFFFFFFL),
+      (0x7FFFFFFFL, 0x7FFFFFFFL), // max keys: top Z-value, still positive
+      (123456789L, 987654321L))
+    val df = cases.toDF("a", "b")
     val got = df.select(Layout.mortonZ(col("a"), col("b")).as("z"))
       .as[Long].collect().toSeq
-    // reference: bit-by-bit interleave computed in plain Scala
+    // reference: bit-by-bit interleave of the low 31 bits in plain Scala
     def ref(a: Long, b: Long): Long =
-      (0 until 32).foldLeft(0L) { (acc, i) =>
+      (0 until 31).foldLeft(0L) { (acc, i) =>
         acc | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
       }
-    val exp = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L),
-      (0xFFFFFFFFL, 0L), (0L, 0xFFFFFFFFL), (123456789L, 987654321L))
-      .map { case (a, b) => ref(a, b) }
+    val exp = cases.map { case (a, b) => ref(a, b) }
     assert(got == exp)
     assert(exp(1) == 1L && exp(2) == 2L && exp(3) == 7L)
-    assert(exp(4) == 0x5555555555555555L)
+    assert(exp(4) == 0x1555555555555555L)
+    // sign-bit guard: sorting by zval must never put large keys FIRST —
+    // every value is non-negative (bit 31 of b would land on the sign bit
+    // under a 32-bit interleave)
+    assert(got.forall(_ >= 0L), s"negative Z-value in $got")
     // the SQL twin evaluates to the same values (parsed by Spark here;
     // the oracle gate re-runs it in DuckDB)
     val sqlGot = df.selectExpr(Layout.mortonZSql("a", "b") + " AS z")

@@ -241,16 +241,11 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("availableNow file stream: hourly windowed aggregation over events") {
-    // stream from a µs-timestamp copy of the events table (the streaming
-    // parquet reader has no nanosAsLong shim)
+    // the SHIPPED function against the REAL driver fixture (nanos
+    // timestamps): hourlyCounts reads ts as long and converts exactly
+    // like Tables.events
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
-    graft.Tables.events(spark, sf).write.mode("overwrite").parquet(s"$dir/in")
-    val stream = spark.readStream
-      .schema(graft.Tables.events(spark, sf).schema)
-      .parquet(s"$dir/in")
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+    val stream = EventsStreaming.hourlyCounts(spark, sf)
     EventsStreaming.runAvailableNow(stream, "hourly_test", s"$dir/ckpt")
     // append mode emits only watermark-closed windows; all but the last
     // hour of a static file are closed, so this must be non-trivial
