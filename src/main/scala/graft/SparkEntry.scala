@@ -1378,7 +1378,31 @@ object SparkEntry {
       |          JOIN sizes sb ON sb.doc_id = id_b
       |          WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5)""".stripMargin
 
+  /** DuckDB twin of the seeded sign-random-projection bucket: the
+    * hyperplanes are PLAN-TIME CONSTANTS (seeded generation, data-
+    * independent), so they embed into the oracle SQL as literals — 12
+    * planes × 64 coordinates of shortest-repr doubles, each plane's dot
+    * product written in the kernel's exact left-to-right accumulation
+    * order (SQL `+` is left-associative), so the strict `> 0.0` sign test
+    * sees bit-identical doubles. Disjoint power-of-two bits sum to the
+    * same value the kernel ORs together.
+    */
+  private def lshBucketOracleSql(planes: Int, dim: Int): String = {
+    val hs = Similarity.hyperplanes(dim, planes)
+    val bucket = hs.zipWithIndex.map { case (h, i) =>
+      val dot = h.zipWithIndex
+        .map { case (c, j) => s"(${c}) * CAST(embedding[${j + 1}] AS DOUBLE)" }
+        .mkString(" + ")
+      s"CASE WHEN ($dot) > 0.0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""SELECT vec_id,
+       |  CAST($bucket AS BIGINT) AS bucket
+       |FROM embeddings""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_ann_lsh_buckets" -> lshBucketOracleSql(planes = 12, dim = 64),
 
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity
