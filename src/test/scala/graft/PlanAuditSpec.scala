@@ -167,6 +167,35 @@ class SkewJoinAqeSpec extends SparkSpec {
   }
 }
 
+/** Whole-surface plan hygiene: every driver query's physical plan is
+  * checked for the silent 100-TB killer individual specs can miss — an
+  * accidental cartesian / nested-loop join (a dropped join condition
+  * still plans, and "works" at test scale). Codegen-span presence is
+  * asserted per-query in PlanAuditSpec where AQE exposes it; across
+  * arbitrary multi-stage AQE plans the explain output does not annotate
+  * codegen ids, so a global codegen sweep would be vacuous.
+  */
+class PlanSweepSpec extends SparkSpec {
+
+  // deliberate exception: q_ann_recall cross-joins a BROADCAST handful of
+  // probe vectors (the standard batch-ANN scoring shape)
+  private val cartesianOk = Set("q_ann_recall")
+
+  test("no accidental cartesian or nested-loop joins in any driver query") {
+    val problems = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_ == "q_pipeline_verify") // runs a full pipeline with sinks
+      .filterNot(cartesianOk)
+      .foreach { name =>
+        val p = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          problems += s"$name: cartesian/nested-loop join"
+      }
+    assert(problems.isEmpty, problems.mkString("\n"))
+  }
+}
+
 /** A self-join over one aggregation must scan and shuffle the input ONCE:
   * Spark's ReuseExchange rule deduplicates identical exchange subtrees, so
   * the second consumer reads the first's shuffle files. Losing this (e.g.
