@@ -1225,6 +1225,28 @@ object SparkEntry {
           nth_value(col("close"), 2).over(w).as("second_close"))
     },
 
+    // Point-in-time feature join — the feature-store correctness op: each
+    // training example (purchase) is joined to the feature state that was
+    // valid AT ITS OWN event time, never later (the strict `>=` as-of match
+    // is the label-leakage guard: a model trained on this join never sees
+    // the future). Same one-shuffle carry-forward machinery as
+    // q_asof_bars, on the event log.
+    "q_pit_features" -> q { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val featureState = e
+        .where(col("event_type").isin("signup", "click"))
+        .select(col("user_id"), col("ts").as("state_ts"),
+          col("value").as("feature_value"),
+          col("event_id").as("state_event_id"))
+      val examples = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      AsOfJoin.backward(examples, featureState,
+          "user_id", "purchase_ts", "state_ts")
+        .select("purchase_id", "user_id", "purchase_ts", "asof_state_ts",
+          "feature_value", "state_event_id")
+    },
+
     // Metric anomaly detection: hourly event counts scored against the
     // TRAILING 24-hour window's mean/std — the monitoring primitive over
     // any metric stream. Moments come from exact integer window sums
@@ -2231,6 +2253,19 @@ object SparkEntry {
         |       ELSE (doc_id * 2654435761 + j * 104729 + 7919) % n_docs
         |  END AS neg_id
         |FROM documents, ks, n""".stripMargin,
+
+    "q_pit_features" ->
+      """WITH dim AS (
+        |  SELECT user_id, ts AS state_ts, value AS feature_value,
+        |    event_id AS state_event_id
+        |  FROM events WHERE event_type IN ('signup', 'click')),
+        |probes AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.purchase_ts,
+        |  d.state_ts AS asof_state_ts, d.feature_value, d.state_event_id
+        |FROM probes p ASOF JOIN dim d
+        |  ON p.user_id = d.user_id AND p.purchase_ts >= d.state_ts""".stripMargin,
 
     "q_anomaly_zscore" ->
       """WITH hourly AS (
