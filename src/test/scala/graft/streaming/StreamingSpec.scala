@@ -240,6 +240,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window works on a stream with watermark-closed sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import EventsStreaming.Ev
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[Ev]
+    val agg = input.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n_events"))
+    val dir = java.nio.file.Files.createTempDirectory("sesswin").toString
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("sesswin_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      input.addData(
+        Ev(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
+        Ev(2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:30"), 7L), // merges
+        Ev(3L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 7L)) // new session
+      q.processAllAvailable()
+      // advance the watermark far past both sessions to close them
+      input.addData(Ev(4L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 8L))
+      q.processAllAvailable()
+      val out = spark.table("sesswin_out")
+        .select(col("user_id"), col("n_events")).as[(Long, Long)].collect().toSeq
+      assert(out.count(_ == (7L, 2L)) == 1, s"merged session missing: $out")
+      assert(out.count(_ == (7L, 1L)) == 1, s"split session missing: $out")
+    } finally q.stop()
+  }
+
   test("availableNow file stream: hourly windowed aggregation over events") {
     // the SHIPPED function against the REAL driver fixture (nanos
     // timestamps): hourlyCounts reads ts as long and converts exactly
