@@ -1062,6 +1062,17 @@ object SparkEntry {
           Seq("doc_id"))
     },
 
+    // BM25 ranked retrieval (rows-only: BM25's ln() is libm-dependent in
+    // its last ulp, not cross-engine oracle-able; the boolean match
+    // sub-structure is oracled by q_keyword_search and the scoring is
+    // spec-verified on known orderings).
+    "q_bm25_search" -> q { (s, dir) =>
+      TextAnalysis.bm25Search(Tables.documents(s, dir), "doc_id",
+          Seq("spark", "join", "window"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"),
+          col("n_matched"))
+    },
+
     // Int8 scalar quantization audit: per-vector affine codes plus the max
     // reconstruction error — the 4×-smaller storage layout for a 100 TB
     // embedding store, checked bit-for-bit (fixed-order IEEE arithmetic)

@@ -260,6 +260,53 @@ object TextAnalysis {
       .where(col("n_matched") === t.length)
   }
 
+  /** BM25 ranked retrieval over the token index — the scoring layer above
+    * [[searchAll]]'s boolean matching. Disjunctive (OR) semantics: any doc
+    * containing at least one query term is scored.
+    *
+    * Plan shape at 100 TB: per-doc term frequencies and document lengths
+    * are ONE aggregation pass; document frequencies are computed only for
+    * the query's terms (a handful of rows — broadcast); avgdl is a 1-row
+    * aggregate cross-joined in. Scoring touches only the matched postings,
+    * never the corpus.
+    *
+    * BM25 uses `ln` whose last-ulp behavior differs across libm
+    * implementations, so scores are NOT cross-engine oracle-able — this
+    * operator is spec-verified (known orderings) and its boolean
+    * sub-structure is oracled via `q_keyword_search`.
+    */
+  def bm25Search(docs: DataFrame, idCol: String, terms: Seq[String],
+      textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    val t = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    require(t.nonEmpty, "at least one search term")
+    val tokens0 = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("token"))
+    val tf = tokens0.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tokens0.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val avgdl = dl.select(avg(col("dl")).as("avgdl"))
+    val df = tf.where(col("token").isin(t: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val matched = tf.where(col("token").isin(t: _*))
+      .join(broadcast(df), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avgdl))
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    matched
+      .withColumn("term_score", idf * tfNorm)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score"),
+        count(lit(1)).as("n_matched"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Vocabulary construction — the deterministic precursor of tokenizer
     * training: corpus-wide case-folded token frequencies, a minimum-count
     * floor (drops the long junk tail BEFORE it needs ids), and dense ids

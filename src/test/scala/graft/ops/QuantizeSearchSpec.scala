@@ -95,6 +95,24 @@ class KeywordSearchSpec extends SparkSpec {
     assert(single == Set(3L))
   }
 
+  test("bm25: rarer terms and higher tf outrank; unmatched docs absent") {
+    val corpus = Seq(
+      (1L, "spark spark spark common common"),   // high tf of rare term
+      (2L, "spark common common common common"), // low tf of rare term
+      (3L, "common common common common common"),// only the ubiquitous term
+      (4L, "nothing relevant here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(corpus, "doc_id", Seq("spark", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val ranked = out.map(_._1).toSeq
+    assert(!ranked.contains(4L), "doc with no query term must not score")
+    // doc 1 (3x rare 'spark') must beat doc 2 (1x) which beats doc 3 (none)
+    assert(ranked.indexOf(1L) < ranked.indexOf(2L))
+    assert(ranked.indexOf(2L) < ranked.indexOf(3L))
+    val scores = out.toMap
+    assert(scores(1L) > scores(2L) && scores(2L) > scores(3L))
+  }
+
   test("bucketed index probe prunes to the query terms' buckets") {
     // the 100-TB layout: postings written ONCE bucketed by token; a probe
     // then reads only the buckets its terms hash to — scan cost follows
