@@ -1062,6 +1062,23 @@ object SparkEntry {
           Seq("doc_id"))
     },
 
+    // PageRank centrality over the customer→supplier interaction graph
+    // (rows-only: double rank sums are partition-merge-order dependent —
+    // verified against a driver-side reference under tolerance in
+    // PageRankSpec). Iterations are shuffled join+agg rounds with
+    // constant-depth lineage, the CC iteration discipline.
+    "q_pagerank" -> q { (s, dir) =>
+      val edges = Tables.lineitem(s, dir)
+        .where(col("l_orderkey") % 5 === 0)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      graft.ops.PageRank.run(edges, "src", "dst", iters = 3)
+        .orderBy(col("rank").desc, col("id"))
+        .limit(25)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+    },
+
     // BM25 ranked retrieval (rows-only: BM25's ln() is libm-dependent in
     // its last ulp, not cross-engine oracle-able; the boolean match
     // sub-structure is oracled by q_keyword_search and the scoring is

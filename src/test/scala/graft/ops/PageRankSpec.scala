@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference implementation (same algorithm, plain Scala). */
+  private def ref(edges: Seq[(Long, Long)], iters: Int,
+      damping: Double): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    (0 until iters).foreach { _ =>
+      val dangling = nodes.filterNot(outDeg.contains).map(rank).sum
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / outDeg(s) }.sum).toMap
+      val base = (1.0 - damping) / n + damping * dangling / n
+      rank = nodes.map(id => id -> (base + damping * in.getOrElse(id, 0.0))).toMap
+    }
+    rank
+  }
+
+  test("matches the driver-side reference within float tolerance") {
+    // hub (1), chain, a dangling node (5), and a cycle
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (3L, 1L),
+      (4L, 5L), (6L, 1L), (2L, 6L), (6L, 2L))
+    val got = PageRank.run(edges.toDF("s", "d"), "s", "d", iters = 15)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = ref(edges, iters = 15, damping = 0.85)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, r) =>
+      assert(math.abs(r - want(id)) < 1e-9, s"node $id: $r vs ${want(id)}")
+    }
+    // probability mass conserved
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the hub out-ranks the dangling leaf
+    assert(got(1L) > got(5L))
+  }
+
+  test("uniform cycle converges to uniform ranks") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val got = PageRank.run(edges.toDF("s", "d"), "s", "d", iters = 20)
+      .collect().map(r => r.getDouble(1))
+    got.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-9))
+  }
+}
