@@ -177,9 +177,12 @@ class SkewJoinAqeSpec extends SparkSpec {
   */
 class PlanSweepSpec extends SparkSpec {
 
-  // deliberate exception: q_ann_recall cross-joins a BROADCAST handful of
-  // probe vectors (the standard batch-ANN scoring shape)
-  private val cartesianOk = Set("q_ann_recall")
+  // deliberate exceptions:
+  //  - q_ann_recall cross-joins a BROADCAST handful of probe vectors (the
+  //    standard batch-ANN scoring shape)
+  //  - q_bm25_search cross-joins two 1-ROW broadcast scalars (corpus size,
+  //    avg doc length) onto the matched postings
+  private val cartesianOk = Set("q_ann_recall", "q_bm25_search")
 
   test("no accidental cartesian or nested-loop joins in any driver query") {
     val problems = scala.collection.mutable.ListBuffer.empty[String]
