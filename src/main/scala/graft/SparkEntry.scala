@@ -771,6 +771,14 @@ object SparkEntry {
           col("n_rows"))
     },
 
+    // INTERSECT twin of q_set_except: customers active in BOTH years.
+    "q_set_intersect" -> q { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      o.where(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .intersect(
+          o.where(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+    },
+
     // Set operations (distinct INTERSECT/EXCEPT semantics): customers
     // active in 1995 but not in 1996.
     "q_set_except" -> q { (s, dir) =>
@@ -1098,6 +1106,25 @@ object SparkEntry {
       graft.ops.Quantize.auditInt8(
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
         "vec_id", "embedding")
+    },
+
+    // Quantized ANN first-pass: top-k by integer dot product over int8
+    // codes — the scan phase of SQ8 retrieval (4× less data read; full-
+    // precision re-rank happens on the survivors). Integer arithmetic ⇒
+    // exactly oracle-able, unlike float cosine.
+    "q_ann_quantized" -> q { (s, dir) =>
+      val codes = graft.ops.Quantize.quantizeInt8(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          "embedding")
+        .select(col("vec_id"), col("codes"))
+      val qCodes = codes.where(col("vec_id") === 0)
+        .select(col("codes").as("q_codes"))
+      codes.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qCodes))
+        .select(col("vec_id"),
+          graft.ops.Quantize.codeDot(col("codes"), col("q_codes")).as("qdot"))
+        .orderBy(col("qdot").desc, col("vec_id"))
+        .limit(10)
     },
 
     // Unicode canonicalization (NFC + accent fold + casefold + whitespace
@@ -2281,6 +2308,30 @@ object SparkEntry {
         |       ELSE (doc_id * 2654435761 + j * 104729 + 7919) % n_docs
         |  END AS neg_id
         |FROM documents, ks, n""".stripMargin,
+
+    "q_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, v, list_min(v) AS qmin, list_max(v) AS qmax FROM e),
+        |c AS (SELECT vec_id,
+        |        CASE WHEN qmax - qmin = 0
+        |             THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |             ELSE list_transform(v,
+        |               x -> CAST(round((x - qmin) / ((qmax - qmin) / 255.0)) AS BIGINT))
+        |        END AS codes,
+        |        len(v) AS n
+        |      FROM q),
+        |qq AS (SELECT codes AS q_codes FROM c WHERE vec_id = 0)
+        |SELECT c.vec_id,
+        |  CAST(list_sum(list_transform(range(1, c.n + 1),
+        |         i -> c.codes[i] * qq.q_codes[i])) AS BIGINT) AS qdot
+        |FROM c, qq WHERE c.vec_id <> 0
+        |ORDER BY qdot DESC, c.vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
 
     "q_pit_features" ->
       """WITH dim AS (

@@ -59,6 +59,16 @@ object Quantize {
         col("__q.c_min").as("c_min"), col("__q.c_max").as("c_max"),
         col("__q.max_abs_err").as("max_abs_err"))
 
+  /** Quantized similarity scoring: integer dot product of two int8 code
+    * arrays — the cheap first-pass scorer over an SQ8-compressed corpus
+    * (faiss-style: scan the 4×-smaller codes, re-rank survivors with
+    * full-precision vectors). Pure integer arithmetic: unlike float
+    * cosine, the score is EXACTLY reproducible on any engine — quantized
+    * retrieval is oracle-able end to end.
+    */
+  def codeDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
   /** Higher-order-function reference formulation of [[auditInt8]] —
     * bit-identical output by contract (asserted in QuantizeSpec); kept as
     * the executable spec of the kernel's arithmetic.

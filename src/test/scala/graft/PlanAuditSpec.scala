@@ -182,7 +182,8 @@ class PlanSweepSpec extends SparkSpec {
   //    standard batch-ANN scoring shape)
   //  - q_bm25_search cross-joins two 1-ROW broadcast scalars (corpus size,
   //    avg doc length) onto the matched postings
-  private val cartesianOk = Set("q_ann_recall", "q_bm25_search")
+  //  - q_ann_quantized cross-joins the 1-ROW broadcast query-codes vector
+  private val cartesianOk = Set("q_ann_recall", "q_bm25_search", "q_ann_quantized")
 
   test("no accidental cartesian or nested-loop joins in any driver query") {
     val problems = scala.collection.mutable.ListBuffer.empty[String]
