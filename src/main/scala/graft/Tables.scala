@@ -31,7 +31,12 @@ object Tables {
     import org.apache.spark.sql.types.LongType
     val raw = apply(spark, dir, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      // FLOOR division nanos→micros: `DIV` truncates toward zero, which
+      // would round pre-epoch (negative) timestamps up by 1 µs — matching
+      // how µs-native readers floor. (Double division would lose precision
+      // above 2^53 ns.)
+      raw.withColumn("ts", timestamp_micros(
+        expr("ts DIV 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
     else raw
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")

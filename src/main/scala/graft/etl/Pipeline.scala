@@ -88,9 +88,16 @@ object Pipeline {
       val stagePath = s"$stageDir/stock_stage"
       StockEtl.writeCsvStage(StockEtl.consolidate(enriched), stagePath)
 
-      // stage 5: warehouse append + consume-once + verify (S6/S7)
+      // stage 5: warehouse append + consume-once (S6)
       val loaded = graft.sinks.WarehouseLoad.appendAndPurge(
         spark, stagePath, warehouseDir)
+      // stage 6: S7 post-load verification aggregate (DAG:380–386) — the
+      // warehouse must actually CONTAIN at least the rows this run
+      // appended; a silent short write fails the run here, not downstream
+      val v = graft.sinks.WarehouseLoad.verify(spark, warehouseDir)
+      require(v.getAs[Long]("total_rows") >= loaded,
+        s"post-load verify: warehouse has ${v.getAs[Long]("total_rows")} rows, " +
+          s"run appended $loaded")
       RunReport(nSyms, nRows, minD, maxD, stagePath, warehouseDir, loaded)
     } finally enriched.unpersist()
   }

@@ -95,7 +95,11 @@ object StockEtl {
     */
   private def pandasDiv(num: Column, den: Column): Column =
     when(den === lit(0.0),
-      when(num > lit(0.0), lit(Double.PositiveInfinity))
+      // isnan FIRST: Spark comparisons order NaN greater than every
+      // number, so `NaN > 0` is TRUE and would return +Infinity where
+      // IEEE (and pandas) say NaN/0 = NaN
+      when(isnan(num), lit(Double.NaN))
+        .when(num > lit(0.0), lit(Double.PositiveInfinity))
         .when(num < lit(0.0), lit(Double.NegativeInfinity))
         .otherwise(lit(Double.NaN)))
       .otherwise(num / den)
@@ -116,14 +120,23 @@ object StockEtl {
     val w = Window.partitionBy(partCols: _*).orderBy(col("Date"))
     val prevClose = lag(col("Close"), 1).over(w)
 
-    val enriched = bars
-      // W1: Close.diff().fillna(0) — first row per (Symbol, batch) → 0.0
+    val hasHiLo = bars.columns.contains("High") && bars.columns.contains("Low")
+    val enriched0 = bars
+      // W1: Close.diff().fillna(0) — first row per (Symbol, batch) → 0.0.
+      // fillZero, not bare coalesce: a NaN Close (coercing-cast artifact)
+      // makes the diff NaN, which pandas' fillna(0) ALSO zeroes
       .withColumn("Close_Change",
-        bround(coalesce(col("Close") - prevClose, lit(0.0)), 4))
+        bround(fillZero(col("Close") - prevClose), 4))
       // W2: pct_change().fillna(0) * 100 — a zero previous Close yields
       // ±Infinity like pandas (NOT 0; see pandasDiv)
       .withColumn("Close_Pct_Change",
         bround(fillZero((pandasDiv(col("Close"), prevClose) - lit(1.0)) * lit(100.0)), 4))
+    // F8/F9 only when the range columns exist — the P15 intersection
+    // tolerance ("select only columns that exist") must hold for the
+    // inputs of derived metrics too, or a High/Low-less frame throws at
+    // analysis instead of simply omitting the range metrics
+    val enriched = if (!hasHiLo) enriched0
+    else enriched0
       // F8: High − Low
       .withColumn("Daily_Range", bround(col("High") - col("Low"), 4))
       // F9 + F12: (High−Low)/Low·100; NaN→0 but ±Infinity preserved (DAG:167)
@@ -182,8 +195,15 @@ object StockEtl {
     val formatted = df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
         case DoubleType =>
+          // pandas float_format renders infinities as "inf"/"-inf";
+          // Java's Formatter would write "Infinity" — and ±Infinity IS
+          // reachable here (zero-divisor pct-change rows)
           acc.withColumn(f.name,
-            when(col(f.name).isNotNull, format_string("%.4f", col(f.name))))
+            when(col(f.name) === Double.PositiveInfinity, lit("inf"))
+              .when(col(f.name) === Double.NegativeInfinity, lit("-inf"))
+              // stray NaN = pandas NA → na_rep '' (P13: NaN→None)
+              .when(isnan(col(f.name)), lit(""))
+              .when(col(f.name).isNotNull, format_string("%.4f", col(f.name))))
         case DateType =>
           acc.withColumn(f.name, date_format(col(f.name), "yyyy-MM-dd"))
         case _ => acc

@@ -84,9 +84,12 @@ object TextAnalysis {
   }
 
   /** Convenience for ad-hoc use on small data; production paths should
-    * stage tokens once and use [[qualityScoreFromTokens]].
+    * stage tokens once and use [[qualityScoreFromTokens]]. Case-folds
+    * first: the stopword profile is lowercase, and "The cat" must score
+    * like "the cat".
     */
-  def qualityScore(text: Column): Column = qualityScoreFromTokens(tokens(text))
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(tokens(lower(text)))
 
   /** Tiny per-language stopword profiles for the n-gram/stopword language-ID
     * heuristic. Real pipelines use fastText-style models; the mechanism —
@@ -101,10 +104,11 @@ object TextAnalysis {
     "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zai", "ta", "men", "zhe"))
 
   /** Detected language code: argmax over profile-overlap ratios, 'und' when
-    * nothing matches.
+    * nothing matches. Case-folds first (profiles are lowercase — a
+    * Title-Case document must not come back 'und').
     */
   def langId(text: Column, profiles: Map[String, Seq[String]] = langProfiles): Column =
-    langIdFromTokens(tokens(text), profiles)
+    langIdFromTokens(tokens(lower(text)), profiles)
 
   /** Language ID from a materialized tokens column (attribute). */
   def langIdFromTokens(toks: Column,
@@ -284,7 +288,9 @@ object TextAnalysis {
       explode(tokens(lower(col(textCol)))).as("token"))
     val tf = tokens0.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tokens0.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // dl derived from tf, NOT a second tokenize+explode pass over the
+    // corpus (Spark plans no subplan sharing across the two consumers)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val avgdl = dl.select(avg(col("dl")).as("avgdl"))
     val df = tf.where(col("token").isin(t: _*))
@@ -332,7 +338,11 @@ object TextAnalysis {
     val t = col(textCol)
     val toks = col("__toks")
     docs
-      .withColumn("__toks", tokens(t))
+      // case-folded tokens: counts and lengths are case-invariant, while
+      // the stopword and language profiles (lowercase) only match folded
+      // tokens — raw-case tokens would zero stopword_ratio and return
+      // 'und' for any Title-Case document
+      .withColumn("__toks", tokens(lower(t)))
       .select(
         col("*"),
         length(t).cast(LongType).as("n_chars_computed"),

@@ -16,31 +16,24 @@ import org.apache.spark.sql.types._
   */
 object WarehouseLoad {
 
-  /** The staged CSV layout produced by StockEtl.writeCsvStage: all-string
-    * decode first, then coercing casts — matching the COPY options
-    * (NULL_IF, TRIM_SPACE, ON_ERROR CONTINUE ≈ PERMISSIVE).
-    */
-  val stagedSchema: StructType = StructType(Seq(
-    StructField("Date", StringType), StructField("Symbol", StringType),
-    StructField("Open", StringType), StructField("High", StringType),
-    StructField("Low", StringType), StructField("Close", StringType),
-    StructField("Volume", StringType),
-    StructField("Close_Change", StringType),
-    StructField("Close_Pct_Change", StringType),
-    StructField("Daily_Range", StringType),
-    StructField("Daily_Range_Pct", StringType)))
-
   private val numericCols = Seq("Open", "High", "Low", "Close",
     "Close_Change", "Close_Pct_Change", "Daily_Range", "Daily_Range_Pct")
 
   /** Append the staged CSV into the warehouse parquet table, then delete
     * the consumed staged files (consume-once). Returns rows loaded.
+    *
+    * The row count comes from an `Observation` attached to the SAME write
+    * job — not a separate `count()` action, which would decode the whole
+    * staged CSV a second time and could disagree with what was actually
+    * appended if the stage changed between the two scans.
     */
   def appendAndPurge(spark: SparkSession, stagePath: String,
       warehouseDir: String): Long = {
-    val typed = readStaged(spark, stagePath)
-    val n = typed.count()
-    typed.write.mode("append").parquet(warehouseDir)
+    val obs = org.apache.spark.sql.Observation()
+    readStaged(spark, stagePath)
+      .observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").parquet(warehouseDir)
+    val n = obs.get("n").asInstanceOf[Long]
     purge(spark, stagePath) // PURGE=TRUE (DAG:378): delete only after success
     n
   }

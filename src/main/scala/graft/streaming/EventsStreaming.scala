@@ -40,7 +40,8 @@ object EventsStreaming {
       .schema(eventNanosSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(inputDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", timestamp_micros( // floor division — see Tables.events
+        expr("ts DIV 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
