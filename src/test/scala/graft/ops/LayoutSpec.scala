@@ -94,10 +94,16 @@ class LayoutSpec extends SparkSpec {
     val before = new java.io.File(dir).listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(before == 32)
+    // crash residue from a hypothetical earlier run: the rename-aside swap
+    // must clear a stale backup, never trip over it
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir + "_compacting_old", "junk"))
     val after = Layout.compact(spark, dir, targetFileBytes = 1L << 30)
     assert(after == 1, s"expected 1 compacted file, got $after")
     val back = spark.read.parquet(dir)
     assert(back.count() == 2000)
     assert(back.agg(sum("id")).head().getLong(0) == 1999L * 2000 / 2)
+    // no backup left behind on success
+    assert(!new java.io.File(dir + "_compacting_old").exists())
   }
 }

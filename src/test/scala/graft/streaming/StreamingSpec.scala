@@ -215,6 +215,10 @@ class StreamingSpec extends SparkSpec {
 
     val t = java.sql.Timestamp.valueOf(_: String)
     val dir = java.nio.file.Files.createTempDirectory("mview").toString
+    // crash residue from a hypothetical prior run: the swap must clear a
+    // stale backup directory, never trip over it
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/state_prev/junk"))
     val input = MemoryStream[(Long, String, java.sql.Timestamp, Double)]
     val q = EventsStreaming.maintainLatestState(
       input.toDS().toDF("event_id", "key", "ts", "value"),
@@ -237,6 +241,9 @@ class StreamingSpec extends SparkSpec {
       val s2 = spark.read.parquet(s"$dir/state")
         .select("key", "value").as[(String, Double)].collect().toMap
       assert(s2 == Map("k1" -> 9.0, "k2" -> 3.0, "k3" -> 7.0))
+      // the rename-aside swap leaves no backup behind on success
+      assert(!new java.io.File(s"$dir/state_prev").exists(),
+        "stale backup directory not cleaned up")
     } finally q.stop()
   }
 
