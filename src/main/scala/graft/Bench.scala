@@ -101,13 +101,35 @@ object Bench {
         }
       }
     }
+    // Calibration: the fixed cost of ONE Spark job (and one shuffled job)
+    // in this exact session, measured with the same warmup + min-of-2
+    // protocol as the queries. ~60 of the suite's queries finish in under
+    // 0.6 s — their oracle ratios are dominated by this per-job floor
+    // (scheduler + codegen + task launch), not by plan cost, and the floor
+    // amortizes to zero at real scale. Publishing it lets a reader subtract
+    // the harness constant from the ratio.
+    def calibrate(work: () => Unit): Double = {
+      work() // warmup
+      (1 to 2).map { _ =>
+        isolate()
+        val t0 = System.nanoTime()
+        work()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    import org.apache.spark.sql.functions.{col => fcol}
+    val jobFloor = calibrate(() =>
+      spark.range(0, 1000000, 1, 32).write.format("noop").mode("overwrite").save())
+    val shuffleFloor = calibrate(() =>
+      spark.range(0, 1000000, 1, 32).groupBy(fcol("id") % 1000).count()
+        .write.format("noop").mode("overwrite").save())
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skipJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson,"skipped":$skipJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"calibration":{"job_floor":${f"$jobFloor%.3f"},"shuffle_floor":${f"$shuffleFloor%.3f"}},"errors":$errJson,"skipped":$skipJson,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()

@@ -1167,6 +1167,59 @@ object SparkEntry {
         LIMIT 10""")
     },
 
+    // TPC-H Q5 shape (local supplier volume): a 6-way join chain where the
+    // c_nationkey = s_nationkey equality closes a cycle — the planner must
+    // broadcast the three tiny dims (region, nation, supplier) and shuffle
+    // only the two fact tables. Revenue uses the exact fixed-point pattern.
+    "q_sql_tpch_q5" -> q { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+      Tables.region(s, dir).createOrReplaceTempView("v_region")
+      s.sql("""
+        SELECT n_name,
+          sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0
+            AS revenue
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN v_nation ON s_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")
+    },
+
+    // TPC-H Q10 shape (returned-item reporting): fact-fact join + top-20
+    // customers by lost revenue. The ORDER BY extends to the unique
+    // c_custkey so LIMIT is deterministic across engines.
+    "q_sql_tpch_q10" -> q { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT c_custkey, c_name,
+          sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0
+            AS revenue,
+          c_acctbal, n_name
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        JOIN v_nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")
+    },
+
     // FULL OUTER join with unmatched keys on BOTH sides (deliberately
     // non-overlapping nation filters): the one outer-join shape the suite
     // didn't cover.
@@ -2164,6 +2217,38 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q_sql_tpch_q5" ->
+      """SELECT n_name,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0
+        |    AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_sql_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0
+        |    AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q_join_full_outer" ->
       """SELECT nationkey, n_custs, n_supps FROM
