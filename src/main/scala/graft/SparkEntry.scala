@@ -1006,6 +1006,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
     },
 
+    // Full-corpus IVF assignment against a FIXED seeded centroid table —
+    // oracles the `nearest_centroid_f32` kernel itself (squared-L2 argmin,
+    // earliest-minimum tie-break) row by row; the same plan-time-literal
+    // pattern as q_ann_lsh_buckets. The trained-quantizer path (seeds from
+    // distributed Lloyd, q_ann_ivf) stays rows-only because training runs
+    // in Spark; this query pins the assignment arithmetic bit-exactly.
+    "q_ivf_assign" -> q { (s, dir) =>
+      val cents = Similarity.fixedCentroids(k = 8, dim = 64)
+      Tables.embeddings(s, dir)
+        .where(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.nearestCentroidF32(
+            col("embedding"), cents, 64).cast(LongType).as("centroid_id"))
+    },
+
     // ---- multimodal plumbing (rows-only; decode is stubbed) ----
 
     "q_multimodal_features" -> q { (s, dir) =>
@@ -1530,9 +1545,40 @@ object SparkEntry {
        |FROM embeddings""".stripMargin
   }
 
+  /** Oracle for `q_ivf_assign`: the seeded centroid table embedded as SQL
+    * literal constants, each squared-L2 distance written in the kernel's
+    * exact left-to-right accumulation order ((v[j]-c[j])² terms, SQL `+`
+    * is left-associative ⇒ bit-identical doubles), argmin as an
+    * earliest-minimum CASE chain (`<=` against all later centroids) —
+    * matching the kernel's update-only-on-strictly-smaller contract.
+    */
+  private def ivfAssignOracleSql(k: Int, dim: Int): String = {
+    val cents = Similarity.fixedCentroids(k, dim)
+    val dcols = (0 until k).map { c =>
+      val d = (0 until dim).map { j =>
+        val e = s"(CAST(embedding[${j + 1}] AS DOUBLE) - (${cents(c * dim + j)}))"
+        s"$e * $e"
+      }.mkString(" + ")
+      s"($d) AS d$c"
+    }.mkString(",\n    ")
+    val cases = (0 until k - 1).map { c =>
+      val conds = (c + 1 until k).map(o => s"d$c <= d$o").mkString(" AND ")
+      s"WHEN $conds THEN $c"
+    }.mkString("\n    ")
+    s"""WITH dd AS (
+       |  SELECT vec_id,
+       |    $dcols
+       |  FROM embeddings WHERE embedding IS NOT NULL)
+       |SELECT vec_id,
+       |  CAST(CASE $cases ELSE ${k - 1} END AS BIGINT) AS centroid_id
+       |FROM dd""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_ann_lsh_buckets" -> lshBucketOracleSql(planes = 12, dim = 64),
+
+    "q_ivf_assign" -> ivfAssignOracleSql(k = 8, dim = 64),
 
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity

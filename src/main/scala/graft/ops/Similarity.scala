@@ -189,6 +189,72 @@ object Similarity {
     IvfIndex(centroids.flatten, dim)
   }
 
+  /** Full-corpus Lloyd training where each iteration is ONE distributed
+    * pass: assignment runs the codegen'd `nearest_centroid_f32` kernel,
+    * per-centroid per-coordinate sums reduce through two-phase aggregation
+    * (map-side partial combine first), and only k × dim (sum, count) cells
+    * reach the driver per iteration — shuffle volume is
+    * O(partitions × k × dim), independent of corpus size. Use over
+    * [[trainIvfCentroids]] when the corpus has drifted past what a bounded
+    * sample represents; at 100 TB each iteration is a full scan of the
+    * narrow (id, vec) projection, so keep `iters` small (Lloyd converges
+    * fast from hash-spread seeds).
+    *
+    * Semantics match the sample fit: init = k lowest-`xxhash64(id)`
+    * vectors, empty clusters keep their previous centroid, squared-L2
+    * assignment with lowest-id tie-break (the kernel contract). Coordinate
+    * means divide by that coordinate's contributor count, which differs
+    * from the sample fit only on ragged-dimension corpora. Distributed
+    * double summation is partition-order dependent in the last ulps
+    * (inherent to any distributed mean); Lloyd assignment is robust to
+    * that away from exact distance ties.
+    */
+  def trainIvfCentroidsDistributed(vecs: DataFrame, idCol: String,
+      vecCol: String, k: Int = 16, iters: Int = 10): IvfIndex = {
+    val clean = vecs
+      .where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol))
+    val seeds = clean
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(k)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(seeds.nonEmpty, "cannot train IVF centroids on an empty corpus")
+    val dim = seeds.head.length
+    // short seed vectors pad with 0.0 — the flat table must be k × dim
+    var flat: Array[Double] =
+      Array.concat(seeds.map(s => java.util.Arrays.copyOf(s, dim)): _*)
+    (0 until iters).foreach { _ =>
+      val cells = clean
+        .withColumn("centroid_id",
+          graft.functions.VectorFunctions.nearestCentroidF32(
+            col(vecCol), flat, dim))
+        .select(col("centroid_id"),
+          posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .where(col("pos") < dim) // ragged clamp — kernel scores only j < dim
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sum(col("v").cast(DoubleType)).as("s"), count(lit(1)).as("n"))
+        .collect()
+      // start from the previous table so empty clusters keep their centroid
+      val next = java.util.Arrays.copyOf(flat, flat.length)
+      cells.foreach { r =>
+        next(r.getInt(0) * dim + r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      flat = next
+    }
+    IvfIndex(flat, dim)
+  }
+
+  /** Deterministic pseudo-random centroid table (seeded Gaussian, generated
+    * at plan time like [[hyperplanes]]) — a fixed coarse quantizer for
+    * oracle-checkable assignment queries and kernel benchmarks.
+    */
+  private[graft] def fixedCentroids(k: Int, dim: Int, seed: Long = 7L): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(k * dim)(rnd.nextGaussian())
+  }
+
   /** Distributed assignment: each vector gains its nearest-centroid id via
     * the fused codegen'd kernel (`nearest_centroid_f32`).
     */

@@ -158,6 +158,62 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("distributed Lloyd: matches the driver-side fit on separated clusters") {
+    // three tight, well-separated clusters: every Lloyd iteration assigns
+    // identically under driver-sequential and distributed-partial
+    // summation (no near-ties), so the two fits must agree to FP noise
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(Array(10.0f, 0.0f, 0.0f), Array(0.0f, 10.0f, 0.0f),
+      Array(0.0f, 0.0f, 10.0f))
+    val pts = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val df = pts.toDF("vec_id", "embedding").repartition(8)
+    val ref = Similarity.trainIvfCentroids(df, "vec_id", "embedding",
+      k = 3, sampleSize = 1000, iters = 5)
+    val dist = Similarity.trainIvfCentroidsDistributed(df, "vec_id", "embedding",
+      k = 3, iters = 5)
+    assert(dist.k == 3 && dist.dim == 3)
+    val maxDiff = ref.centroidsFlat.zip(dist.centroidsFlat)
+      .map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff < 1e-9, s"centroid tables diverged: max |diff| = $maxDiff")
+    // each fitted centroid sits on one true cluster center
+    centers.foreach { c =>
+      val near = (0 until 3).exists { ci =>
+        val got = dist.centroid(ci)
+        c.zip(got).map { case (x, y) => math.abs(x - y) }.max < 0.1
+      }
+      assert(near, s"no fitted centroid near ${c.toSeq}")
+    }
+    // assignment through the kernel agrees between the two quantizers
+    val a1 = Similarity.ivfAssign(df, "vec_id", "embedding", ref)
+      .orderBy("vec_id").select("centroid_id").as[Int].collect().toSeq
+    val a2 = Similarity.ivfAssign(df, "vec_id", "embedding", dist)
+      .orderBy("vec_id").select("centroid_id").as[Int].collect().toSeq
+    assert(a1 == a2)
+  }
+
+  test("distributed Lloyd: empty clusters keep their seed centroid (no NaN)") {
+    // only two distinct vectors but k=3 ⇒ at least two seeds are identical;
+    // the earliest-minimum tie-break starves the duplicate seed of every
+    // assignment, so it must pass through all iterations unchanged instead
+    // of collapsing to 0/0 = NaN
+    val a = Array(1.0f, 2.0f)
+    val b = Array(-5.0f, 3.0f)
+    val pts = (0 until 40).map(i => (i.toLong, if (i % 2 == 0) a else b))
+    val df = pts.toDF("vec_id", "embedding")
+    val idx = Similarity.trainIvfCentroidsDistributed(df, "vec_id", "embedding",
+      k = 3, iters = 4)
+    assert(idx.k == 3)
+    assert(!idx.centroidsFlat.exists(_.isNaN))
+    // every centroid is exactly a or b (cluster means of identical points
+    // are exact; the starved seed keeps its initial vector)
+    val want = Set(a.map(_.toDouble).toSeq, b.map(_.toDouble).toSeq)
+    val got = (0 until 3).map(idx.centroid(_).toSeq).toSet
+    assert(got.subsetOf(want) && got.size == 2, s"centroids: $got")
+  }
+
   test("ivf top-k: finds the exact duplicate with nprobe=1") {
     val emb = graft.Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val doubled = emb.unionByName(emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
