@@ -1433,6 +1433,30 @@ object SparkEntry {
         sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("n_purchase_after_click"))
     },
 
+    // Per-user funnel milestone table (the row-level twin of q_funnel, and
+    // the batch reference for streaming.EventsStreaming.funnelStream).
+    // Unreached milestones use the 9999-12-31 open-interval sentinel —
+    // null timestamps compare NaT≠NaT under the driver gate.
+    "q_funnel_users" -> q { (s, dir) =>
+      val sentinel = lit("9999-12-31 00:00:00").cast(TimestampType)
+      val wu = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(wu))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+            col("ts"))).over(wu))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+            col("ts"))).over(wu))
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(max(col("t_view")), sentinel).as("t_view"),
+          coalesce(max(col("t_click")), sentinel).as("t_click"),
+          coalesce(max(col("t_purchase")), sentinel).as("t_purchase"))
+    },
+
     // Cohort retention: users grouped by first-activity day, activity
     // counted at day offsets — first-touch attribution + one broadcastable
     // cohort join (the cohort table is |users|, tiny next to the event
@@ -2524,6 +2548,26 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_purchase_after_click
         |FROM pu""".stripMargin,
+
+    "q_funnel_users" ->
+      """WITH s1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_view
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_click
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_purchase
+        |  FROM s2)
+        |SELECT user_id,
+        |  coalesce(max(t_view), TIMESTAMP '9999-12-31 00:00:00') AS t_view,
+        |  coalesce(max(t_click), TIMESTAMP '9999-12-31 00:00:00') AS t_click,
+        |  coalesce(max(t_purchase), TIMESTAMP '9999-12-31 00:00:00') AS t_purchase
+        |FROM s3 GROUP BY user_id""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -164,6 +164,103 @@ object EventsStreaming {
       }
       .start()
 
+  final case class FunnelEv(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  /** Compacted funnel state, timestamps in epoch micros. `Long.MaxValue`
+    * is the "absent" sentinel for `minView`; `maxSeen` drives the quiet
+    * timeout.
+    */
+  final case class FunnelState(minView: Long, clicks: List[Long],
+      purchases: List[Long], maxSeen: Long)
+  final case class FunnelOut(user_id: Long, t_view: Option[java.sql.Timestamp],
+      t_click: Option[java.sql.Timestamp], t_purchase: Option[java.sql.Timestamp])
+
+  private def toMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Streaming ordered-funnel (view → click-after-view →
+    * purchase-after-click): per-user milestones identical to the batch twin
+    * (`q_funnel_users`), emitted once the user has been quiet for `quietMs`
+    * of EVENT time. Exact under out-of-order arrival WITHIN the watermark —
+    * not by buffering the user's history, but by a compacted monotone
+    * sufficient statistic:
+    *
+    *  - `t_view` is a plain min — one scalar;
+    *  - a click above the current first-qualifying click can never become
+    *    the milestone (the qualifying set only grows DOWNWARD as earlier
+    *    views arrive), so only clicks ≤ that candidate are kept;
+    *  - a click at or below BOTH the current `t_view` and the watermark is
+    *    provably dead (it could only qualify via a future view strictly
+    *    below it, and the watermark forbids such arrivals) — dropped;
+    *  - purchases get the same dominance rule against the first-qualifying
+    *    purchase.
+    *
+    * State per user is therefore O(pre-conversion candidates), not
+    * O(events) — the difference between a funnel that survives a month of
+    * stream at 100 TB and one that OOMs. A user who re-appears after
+    * emission starts a fresh funnel (one row per quiet period — same
+    * horizon caveat as [[sessionizeStream]]).
+    */
+  def funnelStream(events: Dataset[FunnelEv], quietMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[FunnelOut] = {
+    implicit val outEnc: org.apache.spark.sql.Encoder[FunnelOut] = Encoders.product[FunnelOut]
+    implicit val stEnc: org.apache.spark.sql.Encoder[FunnelState] = Encoders.product[FunnelState]
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
+    val NoView = Long.MaxValue
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            val tView = if (st.minView == NoView) None else Some(st.minView)
+            val tClick = tView.flatMap(v => st.clicks.filter(_ > v).minOption)
+            val tPurchase = tClick.flatMap(c => st.purchases.filter(_ > c).minOption)
+            Iterator.single(FunnelOut(userId, tView.map(fromMicros),
+              tClick.map(fromMicros), tPurchase.map(fromMicros)))
+          } else {
+            val evs = rows.toSeq
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val prev = state.getOption.getOrElse(
+                FunnelState(NoView, Nil, Nil, Long.MinValue))
+              val wmMicros = state.getCurrentWatermarkMs() * 1000L
+              val us = evs.map(e => e.event_type -> toMicros(e.ts))
+              val minView = (prev.minView +:
+                us.collect { case ("view", t) => t }).min
+              val clicks0 = (prev.clicks ++ us.collect { case ("click", t) => t })
+                .distinct.sorted
+              val purchases0 = (prev.purchases ++
+                us.collect { case ("purchase", t) => t }).distinct.sorted
+              // first-qualifying candidates under the CURRENT milestones
+              val qc = clicks0.find(_ > minView)
+              val clicks = clicks0
+                .filter(c => qc.forall(c <= _))               // dominance
+                .filter(c => !(c <= minView && c <= wmMicros)) // provably dead
+              val qp = purchases0.find(p => qc.exists(p > _))
+              val purchases = purchases0.filter(p => qp.forall(p <= _))
+              val maxSeen = (prev.maxSeen +: us.map(_._2)).max
+              val st = FunnelState(minView, clicks, purchases, maxSeen)
+              state.update(st)
+              // a very late (but in-watermark) batch could compute a quiet
+              // deadline already behind the watermark — clamp forward, or
+              // Spark rejects the timeout as non-monotone
+              state.setTimeoutTimestamp(Math.max(
+                state.getCurrentWatermarkMs() + 1,
+                Math.floorDiv(maxSeen, 1000L) + quietMs))
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   final case class SessionOut(user_id: Long, n_events: Long, start: java.sql.Timestamp,
       end: java.sql.Timestamp)

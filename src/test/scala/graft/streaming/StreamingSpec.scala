@@ -109,6 +109,107 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: out-of-order arrivals re-qualify earlier clicks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import EventsStreaming.{FunnelEv, FunnelOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val t = java.sql.Timestamp.valueOf(_: String)
+    val input = MemoryStream[FunnelEv]
+    val funnel = EventsStreaming.funnelStream(input.toDS(), quietMs = 60000L,
+      watermarkDelay = "2 hours")
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    val q = funnel.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // batch 1: click arrives BEFORE any view precedes it — not qualifying
+      // yet, but must be retained (a future earlier view can activate it)
+      input.addData(
+        FunnelEv(1L, "view", t("2024-01-01 10:30:00")),
+        FunnelEv(1L, "click", t("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      // batch 2: an EARLIER view lowers t_view below the buffered click,
+      // which becomes the milestone; the 10:05 purchase precedes it
+      input.addData(
+        FunnelEv(1L, "view", t("2024-01-01 10:00:00")),
+        FunnelEv(1L, "purchase", t("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // batch 3: the first purchase after the click milestone
+      input.addData(FunnelEv(1L, "purchase", t("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      // batch 4: far-future event advances the watermark → quiet timeout
+      input.addData(FunnelEv(99L, "view", t("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("funnel_out").as[FunnelOut].collect()
+      assert(out.length == 1, s"expected exactly user 1 flushed, got ${out.toSeq}")
+      val f = out.head
+      assert(f.user_id == 1L)
+      assert(f.t_view.contains(t("2024-01-01 10:00:00")), s"t_view: ${f.t_view}")
+      assert(f.t_click.contains(t("2024-01-01 10:10:00")), s"t_click: ${f.t_click}")
+      assert(f.t_purchase.contains(t("2024-01-01 10:20:00")), s"t_purchase: ${f.t_purchase}")
+    } finally q.stop()
+  }
+
+  test("streaming funnel equals the batch twin on the real events table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.expressions.Window
+    import EventsStreaming.{FunnelEv, FunnelOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val events = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val evs = events.as[FunnelEv].collect().toSeq
+    val flushTs = new java.sql.Timestamp(
+      evs.map(_.ts.getTime).max + 7L * 86400000L)
+
+    val input = MemoryStream[FunnelEv]
+    val funnel = EventsStreaming.funnelStream(input.toDS(), quietMs = 1000L)
+    val dir = java.nio.file.Files.createTempDirectory("funnel_eq").toString
+    val q = funnel.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel_eq_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      input.addData(evs) // one batch: first-batch watermark admits everything
+      q.processAllAvailable()
+      input.addData(FunnelEv(-1L, "view", flushTs)) // advance wm → flush all
+      q.processAllAvailable()
+      val got = spark.table("funnel_eq_out").as[FunnelOut].collect()
+        .map(f => f.user_id -> ((f.t_view, f.t_click, f.t_purchase))).toMap
+
+      val wu = Window.partitionBy(col("user_id"))
+      val expected = events
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(wu))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+            col("ts"))).over(wu))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+            col("ts"))).over(wu))
+        .groupBy(col("user_id"))
+        .agg(max(col("t_view")).as("t_view"), max(col("t_click")).as("t_click"),
+          max(col("t_purchase")).as("t_purchase"))
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)),
+          Option(r.getTimestamp(2)), Option(r.getTimestamp(3))))).toMap
+
+      assert(got.keySet == expected.keySet,
+        s"user sets differ: ${got.keySet.diff(expected.keySet)} / ${expected.keySet.diff(got.keySet)}")
+      expected.foreach { case (u, exp) =>
+        assert(got(u) == exp, s"user $u: streaming ${got(u)} != batch $exp")
+      }
+    } finally q.stop()
+  }
+
   test("stream sessionization equals the batch twin on the real events table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
