@@ -1015,7 +1015,12 @@ object SparkEntry {
     "q_ivf_assign" -> q { (s, dir) =>
       val cents = Similarity.fixedCentroids(k = 8, dim = 64)
       Tables.embeddings(s, dir)
-        .where(col("embedding").isNotNull)
+        // exactly-64-dim, no null elements: the kernel clamps ragged
+        // vectors to a truncated sum while SQL indexing past the end (or
+        // into a null element) turns every distance NULL — restrict both
+        // sides to the domain where the arithmetic is defined identically
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64 &&
+          !exists(col("embedding"), _.isNull))
         .select(col("vec_id"),
           graft.functions.VectorFunctions.nearestCentroidF32(
             col("embedding"), cents, 64).cast(LongType).as("centroid_id"))
@@ -1592,7 +1597,9 @@ object SparkEntry {
     s"""WITH dd AS (
        |  SELECT vec_id,
        |    $dcols
-       |  FROM embeddings WHERE embedding IS NOT NULL)
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0)
        |SELECT vec_id,
        |  CAST(CASE $cases ELSE ${k - 1} END AS BIGINT) AS centroid_id
        |FROM dd""".stripMargin

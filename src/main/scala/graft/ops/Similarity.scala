@@ -233,6 +233,10 @@ object Similarity {
         .select(col("centroid_id"),
           posexplode(col(vecCol)).as(Seq("pos", "v")))
         .where(col("pos") < dim) // ragged clamp — kernel scores only j < dim
+        // null ELEMENTS (not null arrays) must leave both the numerator and
+        // the denominator, or the mean biases toward 0; dropping them here
+        // also guarantees no all-null cell can emit a null sum row
+        .where(col("v").isNotNull)
         .groupBy(col("centroid_id"), col("pos"))
         .agg(sum(col("v").cast(DoubleType)).as("s"), count(lit(1)).as("n"))
         .collect()

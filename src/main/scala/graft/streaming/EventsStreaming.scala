@@ -245,7 +245,14 @@ object EventsStreaming {
                 .filter(c => qc.forall(c <= _))               // dominance
                 .filter(c => !(c <= minView && c <= wmMicros)) // provably dead
               val qp = purchases0.find(p => qc.exists(p > _))
-              val purchases = purchases0.filter(p => qp.forall(p <= _))
+              val purchases = purchases0
+                .filter(p => qp.forall(p <= _)) // dominance
+                // provably dead: a purchase at or below the watermark with
+                // no retained click strictly below it can never gain a
+                // qualifying click (future clicks arrive >= wm >= p) —
+                // without this, a never-converting user's state grows
+                // O(#purchases), the exact OOM the click rule prevents
+                .filter(p => !(p <= wmMicros && !clicks.exists(_ < p)))
               val maxSeen = (prev.maxSeen +: us.map(_._2)).max
               val st = FunnelState(minView, clicks, purchases, maxSeen)
               state.update(st)

@@ -158,7 +158,6 @@ class StreamingSpec extends SparkSpec {
   test("streaming funnel equals the batch twin on the real events table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
-    import org.apache.spark.sql.expressions.Window
     import EventsStreaming.{FunnelEv, FunnelOut}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -185,22 +184,16 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("funnel_eq_out").as[FunnelOut].collect()
         .map(f => f.user_id -> ((f.t_view, f.t_click, f.t_purchase))).toMap
 
-      val wu = Window.partitionBy(col("user_id"))
-      val expected = events
-        .withColumn("t_view",
-          min(when(col("event_type") === "view", col("ts"))).over(wu))
-        .withColumn("t_click",
-          min(when(col("event_type") === "click" && col("ts") > col("t_view"),
-            col("ts"))).over(wu))
-        .withColumn("t_purchase",
-          min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
-            col("ts"))).over(wu))
-        .groupBy(col("user_id"))
-        .agg(max(col("t_view")).as("t_view"), max(col("t_click")).as("t_click"),
-          max(col("t_purchase")).as("t_purchase"))
+      // expected comes from the DRIVER query itself (q_funnel_users is the
+      // documented batch reference) so stream and oracle-gated batch can
+      // never drift apart silently; its 9999-12-31 sentinel maps to None
+      val sentinel = java.sql.Timestamp.valueOf("9999-12-31 00:00:00")
+      def opt(t: java.sql.Timestamp): Option[java.sql.Timestamp] =
+        if (t == sentinel) None else Some(t)
+      val expected = graft.SparkEntry.queries("q_funnel_users")(spark, sf)
         .collect()
-        .map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)),
-          Option(r.getTimestamp(2)), Option(r.getTimestamp(3))))).toMap
+        .map(r => r.getLong(0) -> ((opt(r.getTimestamp(1)),
+          opt(r.getTimestamp(2)), opt(r.getTimestamp(3))))).toMap
 
       assert(got.keySet == expected.keySet,
         s"user sets differ: ${got.keySet.diff(expected.keySet)} / ${expected.keySet.diff(got.keySet)}")
