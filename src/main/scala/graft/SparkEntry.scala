@@ -838,6 +838,26 @@ object SparkEntry {
       Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
     },
 
+    // Incremental exact-dedup ingest: history = docs < 250 (as a digest
+    // index — the corpus bodies are never re-read), batch = id-shifted
+    // copies exercising every admission path: index duplicates (shifted
+    // docs 0-99), an in-batch duplicate pair per source doc (250-299
+    // shifted twice — lowest id wins), and novel docs (300+).
+    "q_dedup_incremental" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val hist = docs.where(col("doc_id") < 250)
+        .select(md5(col("text")).as("digest")).distinct()
+      val batch = docs.where(col("doc_id") < 100)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id").between(250, 299))
+          .select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id").between(250, 299))
+          .select((col("doc_id") + 30000L).as("doc_id"), col("text")))
+        .unionByName(docs.where(col("doc_id") >= 300))
+      Dedup.ingestExactIncremental(batch, hist, "doc_id", "text")
+        .select(col("doc_id"), col("digest"))
+    },
+
     "q_dedup_ngram_jaccard" -> q { (s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDocFreq = 20L)
@@ -2160,6 +2180,26 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH hist AS (
+        |  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id BETWEEN 250 AND 299
+        |  UNION ALL
+        |  SELECT doc_id + 30000, text FROM documents WHERE doc_id BETWEEN 250 AND 299
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 300),
+        |bd AS (SELECT doc_id, md5(text) AS digest FROM batch),
+        |surv AS (
+        |  SELECT * FROM bd WHERE digest NOT IN (SELECT digest FROM hist)),
+        |rk AS (
+        |  SELECT doc_id, digest,
+        |    row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rk
+        |  FROM surv)
+        |SELECT doc_id, digest FROM rk WHERE rk = 1""".stripMargin,
 
     "q_dedup_ngram_jaccard" ->
       s"""WITH $jaccardPairsCtes

@@ -324,15 +324,27 @@ object Dedup {
         bands * rowsPerBand),
       bands, rowsPerBand, minEstJaccard)
 
-  /** Banding over precomputed non-null signatures (composition point). */
-  private[graft] def lshCandidatesFromSigs(sigs: DataFrame, bands: Int,
-      rowsPerBand: Int, minEstJaccard: Double): DataFrame = {
-    val k = bands * rowsPerBand
-    val banded = sigs.select(
+  /** (doc_id, sig, band, band_hash) banded rows from signatures — the
+    * storage layout of the incremental dedup index (see
+    * [[ingestNearIncremental]]): each row CARRIES its signature, so an
+    * index partitioned/bucketed by (band, band_hash) answers a dedup probe
+    * with one equi-join and no sig-fetch shuffle — a deliberate
+    * bands×-signature space-for-shuffle trade that wins when the probe
+    * batch is small and the index is 100 TB-corpus-sized.
+    */
+  private[graft] def bandedFromSigs(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    sigs.select(
       col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+
+  /** Banding over precomputed non-null signatures (composition point). */
+  private[graft] def lshCandidatesFromSigs(sigs: DataFrame, bands: Int,
+      rowsPerBand: Int, minEstJaccard: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val banded = bandedFromSigs(sigs, bands, rowsPerBand)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -491,6 +503,103 @@ object Dedup {
       .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
       .where(col("n_shared_shingles") >= minShared)
+  }
+
+  // --------------------------------------------------- incremental ingest
+
+  /** Result of one incremental-ingest round.
+    * @param accepted     batch rows admitted to the corpus
+    * @param dropped      (doc_id, match_id) for rejected batch docs —
+    *                     match_id is an indexed doc, an earlier accepted
+    *                     batch doc, or the kept canonical of an in-batch
+    *                     duplicate group
+    * @param newIndexRows banded signature rows for the accepted docs; the
+    *                     caller appends them to the persisted index
+    */
+  final case class IngestResult(accepted: DataFrame, dropped: DataFrame,
+      newIndexRows: DataFrame)
+
+  /** Build the initial banded signature index for a corpus (the layout
+    * [[ingestNearIncremental]] probes and appends to).
+    */
+  def buildNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
+    bandedFromSigs(
+      minhashSigsFromExploded(explodedShingles(docs, idCol, textCol, n),
+        bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  /** Incremental near-duplicate ingest: admit a new batch against a
+    * PERSISTED banded MinHash index without ever re-shingling the
+    * historical corpus — the only formulation that scales to a corpus that
+    * grows forever. Cost per round is O(|batch|) signature work plus two
+    * equi-joins: batch-banded vs index (band, band_hash), and batch vs
+    * itself (standard LSH banding).
+    *
+    * Admission rule (deterministic): a batch doc is dropped if its
+    * estimated Jaccard reaches `minEstJaccard` against ANY indexed doc;
+    * among the remaining docs, in-batch duplicate groups (connected
+    * components over banding pairs) keep their lowest-id member.
+    * Re-ingesting an already-accepted batch therefore drops every doc.
+    */
+  def ingestNearIncremental(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.7): IngestResult = {
+    val k = bands * rowsPerBand
+    val sigs =
+      minhashSigsFromExploded(explodedShingles(batch, idCol, textCol, n), k)
+    val banded = bandedFromSigs(sigs, bands, rowsPerBand)
+    def estJ(a: Column, b: Column): Column =
+      size(filter(zip_with(a, b, (x, y) => x === y), m => m))
+        .cast(DoubleType) / lit(k.toDouble)
+    // probe the persisted index: band-bucket equi-join, est-Jaccard filter,
+    // ONE surviving match per batch doc is enough to reject it
+    val vsIndex = banded.as("n")
+      .join(index.as("i"),
+        col("n.band") === col("i.band") &&
+          col("n.band_hash") === col("i.band_hash"))
+      .where(estJ(col("n.sig"), col("i.sig")) >= minEstJaccard)
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("i.doc_id")).as("match_id"))
+    // in-batch near-dup groups among docs that survived the index probe
+    val survivors0 = batch.join(vsIndex.select("doc_id"),
+      batch(idCol) === vsIndex("doc_id"), "left_anti")
+    val inBatchPairs =
+      lshCandidatesFromSigs(sigs, bands, rowsPerBand, minEstJaccard)
+        .join(vsIndex.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
+        .join(vsIndex.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
+    val accepted = keepCanonical(survivors0, idCol, inBatchPairs,
+      "id_a", "id_b", Seq(col(idCol)))
+    val droppedInBatch = survivors0
+      .join(accepted.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol).as("doc_id"))
+      .join(connectedComponents(inBatchPairs, "id_a", "id_b")
+          .withColumnsRenamed(Map("id" -> "doc_id", "label" -> "match_id")),
+        Seq("doc_id"), "left_outer")
+    val newIndexRows = banded
+      .join(accepted.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+    IngestResult(accepted, vsIndex.unionByName(droppedInBatch), newIndexRows)
+  }
+
+  /** Exact incremental ingest: admit batch docs whose content digest
+    * appears in neither the persisted digest index nor an earlier-id doc
+    * of the same batch. The 100-TB shape: the history contributes ONE
+    * 16-byte digest per doc (never its body), the probe is a digest
+    * anti-join, and within-batch ties resolve by a digest-partitioned
+    * row_number — all shuffles carry digests, not documents.
+    *
+    * @param indexDigests one-column (`digest`) frame of historical digests
+    * @return accepted batch rows with their `digest` column attached
+    */
+  def ingestExactIncremental(batch: DataFrame, indexDigests: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("digest")).orderBy(col(idCol))
+    batch
+      .withColumn("digest", md5(col(textCol)))
+      .join(indexDigests, Seq("digest"), "left_anti")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .drop("__rk")
   }
 
   /** Embedding-cosine near-duplicate pairs: sub-quadratic candidate

@@ -31,6 +31,50 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) })
   }
 
+  test("incremental near-dup ingest: index dups, in-batch dups, novel docs") {
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "completely different content about spark engines and scale limits"))
+      .toDF("doc_id", "text")
+    val index = Dedup.buildNearDupIndex(history, "doc_id", "text")
+    val batch = Seq(
+      // near-dup of indexed doc 1 → dropped against the index
+      (10L, "the quick brown fox jumps over the lazy cat and runs away fast"),
+      // in-batch near-dup pair → lowest id kept
+      (11L, "some fresh never before seen writing about incremental ingestion"),
+      (12L, "some fresh never before seen writing about incremental ingestion!"),
+      // novel → accepted
+      (13L, "entirely unrelated prose concerning distributed database design"))
+      .toDF("doc_id", "text")
+    val r = Dedup.ingestNearIncremental(batch, index, "doc_id", "text",
+      minEstJaccard = 0.5)
+    val accepted = r.accepted.select("doc_id").as[Long].collect().toSet
+    assert(accepted == Set(11L, 13L), s"accepted: $accepted")
+    val dropped = r.dropped.collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(dropped(10L) == 1L, s"doc 10 should match indexed doc 1: $dropped")
+    assert(dropped(12L) == 11L, s"doc 12 should lose to in-batch 11: $dropped")
+    // appending the accepted rows makes re-ingest reject everything
+    val grown = index.unionByName(r.newIndexRows)
+    val again = Dedup.ingestNearIncremental(batch, grown, "doc_id", "text",
+      minEstJaccard = 0.5)
+    assert(again.accepted.count() == 0,
+      "re-ingesting an already-accepted batch must drop every doc")
+  }
+
+  test("exact incremental ingest: digest index + earlier-id batch doc win") {
+    val hist = Seq("alpha text body").toDF("text").select(md5($"text").as("digest"))
+    val batch = Seq(
+      (5L, "alpha text body"),   // in the index → dropped
+      (6L, "beta text body"),    // novel, earliest of its digest → kept
+      (7L, "beta text body"),    // in-batch dup of 6 → dropped
+      (8L, "gamma text body"))   // novel → kept
+      .toDF("doc_id", "text")
+    val got = Dedup.ingestExactIncremental(batch, hist, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(6L, 8L), s"accepted: $got")
+  }
+
   test("minhash signatures: identical docs → identical sigs; near-dups mostly agree") {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
