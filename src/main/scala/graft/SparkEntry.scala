@@ -1260,6 +1260,26 @@ object SparkEntry {
         LIMIT 20""")
     },
 
+    // TPC-H Q18 shape (large-volume orders): aggregate-HAVING over the
+    // fact table, then top-100 — the plan must keep the HAVING filter on
+    // the partial-aggregated side and finish with TakeOrderedAndProject.
+    // Quantities are integer-valued, so the sum is exact cross-engine.
+    "q_sql_tpch_q18" -> q { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+          sum(CAST(l_quantity AS BIGINT)) AS total_qty
+        FROM v_customer
+        JOIN v_orders ON c_custkey = o_custkey
+        JOIN v_lineitem ON l_orderkey = o_orderkey
+        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100""")
+    },
+
     // FULL OUTER join with unmatched keys on BOTH sides (deliberately
     // non-overlapping nation filters): the one outer-join shape the suite
     // didn't cover.
@@ -2366,6 +2386,17 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q_sql_tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        |HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q_join_full_outer" ->
       """SELECT nationkey, n_custs, n_supps FROM
