@@ -528,6 +528,25 @@ object SparkEntry {
         .limit(50)
     },
 
+    // Heavy hitters via a count-min sketch whose md5-derived bucket hashes
+    // are engine-portable — the SKETCH ESTIMATES themselves are oracled
+    // bit-exactly (unlike the xxhash-seeded MinHash/SimHash sketches,
+    // declared rows-only). Exact top-20 tokens joined with their sketch
+    // estimate; est_count >= n_exact always holds by construction.
+    "q_heavy_hitters" -> q { (s, dir) =>
+      import graft.ops.Sketch
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val sketch = Sketch.countMinBuild(toks, "token")
+      val top = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token"))
+        .limit(20)
+      Sketch.countMinEstimate(sketch, top, "token")
+        .join(top, Seq("token"))
+        .select(col("token"), col("n_exact"), col("est_count"))
+    },
+
     // Entity resolution: fuzzy candidate matches over the distinct part
     // names — first-token blocking turns the O(n²) edit-distance sweep
     // into an in-block equi-join; levenshtein only runs inside blocks.
@@ -1939,6 +1958,26 @@ object SparkEntry {
       """SELECT t AS token, count(*) AS n
         |FROM (SELECT unnest(regexp_extract_all(text, '\w+')) AS t FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(text, '\w+')) AS token FROM documents),
+        |ids AS (SELECT unnest(['#0', '#1', '#2', '#3']) AS tag),
+        |cells AS (
+        |  SELECT tag,
+        |    CAST('0x' || substr(md5(token || tag), 1, 8) AS BIGINT) % 2048 AS bucket
+        |  FROM toks CROSS JOIN ids),
+        |sketch AS (SELECT tag, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        |top AS (
+        |  SELECT token, count(*) AS n_exact FROM toks GROUP BY 1
+        |  ORDER BY n_exact DESC, token LIMIT 20),
+        |probes AS (
+        |  SELECT token, n_exact, tag,
+        |    CAST('0x' || substr(md5(token || tag), 1, 8) AS BIGINT) % 2048 AS bucket
+        |  FROM top CROSS JOIN ids)
+        |SELECT p.token, p.n_exact, min(s.cnt) AS est_count
+        |FROM probes p JOIN sketch s ON p.tag = s.tag AND p.bucket = s.bucket
+        |GROUP BY p.token, p.n_exact""".stripMargin,
 
     "q_set_except" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

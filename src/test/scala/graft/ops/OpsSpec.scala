@@ -274,6 +274,39 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def exactCounts(keys: Seq[String]): Map[String, Long] =
+    keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+  test("count-min: overestimates only, exact under no collision") {
+    val keys = (1 to 40).flatMap(i => Seq.fill(i % 5 + 1)(s"key_$i"))
+    val df = keys.toDF("k")
+    val exact = exactCounts(keys)
+    // wide sketch: 40 keys in 4×4096 cells → collisions vanishingly rare,
+    // estimates must equal the truth
+    val wide = Sketch.countMinBuild(df, "k", depth = 4, width = 4096)
+    val estWide = Sketch.countMinEstimate(wide, df.distinct(), "k",
+      depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estWide == exact, "no-collision sketch must be exact")
+    // cramped sketch (4×8 cells, 40 keys): collisions guaranteed — the
+    // estimate may only ever OVER-count
+    val tight = Sketch.countMinBuild(df, "k", depth = 4, width = 8)
+    val estTight = Sketch.countMinEstimate(tight, df.distinct(), "k",
+      depth = 4, width = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(estTight(k) >= n, s"$k: est ${estTight(k)} under-counts $n")
+    }
+    // total cell mass per hash row is conserved (each row sees every key)
+    val rowMass = tight.groupBy("row_i").agg(sum("cnt").as("m"))
+      .select("m").as[Long].collect().toSet
+    assert(rowMass == Set(keys.size.toLong))
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 

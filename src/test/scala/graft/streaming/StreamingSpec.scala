@@ -109,6 +109,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min sketch equals the batch build with d×w state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val b1 = Seq("alpha", "beta", "alpha", "gamma")
+    val b2 = Seq("alpha", "delta", "beta", "beta")
+    val input = MemoryStream[String]
+    // the SAME build plan as batch, maintained incrementally: state is the
+    // d×w cell table, never per-key
+    val sketch = graft.ops.Sketch.countMinBuild(
+      input.toDS().toDF("k"), "k", depth = 4, width = 64)
+    val dir = java.nio.file.Files.createTempDirectory("cms").toString
+    val q = sketch.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName("cms_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("cms_out")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = graft.ops.Sketch.countMinBuild(
+        (b1 ++ b2).toDF("k"), "k", depth = 4, width = 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"streamed sketch != batch sketch: ${streamed.toSeq.diff(batch.toSeq)}")
+    } finally q.stop()
+  }
+
   test("streaming funnel: out-of-order arrivals re-qualify earlier clicks") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
