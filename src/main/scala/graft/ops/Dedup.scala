@@ -354,12 +354,18 @@ object Dedup {
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
     pairs
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          m => m)).cast(DoubleType) / lit(k.toDouble))
+      .withColumn("est_jaccard", estJaccardExpr(col("sig_a"), col("sig_b"), k))
       .where(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
+
+  /** Signature-estimated Jaccard: matching positions / k. THE estimator —
+    * both the in-batch banding pairs and the incremental index probe use
+    * this one expression, so the two admission paths can never diverge.
+    */
+  private def estJaccardExpr(a: Column, b: Column, k: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m))
+      .cast(DoubleType) / lit(k.toDouble)
 
   /** Sketch-vs-exact comparison pairs: for every candidate pair the
     * MinHash banding surfaces, the signature-estimated AND the exact
@@ -519,14 +525,32 @@ object Dedup {
   final case class IngestResult(accepted: DataFrame, dropped: DataFrame,
       newIndexRows: DataFrame)
 
+  /** Signatures for EVERY document: the real MinHash where shingles exist,
+    * and a degenerate whole-text signature (`xxhash64(text)` repeated k
+    * times) for docs too short to shingle. The degenerate form makes short
+    * docs behave as exact-match-only within the same banding machinery —
+    * identical texts collide in every band (est = 1.0), different texts
+    * collide only on a 64-bit hash accident — so short docs still dedup
+    * and still land in the index (without this, a short doc is accepted on
+    * every ingest round, breaking the re-ingest invariant).
+    */
+  private def sigsWithFallback(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int): DataFrame = {
+    val real = minhashSigsFromExploded(
+      explodedShingles(docs, idCol, textCol, n), k)
+    docs.select(col(idCol).as("doc_id"), xxhash64(col(textCol)).as("__th"))
+      .join(real, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("sig"), array_repeat(col("__th"), k)).as("sig"))
+  }
+
   /** Build the initial banded signature index for a corpus (the layout
     * [[ingestNearIncremental]] probes and appends to).
     */
   def buildNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4): DataFrame =
     bandedFromSigs(
-      minhashSigsFromExploded(explodedShingles(docs, idCol, textCol, n),
-        bands * rowsPerBand),
+      sigsWithFallback(docs, idCol, textCol, n, bands * rowsPerBand),
       bands, rowsPerBand)
 
   /** Incremental near-duplicate ingest: admit a new batch against a
@@ -544,38 +568,51 @@ object Dedup {
     */
   def ingestNearIncremental(batch: DataFrame, index: DataFrame, idCol: String,
       textCol: String, n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      minEstJaccard: Double = 0.7): IngestResult = {
+      minEstJaccard: Double = 0.7,
+      persistLevel: Option[org.apache.spark.storage.StorageLevel] =
+        Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): IngestResult = {
     val k = bands * rowsPerBand
-    val sigs =
-      minhashSigsFromExploded(explodedShingles(batch, idCol, textCol, n), k)
-    val banded = bandedFromSigs(sigs, bands, rowsPerBand)
-    def estJ(a: Column, b: Column): Column =
-      size(filter(zip_with(a, b, (x, y) => x === y), m => m))
-        .cast(DoubleType) / lit(k.toDouble)
+    // geometry guard: probing an index built with a different k silently
+    // admits every duplicate (band hashes never collide) — fail fast on
+    // one index row. bands/rowsPerBand splits of the SAME k must still
+    // match the build (documented contract, same as countMinEstimate).
+    index.select(size(col("sig"))).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == k,
+        s"index signature length ${r.getInt(0)} != bands*rowsPerBand = $k — " +
+          "the probe must use the index's build parameters")
+    }
+    // the signature/banding pipeline feeds FOUR consumers (index probe,
+    // in-batch pairs, accepted rows, new index rows) — persist once, as in
+    // jaccardPairs; callers own the cache lifetime
+    def cached(df: DataFrame): DataFrame = persistLevel.fold(df)(df.persist)
+    val sigs = cached(sigsWithFallback(batch, idCol, textCol, n, k))
+    val banded = cached(bandedFromSigs(sigs, bands, rowsPerBand))
     // probe the persisted index: band-bucket equi-join, est-Jaccard filter,
     // ONE surviving match per batch doc is enough to reject it
-    val vsIndex = banded.as("n")
+    val vsIndex = cached(banded.as("n")
       .join(index.as("i"),
         col("n.band") === col("i.band") &&
           col("n.band_hash") === col("i.band_hash"))
-      .where(estJ(col("n.sig"), col("i.sig")) >= minEstJaccard)
+      .where(estJaccardExpr(col("n.sig"), col("i.sig"), k) >= minEstJaccard)
       .groupBy(col("n.doc_id").as("doc_id"))
-      .agg(min(col("i.doc_id")).as("match_id"))
-    // in-batch near-dup groups among docs that survived the index probe
-    val survivors0 = batch.join(vsIndex.select("doc_id"),
-      batch(idCol) === vsIndex("doc_id"), "left_anti")
+      .agg(min(col("i.doc_id")).as("match_id")))
+    // in-batch near-dup pairs among docs that survived the index probe
     val inBatchPairs =
       lshCandidatesFromSigs(sigs, bands, rowsPerBand, minEstJaccard)
         .join(vsIndex.select(col("doc_id").as("id_a")), Seq("id_a"), "left_anti")
         .join(vsIndex.select(col("doc_id").as("id_b")), Seq("id_b"), "left_anti")
-    val accepted = keepCanonical(survivors0, idCol, inBatchPairs,
-      "id_a", "id_b", Seq(col(idCol)))
-    val droppedInBatch = survivors0
-      .join(accepted.select(col(idCol)), Seq(idCol), "left_anti")
-      .select(col(idCol).as("doc_id"))
-      .join(connectedComponents(inBatchPairs, "id_a", "id_b")
-          .withColumnsRenamed(Map("id" -> "doc_id", "label" -> "match_id")),
-        Seq("doc_id"), "left_outer")
+    // ONE connected-components run serves both the canonical pick and the
+    // dropped-doc attribution: with min-id preference the component label
+    // IS the kept canonical
+    val labels = cached(connectedComponents(inBatchPairs, "id_a", "id_b")
+      .withColumnsRenamed(Map("id" -> "doc_id", "label" -> "keep_id")))
+    val droppedInBatch = labels
+      .where(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), col("keep_id").as("match_id"))
+    val survivors0 = batch.join(vsIndex.select("doc_id"),
+      batch(idCol) === vsIndex("doc_id"), "left_anti")
+    val accepted = survivors0.join(
+      droppedInBatch.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
     val newIndexRows = banded
       .join(accepted.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
     IngestResult(accepted, vsIndex.unionByName(droppedInBatch), newIndexRows)

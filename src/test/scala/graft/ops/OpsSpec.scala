@@ -44,22 +44,35 @@ class DedupSpec extends SparkSpec {
       (11L, "some fresh never before seen writing about incremental ingestion"),
       (12L, "some fresh never before seen writing about incremental ingestion!"),
       // novel → accepted
-      (13L, "entirely unrelated prose concerning distributed database design"))
+      (13L, "entirely unrelated prose concerning distributed database design"),
+      // too short to shingle: degenerate whole-text signature — in-batch
+      // exact pair (14 kept, 15 dropped), still indexed for later rounds
+      (14L, "hi"),
+      (15L, "hi"))
       .toDF("doc_id", "text")
     val r = Dedup.ingestNearIncremental(batch, index, "doc_id", "text",
       minEstJaccard = 0.5)
     val accepted = r.accepted.select("doc_id").as[Long].collect().toSet
-    assert(accepted == Set(11L, 13L), s"accepted: $accepted")
+    assert(accepted == Set(11L, 13L, 14L), s"accepted: $accepted")
     val dropped = r.dropped.collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(dropped(10L) == 1L, s"doc 10 should match indexed doc 1: $dropped")
     assert(dropped(12L) == 11L, s"doc 12 should lose to in-batch 11: $dropped")
-    // appending the accepted rows makes re-ingest reject everything
+    assert(dropped(15L) == 14L, s"short doc 15 should lose to in-batch 14: $dropped")
+    // appending the accepted rows makes re-ingest reject everything —
+    // including the short doc, whose degenerate signature must be indexed
     val grown = index.unionByName(r.newIndexRows)
     val again = Dedup.ingestNearIncremental(batch, grown, "doc_id", "text",
       minEstJaccard = 0.5)
     assert(again.accepted.count() == 0,
       "re-ingesting an already-accepted batch must drop every doc")
+    // probing with mismatched band geometry must fail fast, not silently
+    // admit duplicates
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ingestNearIncremental(batch, grown, "doc_id", "text",
+        bands = 8, rowsPerBand = 4, minEstJaccard = 0.5)
+    }
+    assert(e.getMessage.contains("signature length"))
   }
 
   test("exact incremental ingest: digest index + earlier-id batch doc win") {
