@@ -547,6 +547,21 @@ object SparkEntry {
         .select(col("token"), col("n_exact"), col("est_count"))
     },
 
+    // HyperLogLog distinct-count sketch, grouped: constant 256-register
+    // state per group vs count(DISTINCT)'s cardinality-sized shuffle; the
+    // md5-derived hash and exact-integer harmonic sum make the ESTIMATE
+    // itself bit-identical in DuckDB (see Sketch.hllDistinct).
+    "q_hll_distinct" -> q { (s, dir) =>
+      import graft.ops.Sketch
+      val li = Tables.lineitem(s, dir)
+      val est = Sketch.hllDistinct(li, col("l_orderkey"), col("l_returnflag"))
+      val exact = li.groupBy(col("l_returnflag").as("grp"))
+        .agg(countDistinct(col("l_orderkey")).cast("long").as("n_exact"))
+      exact.join(est, Seq("grp"))
+        .select(col("grp").as("flag"), col("n_exact"), col("z_scaled"),
+          col("hll_est"))
+    },
+
     // Entity resolution: fuzzy candidate matches over the distinct part
     // names — first-token blocking turns the O(n²) edit-distance sweep
     // into an in-block equi-join; levenshtein only runs inside blocks.
@@ -1978,6 +1993,35 @@ object SparkEntry {
         |SELECT p.token, p.n_exact, min(s.cnt) AS est_count
         |FROM probes p JOIN sketch s ON p.tag = s.tag AND p.bucket = s.bucket
         |GROUP BY p.token, p.n_exact""".stripMargin,
+
+    "q_hll_distinct" ->
+      """WITH reg AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) AS h32
+        |  FROM lineitem),
+        |rho AS (
+        |  SELECT grp, h32 >> 24 AS bucket,
+        |    CASE WHEN (h32 & 16777215) = 0 THEN 25
+        |         ELSE 25 - length(bin(h32 & 16777215)) END AS rho
+        |  FROM reg),
+        |regmax AS (
+        |  SELECT grp, bucket, max(rho) AS rho_max FROM rho GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.grp, b.range AS bucket
+        |  FROM (SELECT DISTINCT l_returnflag AS grp FROM lineitem) g
+        |  CROSS JOIN range(256) b),
+        |regs AS (
+        |  SELECT g.grp, g.bucket, coalesce(r.rho_max, 0) AS m_j
+        |  FROM grid g LEFT JOIN regmax r ON g.grp = r.grp AND g.bucket = r.bucket),
+        |z AS (
+        |  SELECT grp, CAST(sum(1::BIGINT << (25 - m_j)) AS BIGINT) AS z_scaled
+        |  FROM regs GROUP BY 1),
+        |ex AS (
+        |  SELECT l_returnflag AS grp, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+        |  FROM lineitem GROUP BY 1)
+        |SELECT e.grp AS flag, e.n_exact, z.z_scaled,
+        |  (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0 / z.z_scaled AS hll_est
+        |FROM ex e JOIN z ON e.grp = z.grp""".stripMargin,
 
     "q_set_except" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

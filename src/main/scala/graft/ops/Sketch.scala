@@ -61,4 +61,66 @@ object Sketch {
       .groupBy(col(keyCol))
       .agg(min(col("cnt")).as("est_count"))
   }
+
+  /** HyperLogLog distinct-count estimate per group, engine-portable.
+    *
+    * Why a sketch when `count(DISTINCT k)` exists: exact distinct forces a
+    * shuffle of every distinct key (state grows with cardinality); the HLL
+    * register table is `groups × 2^p` rows FOREVER, the per-bucket `max` is
+    * a two-phase aggregate (map-side partial max bounds the shuffle at
+    * `partitions × groups × 2^p` rows regardless of input size), and
+    * register tables from disjoint datasets merge with another `max` — the
+    * property that lets 1000 executors sketch 100 TB independently.
+    *
+    * Portability (the reason this is oracle-checkable, unlike JVM-hash HLLs
+    * such as Spark's `approx_count_distinct`): the 32-bit hash is the first
+    * 8 hex chars of `md5` (bit-identical in DuckDB); `rho` (leading-zero
+    * rank of the low `32-p` bits) uses `length(bin(w))` — both engines print
+    * minimal binary digits; and the harmonic mean is computed in EXACT
+    * integer arithmetic by scaling each `2^-M_j` term to `2^(32-p+1-M_j)`
+    * (a long; the sum is order-independent). The final division and the
+    * alpha/m factors are all powers of two or a single constant-folded
+    * double, so the estimate is bit-identical cross-engine.
+    *
+    * No small-range (linear-counting) correction: it needs `ln`, whose
+    * last-ulp differs across libm implementations. Raw estimates are biased
+    * below ~2.5·2^p distincts — callers at that scale should use exact
+    * distinct anyway.
+    */
+  def hllDistinct(df: DataFrame, key: Column, group: Column,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p outside [4,16]")
+    val m = 1 << p
+    val wBits = 32 - p
+    val rhoMax = wBits + 1
+    val h32 = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast(LongType)
+    val w = h32.bitwiseAND(lit((1L << wBits) - 1))
+    val rho = when(w === 0, lit(rhoMax))
+      .otherwise(lit(rhoMax) - length(bin(w)))
+
+    val regRaw = df
+      .select(group.as("grp"), shiftright(h32, wBits).as("bucket"),
+        rho.as("rho"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(max(col("rho")).as("rho_max"))
+
+    // Empty buckets contribute 2^-0 = 1 to the harmonic sum: materialize
+    // the full grid (groups × m rows — tiny) and fill with 0.
+    val spark = df.sparkSession
+    val grid = df.select(group.as("grp")).distinct()
+      .crossJoin(spark.range(m.toLong).select(col("id").as("bucket")))
+    val regs = grid.join(regRaw, Seq("grp", "bucket"), "left")
+      .select(col("grp"), col("bucket"),
+        coalesce(col("rho_max"), lit(0)).as("m_j"))
+
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    regs.groupBy(col("grp"))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rhoMax - m_j AS INT))"))
+        .cast(LongType).as("z_scaled"))
+      .select(col("grp"), col("z_scaled"),
+        (alpha * lit((m.toDouble) * m.toDouble) *
+          lit(math.pow(2.0, rhoMax.toDouble)) / col("z_scaled"))
+          .as("hll_est"))
+  }
 }

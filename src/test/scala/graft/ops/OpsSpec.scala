@@ -318,6 +318,24 @@ class SketchSpec extends SparkSpec {
       .select("m").as[Long].collect().toSet
     assert(rowMass == Set(keys.size.toLong))
   }
+
+  test("hll: estimate accuracy, duplicate-insensitivity, partition-invariance") {
+    val n = 5000
+    val df = (1 to n).map(i => (s"key_$i", "g")).toDF("k", "grp")
+    def est(d: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = Sketch.hllDistinct(d, col("k"), col("grp")).collect().head
+      (r.getLong(1), r.getDouble(2))
+    }
+    val (z1, e1) = est(df)
+    // m=256 → relative std error ~1.04/sqrt(256) = 6.5%; 3 sigma bound
+    assert(math.abs(e1 - n) / n < 0.20, s"estimate $e1 off truth $n")
+    // duplicates must not move a max-based register
+    val (z2, e2) = est(df.union(df).union(df))
+    assert(z2 == z1 && e2 == e1, "HLL must be duplicate-insensitive")
+    // exact-integer harmonic sum → bit-identical under any partitioning
+    val (z3, e3) = est(df.repartition(13, col("k")))
+    assert(z3 == z1 && e3 == e1, "HLL must be partitioning-invariant")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
