@@ -805,6 +805,26 @@ object SparkEntry {
           col("n_rows"))
     },
 
+    // Bloom-filter semi-join pruning: which big-side keys survive a
+    // KB-sized bit filter built from the small side (EUROPE suppliers)?
+    // The pass/fail set — true members plus deterministic false
+    // positives — is bit-identical in DuckDB (md5 positions, 32-bit
+    // words), so the FILTER ITSELF is oracle-checked, not just its
+    // downstream join. See ops/Bloom for the map-side prune variant.
+    "q_bloom_prune" -> q { (s, dir) =>
+      import graft.ops.Bloom
+      val mem = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("s_suppkey"))
+      val words = Bloom.buildWords(mem, col("s_suppkey"))
+      Bloom.passingKeys(Tables.lineitem(s, dir), col("l_suppkey"), words)
+        .join(mem, col("k") === col("s_suppkey"), "left")
+        .select(col("k").as("l_suppkey"),
+          col("s_suppkey").isNotNull.as("is_member"))
+    },
+
     // INTERSECT twin of q_set_except: customers active in BOTH years.
     "q_set_intersect" -> q { (s, dir) =>
       val o = Tables.orders(s, dir)
@@ -2022,6 +2042,35 @@ object SparkEntry {
         |SELECT e.grp AS flag, e.n_exact, z.z_scaled,
         |  (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0 / z.z_scaled AS hll_est
         |FROM ex e JOIN z ON e.grp = z.grp""".stripMargin,
+
+    "q_bloom_prune" ->
+      """WITH mem AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |ids AS (SELECT unnest([0, 1, 2]) AS i),
+        |bits AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || '#' || i), 1, 8) AS BIGINT) % 4096 AS pos
+        |  FROM mem CROSS JOIN ids),
+        |words AS (
+        |  SELECT pos // 32 AS word_idx,
+        |         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+        |  FROM bits GROUP BY 1),
+        |probes AS (SELECT DISTINCT l_suppkey FROM lineitem),
+        |ppos AS (
+        |  SELECT l_suppkey,
+        |    CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || '#' || i), 1, 8) AS BIGINT) % 4096 AS pos
+        |  FROM probes CROSS JOIN ids),
+        |hits AS (
+        |  SELECT p.l_suppkey,
+        |    CAST(sum(CASE WHEN (w.word & (1::BIGINT << CAST(p.pos % 32 AS INT))) <> 0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS nhit
+        |  FROM ppos p JOIN words w ON p.pos // 32 = w.word_idx
+        |  GROUP BY 1)
+        |SELECT h.l_suppkey, (m.s_suppkey IS NOT NULL) AS is_member
+        |FROM hits h LEFT JOIN mem m ON h.l_suppkey = m.s_suppkey
+        |WHERE h.nhit = 3""".stripMargin,
 
     "q_set_except" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

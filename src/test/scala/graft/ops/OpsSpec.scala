@@ -573,3 +573,35 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.count() > 0)
   }
 }
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("bloom prune: no false negatives; map-side prune agrees with key analysis") {
+    val members = (1 to 40).map(i => s"m_$i").toDF("k")
+    val probe = ((1 to 40).map(i => s"m_$i") ++ (1 to 400).map(i => s"x_$i"))
+      .flatMap(k => Seq.fill(3)(k)).toDF("k") // duplicated rows, mixed keys
+    val words = Bloom.buildWords(members, col("k"), mBits = 1024, k = 3)
+    val pass = Bloom.passingKeys(probe, col("k"), words, mBits = 1024, k = 3)
+      .as[String].collect().toSet
+    // every member passes — a bloom filter never has false negatives
+    assert((1 to 40).map(i => s"m_$i").toSet.subsetOf(pass))
+    // the row-level map-side prune keeps exactly the rows whose key passes
+    val pruned = Bloom.prune(probe, col("k"), members, col("k"),
+      mBits = 1024, k = 3)
+    assert(pruned.as[String].collect().groupBy(identity).view.mapValues(_.length).toMap
+      == pass.map(k => k -> 3).toMap.filter(kv => probe.as[String].collect().contains(kv._1)))
+    // prune has no shuffle: single stage over the probe side
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"map-side prune must not shuffle:\n$plan")
+  }
+
+  test("bloom prune: saturated filter passes everything, never drops members") {
+    val members = (1 to 200).map(i => s"m_$i").toDF("k")
+    // 64-bit filter for 200 keys: fully saturated — still zero false negatives
+    val words = Bloom.buildWords(members, col("k"), mBits = 64, k = 2)
+    val pass = Bloom.passingKeys(members, col("k"), words, mBits = 64, k = 2)
+    assert(pass.count() == 200)
+  }
+}
