@@ -1181,6 +1181,21 @@ object SparkEntry {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     },
 
+    // Approximate triangle counting (DOULION) over the supplier
+    // co-purchase graph: deterministic md5 edge sampling at 1/10, exact
+    // degeneracy-oriented count on the sample, estimate = count·10³ —
+    // sample AND estimate are bit-identical cross-engine, so the whole
+    // approximation is oracle-checked (unlike seeded-RNG sparsifiers).
+    "q_triangle_count" -> q { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val co = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_suppkey") < col("b.l_suppkey"))
+        .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      graft.ops.Triangles.approxSparsified(co, "u", "v", pInv = 10)
+    },
+
     // BM25 ranked retrieval (rows-only: BM25's ln() is libm-dependent in
     // its last ulp, not cross-engine oracle-able; the boolean match
     // sub-structure is oracled by q_keyword_search and the scoring is
@@ -2042,6 +2057,26 @@ object SparkEntry {
         |SELECT e.grp AS flag, e.n_exact, z.z_scaled,
         |  (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0 / z.z_scaled AS hll_est
         |FROM ex e JOIN z ON e.grp = z.grp""".stripMargin,
+
+    "q_triangle_count" ->
+      """WITH co AS (
+        |  SELECT DISTINCT l1.l_suppkey AS u, l2.l_suppkey AS v
+        |  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+        |  WHERE l1.l_suppkey < l2.l_suppkey),
+        |pe AS (
+        |  SELECT u, v FROM co
+        |  WHERE CAST('0x' || substr(md5(CAST(u AS VARCHAR) || '_' || CAST(v AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM pe e1 JOIN pe e2 ON e1.v = e2.u
+        |             JOIN pe e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pe),
+        |nd AS (
+        |  SELECT CAST(count(DISTINCT u0) AS BIGINT) AS n_nodes
+        |  FROM (SELECT u AS u0 FROM pe UNION ALL SELECT v FROM pe))
+        |SELECT nd.n_nodes, st.n_edges, tri.n_triangles,
+        |       tri.n_triangles * 1000.0 AS est_total
+        |FROM st, nd, tri""".stripMargin,
 
     "q_bloom_prune" ->
       """WITH mem AS (

@@ -605,3 +605,34 @@ class BloomSpec extends SparkSpec {
     assert(pass.count() == 200)
   }
 }
+
+class TrianglesSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val r = Triangles.countExact(edges.toDF("a", "b"), "a", "b").head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("triangle count on known graphs") {
+    // K4 = 4 triangles; reversed/duplicate edges and self-loops ignored
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (2L,1L),(3L,3L),(4L,2L))
+    assert(tri(k4) == ((4L, 6L, 4L)))
+    // 4-cycle: 4 nodes, 4 edges, no triangles
+    assert(tri(Seq((1L,2L),(2L,3L),(3L,4L),(4L,1L))) == ((4L, 4L, 0L)))
+    // star (hub): high degree, zero triangles — degeneracy orientation
+    // emits nothing from the hub
+    val star = (2L to 30L).map(i => (1L, i))
+    assert(tri(star) == ((30L, 29L, 0L)))
+    // two triangles sharing an edge
+    assert(tri(Seq((1L,2L),(2L,3L),(1L,3L),(2L,4L),(3L,4L))) == ((4L, 5L, 2L)))
+  }
+
+  test("DOULION with pInv=1 keeps every edge and reproduces the exact count") {
+    val edges = Seq((1L,2L),(2L,3L),(1L,3L),(3L,4L),(4L,5L),(3L,5L)).toDF("a","b")
+    val r = Triangles.approxSparsified(edges, "a", "b", pInv = 1).head()
+    assert(r.getLong(2) == 2L && r.getDouble(3) == 2.0)
+  }
+}
