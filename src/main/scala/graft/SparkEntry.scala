@@ -1349,6 +1349,37 @@ object SparkEntry {
         LIMIT 100""")
     },
 
+    // TPC-H Q7 (volume shipping): the 6-table join with a DISJUNCTIVE
+    // nation-pair predicate — Catalyst can't turn the OR into an equi-join
+    // key, so the filter lands post-join on the doubly-broadcast nation
+    // dims; revenue uses the integer-cents pattern for cross-engine parity.
+    "q_sql_tpch_q7" -> q { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+      s.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+          sum(round(volume * 10000)) / 10000.0 AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            CAST(year(l_shipdate) AS BIGINT) AS l_year,
+            l_extendedprice * (1 - l_discount) AS volume
+          FROM v_supplier
+          JOIN v_lineitem ON s_suppkey = l_suppkey
+          JOIN v_orders ON o_orderkey = l_orderkey
+          JOIN v_customer ON c_custkey = o_custkey
+          JOIN v_nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN v_nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+              OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                               AND TIMESTAMP '1996-12-31 00:00:00') shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")
+    },
+
     // FULL OUTER join with unmatched keys on BOTH sides (deliberately
     // non-overlapping nation filters): the one outer-join shape the suite
     // didn't cover.
@@ -2564,6 +2595,26 @@ object SparkEntry {
         |HAVING sum(CAST(l_quantity AS BIGINT)) > 250
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q_sql_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  sum(round(volume * 10000)) / 10000.0 AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        |                       AND TIMESTAMP '1996-12-31 00:00:00') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q_join_full_outer" ->
       """SELECT nationkey, n_custs, n_supps FROM
