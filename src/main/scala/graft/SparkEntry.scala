@@ -1187,12 +1187,16 @@ object SparkEntry {
     // sample AND estimate are bit-identical cross-engine, so the whole
     // approximation is oracle-checked (unlike seeded-RNG sparsifiers).
     "q_triangle_count" -> q { (s, dir) =>
+      // co-purchase pairs WITHOUT a fact-table self-join (which would
+      // shuffle lineitem twice): one groupBy collapses each order to its
+      // supplier set, then two map-side explodes emit the u<v pairs.
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"))
-      val co = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_suppkey") < col("b.l_suppkey"))
-        .select(col("a.l_suppkey").as("u"), col("b.l_suppkey").as("v"))
+      val co = li.groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_suppkey")).as("sups"))
+        .select(explode(col("sups")).as("u"), col("sups"))
+        .select(col("u"), explode(col("sups")).as("v"))
+        .where(col("u") < col("v"))
       graft.ops.Triangles.approxSparsified(co, "u", "v", pInv = 10)
     },
 

@@ -105,18 +105,15 @@ object Sketch {
       .groupBy(col("grp"), col("bucket"))
       .agg(max(col("rho")).as("rho_max"))
 
-    // Empty buckets contribute 2^-0 = 1 to the harmonic sum: materialize
-    // the full grid (groups × m rows — tiny) and fill with 0.
-    val spark = df.sparkSession
-    val grid = df.select(group.as("grp")).distinct()
-      .crossJoin(spark.range(m.toLong).select(col("id").as("bucket")))
-    val regs = grid.join(regRaw, Seq("grp", "bucket"), "left")
-      .select(col("grp"), col("bucket"),
-        coalesce(col("rho_max"), lit(0)).as("m_j"))
-
+    // Empty buckets contribute 2^-0 = 1 (scaled: 2^rhoMax) to the harmonic
+    // sum — no grid materialization needed:
+    //   z = Σ_present 2^(rhoMax - M_j) + (m - n_present) · 2^rhoMax
+    // Pure integer arithmetic, so still order-independent and bit-exact.
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
-    regs.groupBy(col("grp"))
-      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($rhoMax - m_j AS INT))"))
+    regRaw.groupBy(col("grp"))
+      .agg((sum(expr(
+          s"shiftleft(CAST(1 AS BIGINT), CAST($rhoMax - rho_max AS INT))"))
+        + (lit(m.toLong) - count(lit(1))) * lit(1L << rhoMax))
         .cast(LongType).as("z_scaled"))
       .select(col("grp"), col("z_scaled"),
         (alpha * lit((m.toDouble) * m.toDouble) *

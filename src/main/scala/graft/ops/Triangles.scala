@@ -69,8 +69,14 @@ object Triangles {
     */
   def approxSparsified(edges: DataFrame, aCol: String, bCol: String,
       pInv: Int = 10): DataFrame = {
-    val und = canonical(edges, aCol, bCol)
-    val sampled = und.where(
+    // The sampler is a pure function of the canonical (u, v) pair, so it
+    // commutes with dedup: filter BEFORE the first distinct and the big
+    // edge-instance stream never reaches a shuffle at full volume.
+    // countExact's canonical() then dedups only the surviving ~1/pInv.
+    val pre = edges.select(least(col(aCol), col(bCol)).cast(LongType).as("u"),
+        greatest(col(aCol), col(bCol)).cast(LongType).as("v"))
+      .where(col("u") =!= col("v"))
+    val sampled = pre.where(
       conv(substring(md5(concat(col("u").cast("string"), lit("_"),
         col("v").cast("string"))), 1, 8), 16, 10)
         .cast(LongType) % pInv === 0)
