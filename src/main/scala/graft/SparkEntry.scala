@@ -730,17 +730,21 @@ object SparkEntry {
     // history-table twin of q_upsert_latest's compaction (same single
     // shuffle, lead() instead of a rank filter).
     "q_scd2_history" -> q { (s, dir) =>
+      val events = Tables.events(s, dir)
       val w = Window.partitionBy(col("user_id"), col("event_type"))
         .orderBy(col("ts"), col("event_id"))
       val nextTs = lead(col("ts"), 1).over(w)
-      // open intervals use the conventional 9999-12-31 sentinel, NOT null:
-      // a null timestamp compares as NaT != NaT under the oracle gate's
-      // cell comparison (NaN-like semantics)
+      // open intervals use a far-future sentinel, NOT null: a null
+      // timestamp compares as NaT != NaT under the oracle gate's cell
+      // comparison. The sentinel must stay inside pandas' ns-timestamp
+      // range (max 2262-04-11) or the gate can't represent it — hence
+      // 2200-01-01, not the conventional 9999-12-31. Cast to the ts
+      // column's own type so NTZ fixtures stay NTZ end-to-end.
       Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("value"), col("ts").as("valid_from"),
-          coalesce(nextTs, lit("9999-12-31 00:00:00").cast(TimestampType))
-            .as("valid_to"),
+          coalesce(nextTs, lit("2200-01-01 00:00:00")
+            .cast(events.schema("ts").dataType)).as("valid_to"),
           nextTs.isNull.as("is_current"))
     },
 
@@ -1982,10 +1986,10 @@ object SparkEntry {
         |  SELECT 'S' || l_suppkey AS symbol, CAST(l_shipdate AS DATE) AS trade_date,
         |    CAST(sum(l_quantity) AS BIGINT) AS volume, count(*) AS n_trades
         |  FROM lineitem GROUP BY 1, 2)
-        |SELECT symbol, trade_date,
-        |  sum(volume) OVER w AS vol_7d,
-        |  sum(n_trades) OVER w AS trades_7d,
-        |  count(*) OVER w AS days_observed_7d
+        |SELECT symbol, CAST(trade_date AS DATE) AS trade_date,
+        |  CAST(sum(volume) OVER w AS BIGINT) AS vol_7d,
+        |  CAST(sum(n_trades) OVER w AS BIGINT) AS trades_7d,
+        |  CAST(count(*) OVER w AS BIGINT) AS days_observed_7d
         |FROM (SELECT symbol, trade_date,
         |        CAST(trade_date - DATE '1970-01-01' AS BIGINT) AS d_epoch,
         |        volume, n_trades
@@ -2251,7 +2255,7 @@ object SparkEntry {
         |  ts AS valid_from,
         |  coalesce(lead(ts) OVER (PARTITION BY user_id, event_type
         |                          ORDER BY ts, event_id),
-        |           TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |           TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
         |  lead(ts) OVER (PARTITION BY user_id, event_type
         |                 ORDER BY ts, event_id) IS NULL AS is_current
         |FROM events""".stripMargin,
@@ -2349,8 +2353,8 @@ object SparkEntry {
 
     "q_pack_sequences" ->
       """SELECT doc_id, n_tokens, pack_bucket,
-        |  (cum - n_tokens) // 2048 AS pack_bin,
-        |  (cum - n_tokens) - ((cum - n_tokens) // 2048) * 2048 AS bin_offset
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_bin,
+        |  CAST((cum - n_tokens) - ((cum - n_tokens) // 2048) * 2048 AS BIGINT) AS bin_offset
         |FROM (
         |  SELECT doc_id, n_tokens, pack_bucket,
         |    sum(n_tokens) OVER (PARTITION BY pack_bucket

@@ -20,11 +20,14 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. With `spark.sql.legacy.parquet.nanosAsLong=true` the
-    * column arrives as nanos-since-epoch LongType; convert to TimestampType
-    * (microsecond truncation — matching how µs-native engines read the same
-    * file). Kept inside the loader so every query sees a plain timestamp.
+  /** `events.ts` physical type has varied across driver fixture versions:
+    * currently µs-without-timezone (Spark 4 reads it as TIMESTAMP_NTZ —
+    * passed through untouched, since the DuckDB oracle reads the same file
+    * as a naive timestamp and every downstream consumer is NTZ-safe), and
+    * historically TIMESTAMP(NANOS), which under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` arrives as LongType and is
+    * floored to µs here. Kept inside the loader so queries never see the
+    * raw physical encoding.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}

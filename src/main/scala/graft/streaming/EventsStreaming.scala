@@ -20,31 +20,36 @@ object EventsStreaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Event schema as stored in the driver fixtures: `ts` is parquet
-    * TIMESTAMP(NANOS), which Spark's reader only accepts as a LONG (via
-    * `spark.sql.legacy.parquet.nanosAsLong=true` — set by every session
-    * in this repo). The conversion to TimestampType happens in the query.
-    */
-  val eventNanosSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** Watermarked tumbling-window aggregation over a parquet file stream of
-    * the driver's events fixture (nanos timestamps — see
-    * [[eventNanosSchema]]; the micros division matches
-    * [[graft.Tables.events]] exactly).
+    * the driver's events fixture. File streams need an explicit schema, so
+    * it is derived from the actual parquet footer (one metadata-only batch
+    * read) rather than hardcoded — the fixture's `ts` physical type has
+    * changed across driver versions (TIMESTAMP(NANOS) read as LONG under
+    * the legacy flag; currently µs-without-timezone → TIMESTAMP_NTZ), and
+    * a schema that disagrees with the footer makes the stream silently
+    * produce zero usable rows. Both variants are normalized exactly like
+    * [[graft.Tables.events]], then cast to TIMESTAMP: Spark's event-time
+    * watermark requires an LTZ column (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    * on NTZ), and with the engine's fixed UTC session timezone the cast is
+    * value-preserving.
     */
-  def hourlyCounts(spark: SparkSession, inputDir: String): DataFrame =
-    spark.readStream
-      .schema(eventNanosSchema)
+  def hourlyCounts(spark: SparkSession, inputDir: String): DataFrame = {
+    val footerSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(inputDir).schema
+    val raw = spark.readStream
+      .schema(footerSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(inputDir)
-      .withColumn("ts", timestamp_micros( // floor division — see Tables.events
-        expr("ts DIV 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
+    val events =
+      if (footerSchema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros( // floor division — see Tables.events
+          expr("ts DIV 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
+      else raw.withColumn("ts", col("ts").cast(TimestampType))
+    events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+  }
 
   /** Run a streaming query to completion over the currently-available files
     * (consume-once batch upgrade path), results to an in-memory table.

@@ -183,7 +183,10 @@ class PlanSweepSpec extends SparkSpec {
   //  - q_bm25_search cross-joins two 1-ROW broadcast scalars (corpus size,
   //    avg doc length) onto the matched postings
   //  - q_ann_quantized cross-joins the 1-ROW broadcast query-codes vector
-  private val cartesianOk = Set("q_ann_recall", "q_bm25_search", "q_ann_quantized")
+  //  - q_triangle_count cross-joins three 1-ROW broadcast aggregates
+  //    (n_nodes, n_edges, n_triangles) into the single stats row
+  private val cartesianOk =
+    Set("q_ann_recall", "q_bm25_search", "q_ann_quantized", "q_triangle_count")
 
   test("no accidental cartesian or nested-loop joins in any driver query") {
     val problems = scala.collection.mutable.ListBuffer.empty[String]
