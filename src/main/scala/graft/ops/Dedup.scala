@@ -102,12 +102,15 @@ object Dedup {
     * materialize the full postings array of a hot shingle in a single
     * ObjectHashAggregate buffer before discarding it — an OOM at 100 TB.
     *
-    * Cache lifetime: the exploded index and the capped postings are each
-    * read by two consumers, so both are persisted at `persistLevel`
-    * (MEMORY_AND_DISK by default — spills, never OOMs). The blocks live
-    * until Spark's LRU evicts them; a caller running many dedup passes in
-    * one long-lived session owns the cleanup (`spark.catalog.clearCache()`
-    * or `persistLevel = None` to trade recompute for zero cache footprint).
+    * Cache lifetime: the capped postings are read by two consumers (pair
+    * explode + per-doc sizes), so they are persisted at `persistLevel`
+    * (MEMORY_AND_DISK by default — spills, never OOMs). The RESULT pair
+    * set (tiny under the threshold) is then eagerly materialized via
+    * `localCheckpoint` and the intermediate is unpersisted before
+    * returning — repeated calls in a long-lived session leave no cached
+    * blocks behind, and downstream iterative consumers (connected
+    * components) read a materialized frame instead of re-planning the
+    * whole shingle pipeline.
     *
     * @param maxDocFreq shingles appearing in more than this many docs are
     *                   dropped from the index (boilerplate / skew guard).
@@ -119,11 +122,26 @@ object Dedup {
       n: Int = 3, minJaccard: Double = 0.5, maxDocFreq: Long = 20L,
       persistLevel: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    val intermediates = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cached(df: DataFrame): DataFrame =
-      persistLevel.fold(df)(df.persist)
-    jaccardPairsFromExploded(
-      cached(explodedShingles(docs, idCol, textCol, n)),
+      persistLevel.fold(df) { lvl =>
+        val p = df.persist(lvl); intermediates += p; p
+      }
+    // the exploded index has a single consumer (the fused df-cap/postings
+    // pass shuffles it once) — only the postings, read by both the pair
+    // explode and the per-doc sizes, need a cache
+    val out = jaccardPairsFromExploded(
+      explodedShingles(docs, idCol, textCol, n),
       minJaccard, maxDocFreq, cached)
+    if (intermediates.isEmpty) out
+    else {
+      // one eager job: the thresholded pair set is tiny, the caches make
+      // its two-consumer upstream run once, and unpersisting here (not at
+      // LRU eviction) bounds the session's cache footprint to this call
+      val mat = out.localCheckpoint(true)
+      intermediates.foreach(_.unpersist(false))
+      mat
+    }
   }
 
   /** Pair generation from an already-materialized distinct (doc_id,
@@ -133,16 +151,21 @@ object Dedup {
   private[graft] def jaccardPairsFromExploded(exploded: DataFrame,
       minJaccard: Double, maxDocFreq: Long,
       cached: DataFrame => DataFrame): DataFrame = {
-    // Phase 1: document frequency per shingle. Constant-size agg buffer per
-    // key (map-side combine), so hot keys are harmless here.
-    val rareShingles = exploded
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDocFreq)
-      .select("shingle")
-    // Phase 2: prune the index BEFORE building postings. After the
-    // semi-join, every surviving shingle has df ≤ maxDocFreq, so the
-    // collect_list buffer below is bounded by the cap.
-    val idx = exploded.join(rareShingles, Seq("shingle"), "left_semi")
+    // ONE shuffle by shingle serves both the df cap and the postings
+    // build: document frequency is a full-frame window count inside the
+    // shingle partition (WindowExec's row buffer SPILLS on a viral
+    // shingle — unlike a collect_list of an uncapped posting, the
+    // non-spillable buffer this pipeline is designed never to build), the
+    // cap filter runs in the same stage, and only then is the posting
+    // list collected — provably ≤ maxDocFreq elements. The earlier
+    // two-phase form (df aggregate + semi-join) had the same safety but
+    // paid a second full shuffle of the index and forced a persist of the
+    // exploded frame; this form reads the shingle stream exactly once.
+    val par = exploded.sparkSession.sparkContext.defaultParallelism
+    val idx = exploded
+      .repartition(par, col("shingle"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .where(col("__df") <= maxDocFreq)
     val postings = cached(
       idx.groupBy("shingle")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -188,32 +211,45 @@ object Dedup {
     * aggregation (all partial-aggregatable); rounds needed = graph
     * diameter, and similarity graphs under a document-frequency cap have
     * small, bounded components (a component's diameter cannot exceed its
-    * size, which the cap bounds). Each round is `localCheckpoint`ed: the
-    * iteration's lineage would otherwise grow unboundedly and re-planning
-    * cost would dominate by round ~10. The driver-side loop is a
-    * CONVERGENCE check (one count per round), not per-row work — the
-    * standard pattern for iterative graph algorithms on Spark.
+    * size, which the cap bounds). The driver-side loop is a CONVERGENCE
+    * check, not per-row work — the standard pattern for iterative graph
+    * algorithms on Spark.
+    *
+    * Job-count discipline (serial driver jobs dominate wall-clock when
+    * the label table is small): the input edge set is checkpointed once
+    * (cutting an arbitrarily expensive upstream), and the undirected
+    * mirror is a NARROW in-row explode over it — no union branches, no
+    * distinct, no shuffle, recomputed for free from the checkpointed
+    * blocks each round. Dedup is unnecessary for correctness: min-label
+    * propagation is idempotent under duplicate edges and self-loops (a
+    * duplicate only widens a join; a self-loop contributes the node's own
+    * label to its neighbor-min), so dirty inputs cost join width, never
+    * wrong labels. The seed and every iteration use LAZY checkpoints
+    * materialized by the convergence count, so a round costs one job.
+    * (A fused two-steps-per-job variant was measured and REGRESSED: under
+    * a df cap components are shallow and the seed already folds round 1,
+    * so most runs converge at the first check and the second step's two
+    * extra shuffles are pure waste.)
     *
     * @return (id, label) — one row per node that appears in any edge;
     *         `label` = smallest id in the node's component.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 25): DataFrame = {
-    // materialize the input ONCE before mirroring it: the undirected union
-    // reads the edge frame twice, and an expensive upstream (e.g. the whole
-    // jaccard pipeline) must not run once per branch
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
-    val und = e
-      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .localCheckpoint(true) // read every round — cut the upstream plan once
+    val und = e
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     // seed labels with round 1 folded in: label₀ = min(id, min neighbor) is
-    // one aggregation (no join) and saves a full propagation round
+    // one aggregation (no join) and saves a full propagation round; lazy —
+    // the first round's count materializes it
     var labels = und.groupBy(col("src"))
       .agg(min(col("dst")).as("__mn"))
       .select(col("src").as("id"), least(col("src"), col("__mn")).as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -222,10 +258,6 @@ object Dedup {
           Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("dst_label")).as("nbr_min"))
-      // LAZY checkpoint: the convergence count below is the action that
-      // materializes it, so each round costs ONE job (eager checkpoint +
-      // separate count was two jobs per round — pure scheduling overhead
-      // on an iteration whose per-round data is tiny)
       val next = labels
         .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left_outer")
         .select(col("id"), col("label").as("__prev"),
@@ -458,22 +490,25 @@ object Dedup {
     *
     * Scale shape: connected components label only the documents that
     * appear in a pair (a vanishing fraction of the corpus under a df cap),
-    * the label join is a shuffled equi-join on the id, and the pick is one
-    * `row_number` window per cluster — WindowGroupLimit keeps a single row
-    * per group per task before the exchange.
+    * so only those documents compete — the contest is an inner join of the
+    * corpus against the broadcast label set, a window over that tiny frame,
+    * and a broadcast anti-join of the LOSER ids back onto the corpus. The
+    * corpus is scanned (column-pruned) but never shuffled; the earlier
+    * formulation windowed the ENTIRE corpus by group (singletons included),
+    * a full-corpus exchange that dominates at 100 TB.
     */
   def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String, bCol: String, preference: Seq[Column]): DataFrame = {
     val labels = connectedComponents(pairs, aCol, bCol)
       .withColumnRenamed("id", idCol)
-    val labeled = docs.join(labels, Seq(idCol), "left_outer")
-      .withColumn("__grp", coalesce(col("label"), col(idCol)))
-    val w = Window.partitionBy(col("__grp"))
+    val contenders = docs.join(broadcast(labels), Seq(idCol))
+    val w = Window.partitionBy(col("label"))
       .orderBy(preference: _*)
-    labeled
+    val losers = contenders
       .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") === 1)
-      .drop("__rk", "__grp", "label")
+      .where(col("__rk") =!= 1)
+      .select(col(idCol))
+    docs.join(broadcast(losers), Seq(idCol), "left_anti")
   }
 
   /** Train/eval decontamination: flag corpus documents that share at least

@@ -31,6 +31,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) })
   }
 
+  test("jaccardPairs unpersists its intermediates: bounded cache across repeated calls") {
+    // a storage level used nowhere else in the pipeline, so any surviving
+    // MEMORY_ONLY block is provably a leaked intermediate (the result
+    // localCheckpoint persists at MEMORY_AND_DISK)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    def leaked = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel == lvl)
+    (1 to 3).foreach { i =>
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+        minJaccard = 0.3, maxDocFreq = 10L, persistLevel = Some(lvl))
+      assert(pairs.count() > 0)
+      assert(leaked == 0, s"call $i left a persisted intermediate behind")
+    }
+  }
+
   test("incremental near-dup ingest: index dups, in-batch dups, novel docs") {
     val history = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
