@@ -25,14 +25,19 @@ object Pipeline {
 
   /** C3: retry wrapper for the nondeterministic (source-fetch) stages.
     *
-    * Scope: driver-side fetches and source VALIDATION. Each retried block
-    * forces one real read (`limit(1).count()`), so a dead/missing/
+    * Scope: driver-side fetches, source VALIDATION, and the run's FIRST
+    * full materialization of the distributed read. Each fetch block
+    * forces one probe read (`limit(1).count()`), so a dead/missing/
     * unauthorized source fails inside the retry loop rather than at the
-    * first downstream sink. Transient I/O failures during the later
-    * distributed actions are Spark's own job: task retries
-    * (`spark.task.maxFailures`) and stage re-attempts already re-run
-    * exactly the failed partitions — re-fetching everything at the driver
-    * level would be the wrong granularity at 100 TB.
+    * first downstream sink; the quality-summary action in [[run]] is also
+    * retried, so a transient failure in any OTHER partition of the
+    * distributed read (which the probe cannot touch) recovers at the
+    * driver level too — matching the reference's whole-task retry
+    * semantics. Partition-grain transient I/O beyond that is Spark's own
+    * job: task retries (`spark.task.maxFailures`) and stage re-attempts
+    * re-run exactly the failed partitions — re-fetching everything at the
+    * driver level per task failure would be the wrong granularity at
+    * 100 TB.
     */
   @annotation.tailrec
   def retry[T](attempts: Int, delayMs: Long)(f: => T): T =
@@ -77,8 +82,12 @@ object Pipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // stage 3: quality summary (A1–A4, one pass) — its row count IS the
-      // C5 empty-input guard (no separate count job, DAG:209–210)
-      val q = StockEtl.qualitySummary(enriched).head()
+      // C5 empty-input guard (no separate count job, DAG:209–210). First
+      // full materialization of the run → retried (see [[retry]] scope);
+      // partitions cached by a failed attempt are not recomputed.
+      val q = retry(retries, retryDelayMs) {
+        StockEtl.qualitySummary(enriched).head()
+      }
       val (nRows, nSyms) = (q.getAs[Long]("n_rows"), q.getAs[Long]("n_symbols"))
       require(nRows > 0, "no bars fetched for any symbol")
       val (minD, maxD) = (String.valueOf(q.getAs[Any]("min_date")),

@@ -168,6 +168,36 @@ class PipelineSpec extends SparkSpec {
     assert(syms.as[String].collect().toSet == Set("AAA", "BBB")) // sorted first 2
   }
 
+  test("retry: transient DISTRIBUTED read failure recovers (full run)") {
+    // The executor-side fault fires on a row the stage-2 probe
+    // (limit(1).count) never reaches, so only the retried first full
+    // materialization can observe — and recover from — it. A filter is
+    // used (not a projected column) so no optimizer rule can prune the
+    // fault out of the plan. Shared-JVM state is valid in local mode.
+    PipelineSpec.faultArmed.set(true)
+    val tmp = java.nio.file.Files.createTempDirectory("pipeflaky").toString
+    writeBarsCsv(tmp)
+    val inner = new CsvBarSource(s"$tmp/bars.csv")
+    val flaky = new graft.sources.BarSource {
+      def fetch(s: org.apache.spark.sql.SparkSession,
+          symbols: org.apache.spark.sql.DataFrame,
+          start: java.sql.Date, end: java.sql.Date) = {
+        val fault = udf { close: Double =>
+          if (close == 5.0 && PipelineSpec.faultArmed.getAndSet(false))
+            throw new RuntimeException("transient executor fault")
+          true
+        }
+        inner.fetch(s, symbols, start, end).where(fault(col("Close")))
+      }
+    }
+    val report = Pipeline.run(spark,
+      new HtmlTableConstituentSource(() => fixtureHtml), flaky,
+      java.sql.Date.valueOf("2024-01-01"), java.sql.Date.valueOf("2024-01-31"),
+      stageDir = s"$tmp/stage", warehouseDir = s"$tmp/warehouse")
+    assert(report.loadedRows == 4L, "run did not recover from the transient fault")
+    assert(!PipelineSpec.faultArmed.get, "fault was never triggered — probe scope grew?")
+  }
+
   test("retry: transient source failure recovers") {
     var calls = 0
     val flaky = new graft.sources.ConstituentSource {
@@ -181,4 +211,9 @@ class PipelineSpec extends SparkSpec {
     assert(syms.count() == 3L)
     assert(calls == 2)
   }
+}
+
+object PipelineSpec {
+  /** armed → the next executor task that sees the marker row throws once */
+  val faultArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
