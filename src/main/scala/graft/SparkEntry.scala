@@ -535,11 +535,17 @@ object SparkEntry {
     // estimate; est_count >= n_exact always holds by construction.
     "q_heavy_hitters" -> q { (s, dir) =>
       import graft.ops.Sketch
-      val toks = Tables.documents(s, dir)
+      // ONE tokenize pass: exact per-token counts are materialized once
+      // (tiny — distinct tokens), then feed BOTH the weighted sketch
+      // build (cells bit-identical to a raw-stream build, md5 per
+      // distinct token instead of per occurrence) and the exact top-20
+      val counts = Tables.documents(s, dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-      val sketch = Sketch.countMinBuild(toks, "token")
-      val top = toks.groupBy(col("token"))
+        .groupBy(col("token"))
         .agg(count(lit(1)).as("n_exact"))
+        .localCheckpoint(true)
+      val sketch = Sketch.countMinBuildWeighted(counts, "token", "n_exact")
+      val top = counts
         .orderBy(col("n_exact").desc, col("token"))
         .limit(20)
       Sketch.countMinEstimate(sketch, top, "token")

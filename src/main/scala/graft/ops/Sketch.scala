@@ -45,6 +45,23 @@ object Sketch {
       .groupBy(col("row_i"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Build the sketch from PRE-AGGREGATED (key, weight) rows: each key
+    * fans out to its `depth` cells once, weighted by its count. Cell
+    * values are identical to [[countMinBuild]] over the raw stream (a
+    * cell's count = total occurrences of the keys hashing into it), but
+    * the `depth` md5 evaluations run per DISTINCT key instead of per
+    * occurrence — the right composition when an exact per-key aggregate
+    * is being computed anyway (see `q_heavy_hitters`), and the standard
+    * mergeable form for combining pre-counted shards.
+    */
+  def countMinBuildWeighted(counts: DataFrame, keyCol: String,
+      weightCol: String, depth: Int = 4, width: Int = 2048): DataFrame =
+    counts.select(col(weightCol), posexplode(
+        array((0 until depth).map(i => cmBucket(col(keyCol), i, width)): _*))
+        .as(Seq("row_i", "bucket")))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col(weightCol)).as("cnt"))
+
   /** Point estimates for a frame of keys: probe the key's `depth` cells,
     * take the min. `depth`/`width` must match the build. Inner join is
     * safe for keys present in the built data (their cells exist); absent

@@ -334,6 +334,18 @@ class SketchSpec extends SparkSpec {
     assert(rowMass == Set(keys.size.toLong))
   }
 
+  test("count-min weighted build equals raw-stream build cell for cell") {
+    val keys = (1 to 40).flatMap(i => Seq.fill(i % 7 + 1)(s"key_$i"))
+    val df = keys.toDF("k")
+    val raw = Sketch.countMinBuild(df, "k", depth = 4, width = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val weighted = Sketch.countMinBuildWeighted(
+        df.groupBy("k").agg(count(lit(1)).as("n")), "k", "n",
+        depth = 4, width = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(weighted == raw)
+  }
+
   test("hll: estimate accuracy, duplicate-insensitivity, partition-invariance") {
     val n = 5000
     val df = (1 to n).map(i => (s"key_$i", "g")).toDF("k", "grp")
