@@ -78,6 +78,25 @@ class PlanAuditSpec extends SparkSpec {
       s"eval index not broadcast:\n$p")
   }
 
+  test("keepCanonical: corpus joins are broadcast on both legs — corpus never shuffles") {
+    // the final kept-documents plan (label attach + loser anti-join) must
+    // read the docs scan through broadcast joins only; a hash exchange of
+    // the corpus here is the full-corpus window shape this operator was
+    // rewritten to avoid
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val pairs = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5, maxDocFreq = 20L)
+    val kept = graft.ops.Dedup.keepCanonical(docs, "doc_id", pairs,
+      "id_a", "id_b", Seq(col("n_chars").desc, col("doc_id")))
+    val p = kept.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), s"label/loser sides not broadcast:\n$p")
+    // the anti-join leg over the corpus must be broadcast, not shuffled
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus shuffled for a keepCanonical join:\n$p")
+  }
+
   test("q_term_weights / q_domain_quota: rank pushed below the exchange (WindowGroupLimit)") {
     Seq("q_term_weights", "q_domain_quota").foreach { n =>
       val p = plan(n)
