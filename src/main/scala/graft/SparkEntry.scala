@@ -586,6 +586,15 @@ object SparkEntry {
           ratio.as("dup_ratio"))
     },
 
+    // Gopher n-gram repetition filter signals: per-doc top-{2,3,4}-gram
+    // and duplicated-{5..10}-gram character-mass fractions, all n from one
+    // window-lead pass riding a single corpus shuffle (see
+    // TextAnalysis.ngramRepetitionSignals).
+    "q_text_ngram_repetition" -> q { (s, dir) =>
+      TextAnalysis.ngramRepetitionSignals(
+        Tables.documents(s, dir), "doc_id", "text")
+    },
+
     // Dominant-token share per document (explode → count → WindowGroupLimit
     // rank-1 pick with a lexicographic tiebreak) — the "single token
     // dominates the document" spam signal.
@@ -2308,6 +2317,40 @@ object SparkEntry {
         |  coalesce(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
         |        / CAST(nullif(len(t), 0) AS DOUBLE), 0) AS dup_ratio
         |FROM (SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents)""".stripMargin,
+
+    "q_text_ngram_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, n, array_to_string(t[i:i+n-1], ' ') AS gram
+        |  FROM toks
+        |  CROSS JOIN unnest([2,3,4,5,6,7,8,9,10]) AS nn(n)
+        |  CROSS JOIN LATERAL unnest(generate_series(1, len(t) - n + 1)) AS ii(i)),
+        |counts AS (
+        |  SELECT doc_id, n, gram, count(*) AS cnt, length(gram) AS glen
+        |  FROM grams GROUP BY 1, 2, 3),
+        |per_n AS (
+        |  SELECT doc_id, n,
+        |    max(cnt * glen) AS top_mass,
+        |    sum(cnt * glen) AS total_mass,
+        |    sum(CASE WHEN cnt > 1 THEN cnt * glen ELSE 0 END) AS dup_mass
+        |  FROM counts GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 2 THEN CAST(top_mass AS DOUBLE) / total_mass END) AS top2_frac,
+        |    max(CASE WHEN n = 3 THEN CAST(top_mass AS DOUBLE) / total_mass END) AS top3_frac,
+        |    max(CASE WHEN n = 4 THEN CAST(top_mass AS DOUBLE) / total_mass END) AS top4_frac,
+        |    max(CASE WHEN n = 5 THEN CAST(dup_mass AS DOUBLE) / total_mass END) AS dup5_frac,
+        |    max(CASE WHEN n = 6 THEN CAST(dup_mass AS DOUBLE) / total_mass END) AS dup6_frac,
+        |    max(CASE WHEN n = 7 THEN CAST(dup_mass AS DOUBLE) / total_mass END) AS dup7_frac,
+        |    max(CASE WHEN n = 8 THEN CAST(dup_mass AS DOUBLE) / total_mass END) AS dup8_frac,
+        |    max(CASE WHEN n = 9 THEN CAST(dup_mass AS DOUBLE) / total_mass END) AS dup9_frac,
+        |    max(CASE WHEN n = 10 THEN CAST(dup_mass AS DOUBLE) / total_mass END) AS dup10_frac
+        |  FROM per_n GROUP BY 1)
+        |SELECT d.doc_id, s.top2_frac, s.top3_frac, s.top4_frac,
+        |  s.dup5_frac, s.dup6_frac, s.dup7_frac, s.dup8_frac,
+        |  s.dup9_frac, s.dup10_frac
+        |FROM documents d LEFT JOIN sig s USING (doc_id)""".stripMargin,
 
     "q_top_token" ->
       """SELECT doc_id, token AS top_token, n AS top_n,

@@ -143,6 +143,69 @@ object TextAnalysis {
     (n, nd, coalesce(ratio, lit(0.0)))
   }
 
+  /** Gopher-style n-gram repetition signals (Rae et al. 2021, "Scaling
+    * Language Models", table A1 filters — adapted): for each requested n,
+    * the fraction of the document's n-gram CHARACTER MASS held by (a) the
+    * single heaviest n-gram (`top{n}_frac` — boilerplate headers, looped
+    * phrases) and (b) all n-grams occurring more than once (`dup{n}_frac`
+    * — templated word-salad). A gram's character mass = occurrences ×
+    * gram length; using the max MASS (not the most-frequent gram's mass)
+    * makes the signal tie-free and therefore exactly reproducible across
+    * engines — no argmax tie-break to mirror.
+    *
+    * Scale shape: one repartition by doc id feeds the window-lead n-gram
+    * assembly (codegen'd — per-row array-lambda assembly is interpreted
+    * and O(n²), see [[graft.ops.Dedup]] shingles); every requested n is
+    * emitted from that ONE pass as (doc, n, gram) rows, and because each
+    * successive groupBy keys on a superset-compatible prefix
+    * (doc → (doc, n, gram) → (doc, n) → doc), Catalyst satisfies all
+    * three aggregations with the ORIGINAL doc-id partitioning — the
+    * whole signal matrix costs one shuffle of the corpus plus the final
+    * id join, independent of how many n are requested.
+    *
+    * Docs with fewer than min(n) tokens have no grams and return null
+    * signals (preserved by the left join — every input doc gets a row).
+    */
+  def ngramRepetitionSignals(docs: DataFrame, idCol: String,
+      textCol: String, topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    val ns = (topNs ++ dupNs).distinct.sorted
+    require(ns.forall(_ >= 2), "n-gram sizes must be >= 2")
+    val maxN = ns.max
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leadCols = (1 until maxN).map(i => lead(col("tok"), i).over(w).as(s"__t$i"))
+    val withLeads = toks.select((Seq(col("doc_id"), col("tok")) ++ leadCols): _*)
+    val gramStructs = ns.map { n =>
+      val parts = col("tok") +: (1 until n).map(i => col(s"__t$i"))
+      when(col(s"__t${n - 1}").isNotNull, // only complete windows emit
+        struct(lit(n).as("n"), concat_ws(" ", parts: _*).as("gram")))
+    }
+    val grams = withLeads.select(col("doc_id"),
+        explode(filter(array(gramStructs: _*), g => g.isNotNull)).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val counts = grams.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("mass", col("cnt") * length(col("gram")).cast(LongType))
+    val perN = counts.groupBy(col("doc_id"), col("n"))
+      .agg(max(col("mass")).as("top_mass"),
+        sum(col("mass")).as("total_mass"),
+        sum(when(col("cnt") > 1, col("mass")).otherwise(lit(0L))).as("dup_mass"))
+    val sigCols =
+      topNs.sorted.map(n => max(when(col("n") === n,
+          col("top_mass").cast(DoubleType) / col("total_mass").cast(DoubleType)))
+        .as(s"top${n}_frac")) ++
+      dupNs.sorted.map(n => max(when(col("n") === n,
+          col("dup_mass").cast(DoubleType) / col("total_mass").cast(DoubleType)))
+        .as(s"dup${n}_frac"))
+    val sig = perN.groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    docs.select(col(idCol).as("doc_id")).join(sig, Seq("doc_id"), "left_outer")
+  }
+
   /** Sequentially applied (pattern → replacement) scrub — the PII-redaction
     * primitive (emails, phone numbers, id-like digit runs). Pure
     * `regexp_replace` chain: codegen'd, shuffle-free, linear in input.

@@ -78,6 +78,17 @@ class PlanAuditSpec extends SparkSpec {
       s"eval index not broadcast:\n$p")
   }
 
+  test("q_text_ngram_repetition: one corpus shuffle feeds all three aggregations") {
+    // counts → per-n → per-doc each key on a superset/prefix of the
+    // doc-id partitioning, so Catalyst must satisfy all of them with the
+    // original repartition; the only other exchange is the final id-join
+    // side. More exchanges = the single-shuffle signal matrix regressed.
+    val p = plan("q_text_ngram_repetition")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"expected ≤2 exchanges (corpus repartition + join side), got $exchanges:\n$p")
+  }
+
   test("keepCanonical: corpus joins are broadcast on both legs — corpus never shuffles") {
     // the final kept-documents plan (label attach + loser anti-join) must
     // read the docs scan through broadcast joins only; a hash exchange of

@@ -433,6 +433,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 0.0)))
   }
 
+  test("ngram repetition signals: hand-computed masses, short-doc nulls") {
+    val df = Seq(
+      (1L, "a b a b c"),  // bigrams: "a b"×2 (mass 6), "b a"×1 (3), "b c"×1 (3)
+      (2L, "x"),          // too short for any n ≥ 2 → null signals
+      (3L, "p q p q p q") // bigrams: "p q"×3 (9), "q p"×2 (6) → top 9/15, dup 15/15
+      ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetitionSignals(df, "doc_id", "text",
+        topNs = Seq(2), dupNs = Seq(2, 3))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(out(1L).fieldIndex("top2_frac")) == 0.5)  // 6/12
+    assert(out(1L).getDouble(out(1L).fieldIndex("dup2_frac")) == 0.5)  // 6/12
+    assert(out(1L).getDouble(out(1L).fieldIndex("dup3_frac")) == 0.0)  // all trigrams unique
+    assert(out(2L).isNullAt(out(2L).fieldIndex("top2_frac")))
+    assert(out(3L).getDouble(out(3L).fieldIndex("top2_frac")) == 9.0 / 15.0)
+    assert(out(3L).getDouble(out(3L).fieldIndex("dup2_frac")) == 1.0)
+  }
+
   test("redaction scrubs PII patterns and counts matches") {
     val df = Seq(
       (1L, "mail me at jane.doe@example.com or call 555-123-4567, acct 12345678"),
