@@ -1119,6 +1119,31 @@ object SparkEntry {
             col("embedding"), cents, 64).cast(LongType).as("centroid_id"))
     },
 
+    // Product-quantization encode against fixed seeded subspace codebooks
+    // (Jégou et al. 2011): 8 independent 8-dim argmins per row compress a
+    // 256 B float vector to an 8-code word — the storage layout that makes
+    // a 100 TB ANN candidate scan read codes, not vectors. Same
+    // plan-literal pattern as q_ivf_assign; the full encoding arithmetic
+    // is oracled bit-exactly.
+    "q_pq_encode" -> q { (s, dir) =>
+      graft.ops.Quantize.pqEncode(
+          cleanEmbeddings(Tables.embeddings(s, dir)), "vec_id", "embedding",
+          graft.ops.Quantize.pqCodebooks(m = 8, kSub = 16, dSub = 8), dSub = 8)
+        .select(col("vec_id"),
+          graft.ops.Quantize.pqPackWord(col("pq_codes"), m = 8, bits = 4)
+            .as("pq_word"))
+    },
+
+    // PQ asymmetric-distance (ADC) top-k: plan-time query→centroid
+    // distance tables, corpus scored by 8 table lookups per row in a
+    // fixed left-to-right sum — scores AND ranking oracled bit-exactly.
+    "q_ann_pq" -> q { (s, dir) =>
+      graft.ops.Quantize.pqAdcTopK(
+        cleanEmbeddings(Tables.embeddings(s, dir)), "vec_id", "embedding",
+        graft.ops.Quantize.pqCodebooks(m = 8, kSub = 16, dSub = 8), dSub = 8,
+        pqQueryVec, k = 10)
+    },
+
     // ---- multimodal plumbing (rows-only; decode is stubbed) ----
 
     "q_multimodal_features" -> q { (s, dir) =>
@@ -1737,6 +1762,104 @@ object SparkEntry {
        |FROM embeddings""".stripMargin
   }
 
+  /** Embeddings restricted to the domain where kernel and SQL arithmetic
+    * are defined identically: exactly-64-dim, no null elements (the
+    * kernel clamps ragged vectors; SQL indexing past the end or into a
+    * null element nulls every distance). Shared by the PQ queries.
+    */
+  private def cleanEmbeddings(df: org.apache.spark.sql.DataFrame) =
+    df.where(col("embedding").isNotNull && size(col("embedding")) === 64 &&
+      !exists(col("embedding"), _.isNull))
+
+  /** Deterministic probe vector for `q_ann_pq` — seeded at plan time so
+    * the oracle SQL generator embeds the identical query.
+    */
+  private lazy val pqQueryVec: Seq[Double] = {
+    val r = new scala.util.Random(5)
+    Seq.fill(64)(r.nextGaussian())
+  }
+
+  /** Oracle SQL fragments for the PQ queries: per-subspace squared-L2
+    * distance columns in the kernel's left-to-right accumulation order,
+    * and per-subspace earliest-minimum CASE-chain argmins — the same
+    * bit-exactness contract as [[ivfAssignOracleSql]], once per subspace.
+    */
+  private def pqOracleParts(m: Int, kSub: Int, dSub: Int): (String, String) = {
+    val cbs = graft.ops.Quantize.pqCodebooks(m, kSub, dSub)
+    val dcols = (for { i <- 0 until m; c <- 0 until kSub } yield {
+      val d = (0 until dSub).map { j =>
+        val e = s"(CAST(embedding[${i * dSub + j + 1}] AS DOUBLE) - (${cbs(i)(c * dSub + j)}))"
+        s"$e * $e"
+      }.mkString(" + ")
+      s"($d) AS d${i}_$c"
+    }).mkString(",\n    ")
+    val codeExprs = (0 until m).map { i =>
+      val cases = (0 until kSub - 1).map { c =>
+        val conds = (c + 1 until kSub).map(o => s"d${i}_$c <= d${i}_$o").mkString(" AND ")
+        s"WHEN $conds THEN $c"
+      }.mkString(" ")
+      s"CAST(CASE $cases ELSE ${kSub - 1} END AS BIGINT) AS code_$i"
+    }.mkString(",\n    ")
+    (dcols, codeExprs)
+  }
+
+  private val pqCleanWhere: String =
+    """WHERE embedding IS NOT NULL AND len(embedding) = 64
+      |    AND len(list_filter(embedding, x -> x IS NULL)) = 0""".stripMargin
+
+  /** Packed code word: code_i occupies bits [4i, 4i+4) — multiplication
+    * by 16^i is exact integer arithmetic, identical to the engine's
+    * shiftleft/bitwiseOR pack.
+    */
+  private def pqPackSql(m: Int): String =
+    s"CAST(${(0 until m).map(i => s"code_$i * ${1L << (4 * i)}").mkString(" + ")} AS BIGINT)"
+
+  private def pqEncodeOracleSql(m: Int, kSub: Int, dSub: Int): String = {
+    val (dcols, codeExprs) = pqOracleParts(m, kSub, dSub)
+    s"""WITH dd AS (
+       |  SELECT vec_id,
+       |    $dcols
+       |  FROM embeddings
+       |  $pqCleanWhere),
+       |codes AS (
+       |  SELECT vec_id,
+       |    $codeExprs
+       |  FROM dd)
+       |SELECT vec_id, ${pqPackSql(m)} AS pq_word FROM codes""".stripMargin
+  }
+
+  private def pqAdcOracleSql(m: Int, kSub: Int, dSub: Int,
+      query: Seq[Double], k: Int): String = {
+    val cbs = graft.ops.Quantize.pqCodebooks(m, kSub, dSub)
+    val (dcols, codeExprs) = pqOracleParts(m, kSub, dSub)
+    // plan-time distance tables, identical arithmetic to Quantize.pqAdcTopK
+    val adc = (0 until m).map { i =>
+      val table = Array.tabulate(kSub) { c =>
+        var dist = 0.0; var j = 0
+        while (j < dSub) {
+          val d = query(i * dSub + j) - cbs(i)(c * dSub + j)
+          dist += d * d; j += 1
+        }
+        dist
+      }.mkString("[", ", ", "]")
+      // ::DOUBLE[] — bare numeric literals parse as DECIMAL in DuckDB,
+      // and decimal addition both overflows and diverges from the
+      // engine's double arithmetic
+      s"($table::DOUBLE[])[code_$i + 1]"
+    }.mkString(" + ")
+    s"""WITH dd AS (
+       |  SELECT vec_id,
+       |    $dcols
+       |  FROM embeddings
+       |  $pqCleanWhere),
+       |codes AS (
+       |  SELECT vec_id,
+       |    $codeExprs
+       |  FROM dd)
+       |SELECT vec_id, ${pqPackSql(m)} AS pq_word, $adc AS adc_dist
+       |FROM codes ORDER BY adc_dist, vec_id LIMIT $k""".stripMargin
+  }
+
   /** Oracle for `q_ivf_assign`: the seeded centroid table embedded as SQL
     * literal constants, each squared-L2 distance written in the kernel's
     * exact left-to-right accumulation order ((v[j]-c[j])² terms, SQL `+`
@@ -1773,6 +1896,11 @@ object SparkEntry {
     "q_ann_lsh_buckets" -> lshBucketOracleSql(planes = 12, dim = 64),
 
     "q_ivf_assign" -> ivfAssignOracleSql(k = 8, dim = 64),
+
+    "q_pq_encode" -> pqEncodeOracleSql(m = 8, kSub = 16, dSub = 8),
+
+    "q_ann_pq" -> pqAdcOracleSql(m = 8, kSub = 16, dSub = 8,
+      query = pqQueryVec, k = 10),
 
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity

@@ -66,6 +66,73 @@ class QuantizeSpec extends SparkSpec {
       assert(r.getAs[Double]("max_abs_err") <= step * 0.5 + 1e-12)
     }
   }
+
+  test("PQ encode: codes match a driver-side argmin; pack/unpack roundtrip") {
+    val (m, kSub, dSub) = (4, 8, 2)
+    val cbs = Quantize.pqCodebooks(m, kSub, dSub)
+    val data = Seq(
+      (1L, Array(0.1f, -0.3f, 1.2f, 0.4f, -2.0f, 0.0f, 0.7f, 0.9f)),
+      (2L, Array(-1.1f, 0.3f, -0.2f, 2.4f, 1.0f, -0.5f, 0.2f, -0.9f)))
+      .toDF("vec_id", "embedding")
+    def expectedCodes(v: Array[Float]): Seq[Long] =
+      (0 until m).map { i =>
+        val sub = v.slice(i * dSub, (i + 1) * dSub).map(_.toDouble)
+        (0 until kSub).minBy { c =>
+          // strictly-smaller update = earliest-minimum tie-break (minBy
+          // keeps the first minimum, matching the kernel contract)
+          sub.zipWithIndex.map { case (x, j) =>
+            val d = x - cbs(i)(c * dSub + j); d * d
+          }.sum
+        }.toLong
+      }
+    val got = Quantize.pqEncode(data, "vec_id", "embedding", cbs, dSub)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("pq_codes"))).toMap
+    Seq(1L, 2L).foreach { id =>
+      val v = if (id == 1L) Array(0.1f, -0.3f, 1.2f, 0.4f, -2.0f, 0.0f, 0.7f, 0.9f)
+              else Array(-1.1f, 0.3f, -0.2f, 2.4f, 1.0f, -0.5f, 0.2f, -0.9f)
+      assert(got(id) == expectedCodes(v), s"vec $id codes diverge")
+      assert(got(id).forall(c => c >= 0 && c < kSub))
+    }
+    // packed word decodes back to the code sequence
+    val bits = 3 // kSub = 8
+    val packed = Quantize.pqEncode(data, "vec_id", "embedding", cbs, dSub)
+      .select(col("vec_id"), Quantize.pqPackWord(col("pq_codes"), m, bits).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L, 2L).foreach { id =>
+      val unpacked = (0 until m).map(i => (packed(id) >> (i * bits)) & ((1L << bits) - 1))
+      assert(unpacked == got(id), s"vec $id pack/unpack mismatch")
+    }
+  }
+
+  test("PQ ADC: top-k scores equal driver-side table lookups; ranking sane") {
+    val (m, kSub, dSub) = (8, 16, 8)
+    val cbs = Quantize.pqCodebooks(m, kSub, dSub)
+    val query = { val r = new scala.util.Random(99); Seq.fill(64)(r.nextGaussian()) }
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("embedding").isNotNull && size(col("embedding")) === 64 &&
+        !exists(col("embedding"), _.isNull))
+    val top = Quantize.pqAdcTopK(emb, "vec_id", "embedding", cbs, dSub, query, k = 5)
+      .collect()
+    assert(top.length == 5)
+    // scores ascend and equal the hand-computed table sum for each row
+    val tables = Array.tabulate(m, kSub) { (i, c) =>
+      (0 until dSub).map { j =>
+        val d = query(i * dSub + j) - cbs(i)(c * dSub + j); d * d
+      }.foldLeft(0.0)(_ + _)
+    }
+    val codesOf = Quantize.pqEncode(emb, "vec_id", "embedding", cbs, dSub)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("pq_codes"))).toMap
+    var prev = Double.NegativeInfinity
+    top.foreach { r =>
+      val id = r.getLong(0)
+      val dist = r.getAs[Double]("adc_dist")
+      assert(dist >= prev); prev = dist
+      val expected = codesOf(id).zipWithIndex
+        .map { case (c, i) => tables(i)(c.toInt) }
+        .foldLeft(0.0)(_ + _)
+      assert(dist == expected, s"vec $id: adc $dist != table sum $expected")
+    }
+  }
 }
 
 class KeywordSearchSpec extends SparkSpec {
