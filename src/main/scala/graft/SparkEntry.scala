@@ -1128,7 +1128,7 @@ object SparkEntry {
     "q_pq_encode" -> q { (s, dir) =>
       graft.ops.Quantize.pqEncode(
           cleanEmbeddings(Tables.embeddings(s, dir)), "vec_id", "embedding",
-          graft.ops.Quantize.pqCodebooks(m = 8, kSub = 16, dSub = 8), dSub = 8)
+          pqCbs, dSub = 8)
         .select(col("vec_id"),
           graft.ops.Quantize.pqPackWord(col("pq_codes"), m = 8, bits = 4)
             .as("pq_word"))
@@ -1140,8 +1140,20 @@ object SparkEntry {
     "q_ann_pq" -> q { (s, dir) =>
       graft.ops.Quantize.pqAdcTopK(
         cleanEmbeddings(Tables.embeddings(s, dir)), "vec_id", "embedding",
-        graft.ops.Quantize.pqCodebooks(m = 8, kSub = 16, dSub = 8), dSub = 8,
+        pqCbs, dSub = 8,
         pqQueryVec, k = 10)
+    },
+
+    // IVF-PQ composed retrieval: coarse-assign, keep the nprobe nearest
+    // inverted lists (partition-prunable small-int predicate), ADC-score
+    // only those lists' packed codes. Every stage is plan-literal
+    // arithmetic — the whole composed path is oracled bit-exactly.
+    "q_ann_ivfpq" -> q { (s, dir) =>
+      graft.ops.Quantize.ivfPqTopK(
+        cleanEmbeddings(Tables.embeddings(s, dir)), "vec_id", "embedding",
+        Similarity.IvfIndex(ivfPqCoarseFlat, 64),
+        pqCbs, dSub = 8,
+        pqQueryVec, k = 10, nprobe = 2)
     },
 
     // ---- multimodal plumbing (rows-only; decode is stubbed) ----
@@ -1771,12 +1783,36 @@ object SparkEntry {
     df.where(col("embedding").isNotNull && size(col("embedding")) === 64 &&
       !exists(col("embedding"), _.isNull))
 
-  /** Deterministic probe vector for `q_ann_pq` — seeded at plan time so
-    * the oracle SQL generator embeds the identical query.
+  /** Deterministic probe vector for the PQ queries — seeded at plan time
+    * so the oracle SQL generator embeds the identical query; scaled to
+    * unit-ish norm to look like a corpus embedding.
     */
   private lazy val pqQueryVec: Seq[Double] = {
     val r = new scala.util.Random(5)
-    Seq.fill(64)(r.nextGaussian())
+    Seq.fill(64)(r.nextGaussian() / 8.0)
+  }
+
+  /** Shared PQ constants: the fixture embeddings are unit-norm 64-dim, so
+    * coordinate RMS ≈ 1/8 — codebooks and the coarse quantizer are scaled
+    * to that magnitude (unscaled Gaussian centroids collapse every argmin
+    * onto the smallest-norm entry; measured: 96% of the corpus in one
+    * inverted list, 40 distinct code words over 500 vectors).
+    */
+  private lazy val pqCbs: Array[Array[Double]] =
+    graft.ops.Quantize.pqCodebooks(m = 8, kSub = 16, dSub = 8, scale = 0.125)
+  private lazy val ivfPqCoarseFlat: Array[Double] =
+    Similarity.fixedCentroids(k = 8, dim = 64).map(_ / 8.0)
+
+  /** Render a double as a literal DuckDB types as DOUBLE: a bare decimal
+    * literal parses as DECIMAL and the decimal→double conversion can be
+    * a ulp off the IEEE parse of the same digits (measured: flipped a
+    * near-tie coarse assignment and the last bit of an ADC sum). A
+    * literal with an exponent is a DOUBLE by the grammar, so append `e0`
+    * when Scala's shortest-repr has none.
+    */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
   }
 
   /** Oracle SQL fragments for the PQ queries: per-subspace squared-L2
@@ -1785,10 +1821,10 @@ object SparkEntry {
     * bit-exactness contract as [[ivfAssignOracleSql]], once per subspace.
     */
   private def pqOracleParts(m: Int, kSub: Int, dSub: Int): (String, String) = {
-    val cbs = graft.ops.Quantize.pqCodebooks(m, kSub, dSub)
+    val cbs = pqCbs
     val dcols = (for { i <- 0 until m; c <- 0 until kSub } yield {
       val d = (0 until dSub).map { j =>
-        val e = s"(CAST(embedding[${i * dSub + j + 1}] AS DOUBLE) - (${cbs(i)(c * dSub + j)}))"
+        val e = s"(CAST(embedding[${i * dSub + j + 1}] AS DOUBLE) - (${dlit(cbs(i)(c * dSub + j))}))"
         s"$e * $e"
       }.mkString(" + ")
       s"($d) AS d${i}_$c"
@@ -1828,12 +1864,14 @@ object SparkEntry {
        |SELECT vec_id, ${pqPackSql(m)} AS pq_word FROM codes""".stripMargin
   }
 
-  private def pqAdcOracleSql(m: Int, kSub: Int, dSub: Int,
-      query: Seq[Double], k: Int): String = {
-    val cbs = graft.ops.Quantize.pqCodebooks(m, kSub, dSub)
-    val (dcols, codeExprs) = pqOracleParts(m, kSub, dSub)
-    // plan-time distance tables, identical arithmetic to Quantize.pqAdcTopK
-    val adc = (0 until m).map { i =>
+  /** ADC expression over `code_i` columns: plan-time distance tables,
+    * identical arithmetic to Quantize.pqAdcTopK. `::DOUBLE[]` — bare
+    * numeric literals parse as DECIMAL in DuckDB, and decimal addition
+    * both overflows and diverges from the engine's double arithmetic.
+    */
+  private def pqAdcSql(m: Int, kSub: Int, dSub: Int, query: Seq[Double]): String = {
+    val cbs = pqCbs
+    (0 until m).map { i =>
       val table = Array.tabulate(kSub) { c =>
         var dist = 0.0; var j = 0
         while (j < dSub) {
@@ -1841,12 +1879,15 @@ object SparkEntry {
           dist += d * d; j += 1
         }
         dist
-      }.mkString("[", ", ", "]")
-      // ::DOUBLE[] — bare numeric literals parse as DECIMAL in DuckDB,
-      // and decimal addition both overflows and diverges from the
-      // engine's double arithmetic
+      }.map(dlit).mkString("[", ", ", "]")
       s"($table::DOUBLE[])[code_$i + 1]"
     }.mkString(" + ")
+  }
+
+  private def pqAdcOracleSql(m: Int, kSub: Int, dSub: Int,
+      query: Seq[Double], k: Int): String = {
+    val (dcols, codeExprs) = pqOracleParts(m, kSub, dSub)
+    val adc = pqAdcSql(m, kSub, dSub, query)
     s"""WITH dd AS (
        |  SELECT vec_id,
        |    $dcols
@@ -1858,6 +1899,44 @@ object SparkEntry {
        |  FROM dd)
        |SELECT vec_id, ${pqPackSql(m)} AS pq_word, $adc AS adc_dist
        |FROM codes ORDER BY adc_dist, vec_id LIMIT $k""".stripMargin
+  }
+
+  /** Oracle for `q_ann_ivfpq`: coarse CASE-chain assignment restricted to
+    * the same plan-time probe list as the engine, then the PQ code and
+    * ADC fragments — the composed retrieval bit-exact end to end.
+    */
+  private def ivfPqOracleSql(coarseK: Int, dim: Int, m: Int, kSub: Int,
+      dSub: Int, query: Seq[Double], k: Int, nprobe: Int): String = {
+    val cents = ivfPqCoarseFlat
+    val probeIds = Similarity.IvfIndex(cents, dim).probes(query, nprobe)
+    val coarseD = (0 until coarseK).map { c =>
+      val d = (0 until dim).map { j =>
+        val e = s"(CAST(embedding[${j + 1}] AS DOUBLE) - (${dlit(cents(c * dim + j))}))"
+        s"$e * $e"
+      }.mkString(" + ")
+      s"($d) AS cd$c"
+    }.mkString(",\n    ")
+    val coarseCase = (0 until coarseK - 1).map { c =>
+      val conds = (c + 1 until coarseK).map(o => s"cd$c <= cd$o").mkString(" AND ")
+      s"WHEN $conds THEN $c"
+    }.mkString(" ")
+    val (dcols, codeExprs) = pqOracleParts(m, kSub, dSub)
+    val adc = pqAdcSql(m, kSub, dSub, query)
+    s"""WITH dd AS (
+       |  SELECT vec_id,
+       |    $coarseD,
+       |    $dcols
+       |  FROM embeddings
+       |  $pqCleanWhere),
+       |assigned AS (
+       |  SELECT vec_id,
+       |    CAST(CASE $coarseCase ELSE ${coarseK - 1} END AS BIGINT) AS centroid_id,
+       |    $codeExprs
+       |  FROM dd)
+       |SELECT vec_id, centroid_id, ${pqPackSql(m)} AS pq_word, $adc AS adc_dist
+       |FROM assigned
+       |WHERE centroid_id IN (${probeIds.mkString(", ")})
+       |ORDER BY adc_dist, vec_id LIMIT $k""".stripMargin
   }
 
   /** Oracle for `q_ivf_assign`: the seeded centroid table embedded as SQL
@@ -1901,6 +1980,9 @@ object SparkEntry {
 
     "q_ann_pq" -> pqAdcOracleSql(m = 8, kSub = 16, dSub = 8,
       query = pqQueryVec, k = 10),
+
+    "q_ann_ivfpq" -> ivfPqOracleSql(coarseK = 8, dim = 64, m = 8, kSub = 16,
+      dSub = 8, query = pqQueryVec, k = 10, nprobe = 2),
 
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity

@@ -79,9 +79,15 @@ object Quantize {
     * production fit would train each codebook with the sampled or
     * distributed Lloyd paths in [[Similarity]].
     */
+  /** @param scale multiplier on the seeded Gaussian entries — match the
+    *   data's coordinate magnitude (for unit-norm vectors of dim D, a
+    *   coordinate's RMS is 1/√D) or the argmins collapse onto the
+    *   smallest-norm centroid and every code word degenerates.
+    */
   def pqCodebooks(m: Int, kSub: Int, dSub: Int,
-      seed: Long = 11L): Array[Array[Double]] =
-    Array.tabulate(m)(i => Similarity.fixedCentroids(kSub, dSub, seed + i))
+      seed: Long = 11L, scale: Double = 1.0): Array[Array[Double]] =
+    Array.tabulate(m)(i =>
+      Similarity.fixedCentroids(kSub, dSub, seed + i).map(_ * scale))
 
   /** PQ encoding: each vector's `i`-th `dSub`-dim slice is assigned to its
     * nearest subspace centroid by the codegen'd `nearest_centroid_f32`
@@ -97,8 +103,9 @@ object Quantize {
       graft.functions.VectorFunctions.nearestCentroidF32(
         slice(col(vecCol), i * dSub + 1, dSub), cb, dSub).cast(LongType)
     }
-    vecs.select(col(idCol), col(vecCol))
-      .withColumn("pq_codes", array(codeCols.toIndexedSeq: _*))
+    // passthrough: input columns survive, so composed pipelines (IVF-PQ)
+    // keep their coarse assignment without a self-join
+    vecs.withColumn("pq_codes", array(codeCols.toIndexedSeq: _*))
   }
 
   /** Pack an m-code PQ word into one BIGINT (code `i` in bits
@@ -152,6 +159,54 @@ object Quantize {
   private def bitsPerCode(codebooks: Array[Array[Double]], dSub: Int): Int = {
     val kSub = codebooks(0).length / dSub
     math.max(1, 64 - java.lang.Long.numberOfLeadingZeros((kSub - 1).toLong).toInt)
+  }
+
+  /** IVF-PQ: coarse-quantize the corpus into inverted lists, then
+    * ADC-score ONLY the `nprobe` lists nearest the query — the composed
+    * 100 TB retrieval path: the coarse predicate is a partition-prunable
+    * small-int equality (a corpus written partitioned by `centroid_id`
+    * reads just those partitions' files), and within the probed lists the
+    * scan touches packed code words, never float vectors. Flat (IMI-style)
+    * PQ within lists — codes quantize the vector itself, not the residual
+    * x − c(x); residual encoding buys recall at the cost of per-list
+    * codebook arithmetic and is the natural next refinement on a trained
+    * index. Every stage here (coarse argmin, codes, ADC sums, ranking) is
+    * deterministic plan-literal arithmetic, so the whole composed
+    * retrieval is oracle-checkable bit-exactly.
+    */
+  def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      coarse: Similarity.IvfIndex, codebooks: Array[Array[Double]],
+      dSub: Int, query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val probeIds = coarse.probes(query, nprobe)
+    val m = codebooks.length
+    val tables: Array[Array[Double]] = Array.tabulate(m) { i =>
+      val cb = codebooks(i)
+      val kSub = cb.length / dSub
+      Array.tabulate(kSub) { c =>
+        var dist = 0.0; var j = 0
+        while (j < dSub) {
+          val d = query(i * dSub + j) - cb(c * dSub + j)
+          dist += d * d; j += 1
+        }
+        dist
+      }
+    }
+    val adc = (0 until m).map(i =>
+        element_at(typedLit(tables(i).toSeq),
+          col("pq_codes")(i).cast(IntegerType) + lit(1)))
+      .reduce(_ + _)
+    val assigned = vecs.select(col(idCol), col(vecCol))
+      .withColumn("centroid_id",
+        graft.functions.VectorFunctions.nearestCentroidF32(
+          col(vecCol), coarse.centroidsFlat, coarse.dim))
+      .where(col("centroid_id").isin(probeIds: _*))
+    pqEncode(assigned, idCol, vecCol, codebooks, dSub)
+      .withColumn("adc_dist", adc)
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("centroid_id").cast(LongType).as("centroid_id"),
+        pqPackWord(col("pq_codes"), m, bitsPerCode(codebooks, dSub)).as("pq_word"),
+        col("adc_dist"))
   }
 
   /** Higher-order-function reference formulation of [[auditInt8]] —

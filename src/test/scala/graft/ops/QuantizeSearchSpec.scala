@@ -133,6 +133,35 @@ class QuantizeSpec extends SparkSpec {
       assert(dist == expected, s"vec $id: adc $dist != table sum $expected")
     }
   }
+
+  test("IVF-PQ: results confined to the probed lists; probe set matches driver argmin") {
+    val (m, kSub, dSub, dim, coarseK, nprobe) = (8, 16, 8, 64, 8, 2)
+    // scale the seeded tables to the unit-norm fixture's coordinate RMS
+    // (1/√dim) or every argmin collapses onto the smallest-norm centroid
+    val cbs = Quantize.pqCodebooks(m, kSub, dSub, scale = 0.125)
+    val coarse = Similarity.IvfIndex(
+      Similarity.fixedCentroids(coarseK, dim).map(_ / 8.0), dim)
+    val query = { val r = new scala.util.Random(17); Seq.fill(dim)(r.nextGaussian() / 8.0) }
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("embedding").isNotNull && size(col("embedding")) === dim &&
+        !exists(col("embedding"), _.isNull))
+    val probeIds = coarse.probes(query, nprobe).toSet
+    assert(probeIds.size == nprobe)
+    val top = Quantize.ivfPqTopK(emb, "vec_id", "embedding", coarse, cbs,
+      dSub, query, k = 10, nprobe = nprobe).collect()
+    assert(top.nonEmpty, "probed lists were empty — coarse scaling regressed")
+    top.foreach { r =>
+      assert(probeIds.contains(r.getAs[Long]("centroid_id").toInt),
+        s"vec ${r.getLong(0)} scored outside the probed lists")
+    }
+    // every returned id must actually coarse-assign into a probed list
+    val assigns = Quantize.ivfPqTopK(emb, "vec_id", "embedding", coarse, cbs,
+      dSub, query, k = Int.MaxValue, nprobe = coarseK) // all lists
+      .select("vec_id", "centroid_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    top.foreach(r =>
+      assert(assigns(r.getLong(0)) == r.getAs[Long]("centroid_id")))
+  }
 }
 
 class KeywordSearchSpec extends SparkSpec {
