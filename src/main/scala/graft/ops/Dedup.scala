@@ -489,26 +489,36 @@ object Dedup {
     * through untouched (each is its own singleton group).
     *
     * Scale shape: connected components label only the documents that
-    * appear in a pair (a vanishing fraction of the corpus under a df cap),
-    * so only those documents compete — the contest is an inner join of the
-    * corpus against the broadcast label set, a window over that tiny frame,
-    * and a broadcast anti-join of the LOSER ids back onto the corpus. The
-    * corpus is scanned (column-pruned) but never shuffled; the earlier
-    * formulation windowed the ENTIRE corpus by group (singletons included),
-    * a full-corpus exchange that dominates at 100 TB.
+    * appear in a pair (normally a vanishing fraction of the corpus under
+    * a df cap), so only those documents compete — the contest is an inner
+    * join of the corpus against the broadcast label set, a window over
+    * that small frame, and a broadcast anti-join of the LOSER ids back
+    * onto the corpus. The corpus is scanned (column-pruned) but never
+    * shuffled; the earlier formulation windowed the ENTIRE corpus by
+    * group (singletons included), a full-corpus exchange that dominates
+    * at 100 TB.
+    *
+    * Adaptivity: the label set is already materialized by the CC loop, so
+    * one cheap count decides the plan — past `maxBroadcastLabels` (a
+    * heavily-duplicated corpus where the labeled set is corpus-scale, the
+    * case a blind broadcast would OOM on) it falls back to shuffled joins
+    * of the same shape, still windowing only the contenders.
     */
   def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String, bCol: String, preference: Seq[Column]): DataFrame = {
+      aCol: String, bCol: String, preference: Seq[Column],
+      maxBroadcastLabels: Long = 10000000L): DataFrame = {
     val labels = connectedComponents(pairs, aCol, bCol)
       .withColumnRenamed("id", idCol)
-    val contenders = docs.join(broadcast(labels), Seq(idCol))
+    val small = labels.count() <= maxBroadcastLabels
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val contenders = docs.join(side(labels), Seq(idCol))
     val w = Window.partitionBy(col("label"))
       .orderBy(preference: _*)
     val losers = contenders
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") =!= 1)
       .select(col(idCol))
-    docs.join(broadcast(losers), Seq(idCol), "left_anti")
+    docs.join(side(losers), Seq(idCol), "left_anti")
   }
 
   /** Train/eval decontamination: flag corpus documents that share at least
