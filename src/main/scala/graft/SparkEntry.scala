@@ -539,11 +539,14 @@ object SparkEntry {
       // (tiny — distinct tokens), then feed BOTH the weighted sketch
       // build (cells bit-identical to a raw-stream build, md5 per
       // distinct token instead of per occurrence) and the exact top-20
+      // LAZY checkpoint: materialized once by the query's own action (the
+      // eager form ran a full tokenize job at plan-construction time,
+      // which explain/plan audits must never trigger)
       val counts = Tables.documents(s, dir)
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n_exact"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val sketch = Sketch.countMinBuildWeighted(counts, "token", "n_exact")
       val top = counts
         .orderBy(col("n_exact").desc, col("token"))
@@ -755,7 +758,7 @@ object SparkEntry {
       // range (max 2262-04-11) or the gate can't represent it — hence
       // 2200-01-01, not the conventional 9999-12-31. Cast to the ts
       // column's own type so NTZ fixtures stay NTZ end-to-end.
-      Tables.events(s, dir)
+      events
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("value"), col("ts").as("valid_from"),
           coalesce(nextTs, lit("2200-01-01 00:00:00")
@@ -1822,6 +1825,8 @@ object SparkEntry {
     */
   private def pqOracleParts(m: Int, kSub: Int, dSub: Int): (String, String) = {
     val cbs = pqCbs
+    require(cbs.length == m && cbs(0).length == kSub * dSub,
+      s"PQ oracle params ($m,$kSub,$dSub) diverge from the shared pqCbs table")
     val dcols = (for { i <- 0 until m; c <- 0 until kSub } yield {
       val d = (0 until dSub).map { j =>
         val e = s"(CAST(embedding[${i * dSub + j + 1}] AS DOUBLE) - (${dlit(cbs(i)(c * dSub + j))}))"
@@ -1843,12 +1848,16 @@ object SparkEntry {
     """WHERE embedding IS NOT NULL AND len(embedding) = 64
       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0""".stripMargin
 
-  /** Packed code word: code_i occupies bits [4i, 4i+4) — multiplication
-    * by 16^i is exact integer arithmetic, identical to the engine's
-    * shiftleft/bitwiseOR pack.
+  /** Packed code word: code_i occupies bits [i·b, (i+1)·b) for
+    * b = bitsPerCode(kSub) — multiplication by 2^(i·b) is exact integer
+    * arithmetic, identical to the engine's shiftleft/bitwiseOR pack (and
+    * derived from the SAME bit width, so a kSub change cannot desync the
+    * two sides).
     */
-  private def pqPackSql(m: Int): String =
-    s"CAST(${(0 until m).map(i => s"code_$i * ${1L << (4 * i)}").mkString(" + ")} AS BIGINT)"
+  private def pqPackSql(m: Int, kSub: Int): String = {
+    val bits = graft.ops.Quantize.bitsPerCode(kSub)
+    s"CAST(${(0 until m).map(i => s"code_$i * ${1L << (bits * i)}").mkString(" + ")} AS BIGINT)"
+  }
 
   private def pqEncodeOracleSql(m: Int, kSub: Int, dSub: Int): String = {
     val (dcols, codeExprs) = pqOracleParts(m, kSub, dSub)
@@ -1861,7 +1870,7 @@ object SparkEntry {
        |  SELECT vec_id,
        |    $codeExprs
        |  FROM dd)
-       |SELECT vec_id, ${pqPackSql(m)} AS pq_word FROM codes""".stripMargin
+       |SELECT vec_id, ${pqPackSql(m, kSub)} AS pq_word FROM codes""".stripMargin
   }
 
   /** ADC expression over `code_i` columns: plan-time distance tables,
@@ -1870,17 +1879,12 @@ object SparkEntry {
     * both overflows and diverges from the engine's double arithmetic.
     */
   private def pqAdcSql(m: Int, kSub: Int, dSub: Int, query: Seq[Double]): String = {
-    val cbs = pqCbs
-    (0 until m).map { i =>
-      val table = Array.tabulate(kSub) { c =>
-        var dist = 0.0; var j = 0
-        while (j < dSub) {
-          val d = query(i * dSub + j) - cbs(i)(c * dSub + j)
-          dist += d * d; j += 1
-        }
-        dist
-      }.map(dlit).mkString("[", ", ", "]")
-      s"($table::DOUBLE[])[code_$i + 1]"
+    require(pqCbs.length == m && pqCbs(0).length == kSub * dSub,
+      s"PQ oracle params ($m,$kSub,$dSub) diverge from the shared pqCbs table")
+    // single source of ADC arithmetic: the same tables the engine embeds
+    graft.ops.Quantize.adcTables(pqCbs, dSub, query).zipWithIndex.map {
+      case (t, i) =>
+        s"(${t.map(dlit).mkString("[", ", ", "]")}::DOUBLE[])[code_$i + 1]"
     }.mkString(" + ")
   }
 
@@ -1897,7 +1901,7 @@ object SparkEntry {
        |  SELECT vec_id,
        |    $codeExprs
        |  FROM dd)
-       |SELECT vec_id, ${pqPackSql(m)} AS pq_word, $adc AS adc_dist
+       |SELECT vec_id, ${pqPackSql(m, kSub)} AS pq_word, $adc AS adc_dist
        |FROM codes ORDER BY adc_dist, vec_id LIMIT $k""".stripMargin
   }
 
@@ -1933,7 +1937,7 @@ object SparkEntry {
        |    CAST(CASE $coarseCase ELSE ${coarseK - 1} END AS BIGINT) AS centroid_id,
        |    $codeExprs
        |  FROM dd)
-       |SELECT vec_id, centroid_id, ${pqPackSql(m)} AS pq_word, $adc AS adc_dist
+       |SELECT vec_id, centroid_id, ${pqPackSql(m, kSub)} AS pq_word, $adc AS adc_dist
        |FROM assigned
        |WHERE centroid_id IN (${probeIds.mkString(", ")})
        |ORDER BY adc_dist, vec_id LIMIT $k""".stripMargin

@@ -107,10 +107,12 @@ object Dedup {
     * (MEMORY_AND_DISK by default — spills, never OOMs). The RESULT pair
     * set (tiny under the threshold) is then eagerly materialized via
     * `localCheckpoint` and the intermediate is unpersisted before
-    * returning — repeated calls in a long-lived session leave no cached
-    * blocks behind, and downstream iterative consumers (connected
-    * components) read a materialized frame instead of re-planning the
-    * whole shingle pipeline.
+    * returning — repeated calls leave no INTERMEDIATE blocks behind
+    * (spec'd), and downstream iterative consumers (connected components)
+    * read a materialized frame instead of re-planning the whole shingle
+    * pipeline. The checkpointed RESULT blocks (one tiny pair set per
+    * call) live until the returned frame is GC'd — the caller owns that
+    * reference, as with any checkpointed frame.
     *
     * @param maxDocFreq shingles appearing in more than this many docs are
     *                   dropped from the index (boilerplate / skew guard).
@@ -503,6 +505,10 @@ object Dedup {
     * heavily-duplicated corpus where the labeled set is corpus-scale, the
     * case a blind broadcast would OOM on) it falls back to shuffled joins
     * of the same shape, still windowing only the contenders.
+    *
+    * Precondition: `idCol` values are unique. Rows sharing an id all
+    * survive or all drop together under the anti-join (dedup ids first —
+    * [[dropExactDuplicates]] — if the input can carry duplicates).
     */
   def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String, bCol: String, preference: Seq[Column],

@@ -78,8 +78,8 @@ object Quantize {
     * oracle-checkable posture as [[Similarity.fixedCentroids]] — a
     * production fit would train each codebook with the sampled or
     * distributed Lloyd paths in [[Similarity]].
-    */
-  /** @param scale multiplier on the seeded Gaussian entries — match the
+    *
+    * @param scale multiplier on the seeded Gaussian entries — match the
     *   data's coordinate magnitude (for unit-norm vectors of dim D, a
     *   coordinate's RMS is 1/√D) or the argmins collapse onto the
     *   smallest-norm centroid and every code word degenerates.
@@ -117,21 +117,15 @@ object Quantize {
     (0 until m).map(i => shiftleft(codes(i), i * bits))
       .reduce(_ bitwiseOR _)
 
-  /** PQ asymmetric-distance top-k (ADC): the query-to-centroid distance
-    * table (`m × kSub` doubles) is computed ONCE at plan time and embedded
-    * as literals; the corpus scan scores each code word by `m` table
-    * lookups summed in fixed left-to-right order — no float vector is
-    * touched after encoding, and the explicit `+` chain (not a fold)
-    * makes the double scores bit-reproducible in the SQL oracle's
-    * left-associative `+`. Approximate by construction (quantization
-    * error); re-rank survivors with the exact kernel when recall matters.
+  /** Query→centroid squared-L2 tables, one per subspace, each distance
+    * accumulated left-to-right — the single source of truth for ADC
+    * arithmetic (engine AND oracle generators derive from this).
     */
-  def pqAdcTopK(vecs: DataFrame, idCol: String, vecCol: String,
-      codebooks: Array[Array[Double]], dSub: Int,
-      query: Seq[Double], k: Int): DataFrame = {
+  private[graft] def adcTables(codebooks: Array[Array[Double]], dSub: Int,
+      query: Seq[Double]): Array[Array[Double]] = {
     val m = codebooks.length
     require(query.length == m * dSub, s"query dim ${query.length} != ${m * dSub}")
-    val tables: Array[Array[Double]] = Array.tabulate(m) { i =>
+    Array.tabulate(m) { i =>
       val cb = codebooks(i)
       val kSub = cb.length / dSub
       Array.tabulate(kSub) { c =>
@@ -143,23 +137,42 @@ object Quantize {
         dist
       }
     }
-    val adc = (0 until m).map(i =>
-        element_at(typedLit(tables(i).toSeq),
-          col("pq_codes")(i).cast(IntegerType) + lit(1)))
-      .reduce(_ + _)
+  }
+
+  /** The ADC score over a `pq_codes` column: m table lookups summed in
+    * fixed left-to-right order (explicit `+` chain, not a fold — the SQL
+    * oracle's left-associative `+` reproduces the doubles bit-exactly).
+    */
+  private def adcColumn(tables: Array[Array[Double]]): Column =
+    tables.zipWithIndex.map { case (t, i) =>
+        element_at(typedLit(t.toSeq),
+          col("pq_codes")(i).cast(IntegerType) + lit(1))
+      }
+      .reduceLeft(_ + _)
+
+  /** PQ asymmetric-distance top-k (ADC): the query-to-centroid distance
+    * table (`m × kSub` doubles) is computed ONCE at plan time and embedded
+    * as literals; the corpus scan scores each code word by `m` table
+    * lookups — no float vector is touched after encoding. Approximate by
+    * construction (quantization error); re-rank survivors with the exact
+    * kernel when recall matters.
+    */
+  def pqAdcTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Double]], dSub: Int,
+      query: Seq[Double], k: Int): DataFrame = {
+    val m = codebooks.length
     pqEncode(vecs, idCol, vecCol, codebooks, dSub)
-      .withColumn("adc_dist", adc)
+      .withColumn("adc_dist", adcColumn(adcTables(codebooks, dSub, query)))
       .orderBy(col("adc_dist"), col(idCol))
       .limit(k)
       .select(col(idCol),
-        pqPackWord(col("pq_codes"), m, bitsPerCode(codebooks, dSub)).as("pq_word"),
+        pqPackWord(col("pq_codes"), m, bitsPerCode(codebooks(0).length / dSub)).as("pq_word"),
         col("adc_dist"))
   }
 
-  private def bitsPerCode(codebooks: Array[Array[Double]], dSub: Int): Int = {
-    val kSub = codebooks(0).length / dSub
+  /** Bits needed per code for a `kSub`-entry codebook. */
+  private[graft] def bitsPerCode(kSub: Int): Int =
     math.max(1, 64 - java.lang.Long.numberOfLeadingZeros((kSub - 1).toLong).toInt)
-  }
 
   /** IVF-PQ: coarse-quantize the corpus into inverted lists, then
     * ADC-score ONLY the `nprobe` lists nearest the query — the composed
@@ -179,33 +192,17 @@ object Quantize {
       dSub: Int, query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
     val probeIds = coarse.probes(query, nprobe)
     val m = codebooks.length
-    val tables: Array[Array[Double]] = Array.tabulate(m) { i =>
-      val cb = codebooks(i)
-      val kSub = cb.length / dSub
-      Array.tabulate(kSub) { c =>
-        var dist = 0.0; var j = 0
-        while (j < dSub) {
-          val d = query(i * dSub + j) - cb(c * dSub + j)
-          dist += d * d; j += 1
-        }
-        dist
-      }
-    }
-    val adc = (0 until m).map(i =>
-        element_at(typedLit(tables(i).toSeq),
-          col("pq_codes")(i).cast(IntegerType) + lit(1)))
-      .reduce(_ + _)
     val assigned = vecs.select(col(idCol), col(vecCol))
       .withColumn("centroid_id",
         graft.functions.VectorFunctions.nearestCentroidF32(
           col(vecCol), coarse.centroidsFlat, coarse.dim))
       .where(col("centroid_id").isin(probeIds: _*))
     pqEncode(assigned, idCol, vecCol, codebooks, dSub)
-      .withColumn("adc_dist", adc)
+      .withColumn("adc_dist", adcColumn(adcTables(codebooks, dSub, query)))
       .orderBy(col("adc_dist"), col(idCol))
       .limit(k)
       .select(col(idCol), col("centroid_id").cast(LongType).as("centroid_id"),
-        pqPackWord(col("pq_codes"), m, bitsPerCode(codebooks, dSub)).as("pq_word"),
+        pqPackWord(col("pq_codes"), m, bitsPerCode(codebooks(0).length / dSub)).as("pq_word"),
         col("adc_dist"))
   }
 

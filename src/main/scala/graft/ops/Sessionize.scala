@@ -17,23 +17,20 @@ import org.apache.spark.sql.types._
   */
 object Sessionize {
 
-  /** Epoch-microsecond view of a timestamp column. The cast to
-    * TimestampType first makes this legal for TIMESTAMP_NTZ inputs (the
-    * driver fixtures are µs-without-timezone parquet, which Spark 4 reads
-    * as NTZ and refuses to cast to numeric directly); with the engine's
-    * fixed UTC session timezone the NTZ→LTZ cast is value-preserving, and
-    * on an already-LTZ column it is a no-op. Integer micros arithmetic
-    * also stays inside whole-stage codegen, unlike a double round-trip.
-    */
-  private def epochMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
-
   def withSessionIds(events: DataFrame, userCol: String, tsCol: String,
       tieBreak: String, gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieBreak))
     val prev = lag(col(tsCol), 1).over(w)
+    // The gap is a direct timestamp difference (DayTimeInterval), legal on
+    // BOTH TIMESTAMP and TIMESTAMP_NTZ (the driver fixtures are µs-no-
+    // timezone parquet → NTZ in Spark 4, which refuses a numeric cast).
+    // Crucially this never converts NTZ through the session timezone: an
+    // epoch-based gap (unix_micros(cast(ts AS TIMESTAMP))) is one hour
+    // wrong across a DST transition in any non-UTC session. NTZ gaps are
+    // wall-clock, LTZ gaps are instant-time — each correct in its domain.
     val isNew = when(
       prev.isNull ||
-        (epochMicros(col(tsCol)) - epochMicros(prev)) > lit(gapSeconds * 1000000L),
+        (col(tsCol) - prev) > expr(s"INTERVAL '$gapSeconds' SECOND"),
       lit(1)).otherwise(lit(0))
     events
       .withColumn("session_seq", sum(isNew).over(

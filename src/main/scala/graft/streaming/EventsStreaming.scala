@@ -34,8 +34,14 @@ object EventsStreaming {
     * value-preserving.
     */
   def hourlyCounts(spark: SparkSession, inputDir: String): DataFrame = {
-    val footerSchema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(inputDir).schema
+    // footer-derived when files exist; the static schema keeps the stream
+    // DEFINABLE over a directory whose first file has not landed yet (the
+    // normal file-streaming pattern — an eager-only inference would throw
+    // at definition time)
+    val footerSchema =
+      try spark.read
+        .option("pathGlobFilter", "events.parquet").parquet(inputDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => eventSchema }
     val raw = spark.readStream
       .schema(footerSchema)
       .option("pathGlobFilter", "events.parquet")
