@@ -39,6 +39,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
+    // SPARK_GRAFT_CONF: semicolon-separated k=v overrides for config
+    // experiments (runtime-settable SQL confs only; unset in driver runs)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     spark.sparkContext.setLogLevel("WARN")
     // Session-level warmup: file listing + parquet footers for every table.
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
