@@ -1159,6 +1159,17 @@ object SparkEntry {
         pqQueryVec, k = 10, nprobe = 2)
     },
 
+    // Residual IVF-PQ (the recall-correct composition): codes quantize
+    // x − c(x) via the fused pq_residual_codes_f32 kernel; ADC tables are
+    // built per probed list from the query's own residual. Bit-exact.
+    "q_ann_ivfpq_residual" -> q { (s, dir) =>
+      graft.ops.Quantize.ivfPqResidualTopK(
+        cleanEmbeddings(Tables.embeddings(s, dir)), "vec_id", "embedding",
+        Similarity.IvfIndex(ivfPqCoarseFlat, 64),
+        pqCbs, dSub = 8,
+        pqQueryVec, k = 10, nprobe = 2)
+    },
+
     // ---- multimodal plumbing (rows-only; decode is stubbed) ----
 
     "q_multimodal_features" -> q { (s, dir) =>
@@ -1834,15 +1845,20 @@ object SparkEntry {
       }.mkString(" + ")
       s"($d) AS d${i}_$c"
     }).mkString(",\n    ")
-    val codeExprs = (0 until m).map { i =>
+    (dcols, pqCodeCaseSql(m, kSub))
+  }
+
+  /** Earliest-minimum argmin CASE chains over `d{i}_{c}` distance columns
+    * → `code_i` columns (the kernel's strictly-smaller-update contract).
+    */
+  private def pqCodeCaseSql(m: Int, kSub: Int): String =
+    (0 until m).map { i =>
       val cases = (0 until kSub - 1).map { c =>
         val conds = (c + 1 until kSub).map(o => s"d${i}_$c <= d${i}_$o").mkString(" AND ")
         s"WHEN $conds THEN $c"
       }.mkString(" ")
       s"CAST(CASE $cases ELSE ${kSub - 1} END AS BIGINT) AS code_$i"
     }.mkString(",\n    ")
-    (dcols, codeExprs)
-  }
 
   private val pqCleanWhere: String =
     """WHERE embedding IS NOT NULL AND len(embedding) = 64
@@ -1943,6 +1959,77 @@ object SparkEntry {
        |ORDER BY adc_dist, vec_id LIMIT $k""".stripMargin
   }
 
+  /** Oracle for `q_ann_ivfpq_residual`: residual columns per probed
+    * centroid (r_j = CAST(embedding AS DOUBLE) − coarse_{cid,j}, the
+    * kernel's exact subtraction), PQ distances over the residuals, code
+    * CASE chains, and a per-centroid ADC chain selected by centroid id —
+    * every double in the same order as the fused kernel + engine plan.
+    */
+  private def ivfPqResidualOracleSql(coarseK: Int, dim: Int, m: Int,
+      kSub: Int, dSub: Int, query: Seq[Double], k: Int, nprobe: Int): String = {
+    val cents = ivfPqCoarseFlat
+    val coarse = Similarity.IvfIndex(cents, dim)
+    val probeIds = coarse.probes(query, nprobe)
+    val coarseD = (0 until coarseK).map { c =>
+      val d = (0 until dim).map { j =>
+        val e = s"(CAST(embedding[${j + 1}] AS DOUBLE) - (${dlit(cents(c * dim + j))}))"
+        s"$e * $e"
+      }.mkString(" + ")
+      s"($d) AS cd$c"
+    }.mkString(",\n    ")
+    val coarseCase = (0 until coarseK - 1).map { c =>
+      val conds = (c + 1 until coarseK).map(o => s"cd$c <= cd$o").mkString(" AND ")
+      s"WHEN $conds THEN $c"
+    }.mkString(" ")
+    val rcols = (0 until dim).map { j =>
+      val cases = probeIds
+        .map(p => s"WHEN $p THEN ${dlit(cents(p * dim + j))}").mkString(" ")
+      s"(CAST(embedding[${j + 1}] AS DOUBLE) - (CASE centroid_id $cases END)) AS r_$j"
+    }.mkString(",\n    ")
+    val dcols = (for { i <- 0 until m; c <- 0 until kSub } yield {
+      val d = (0 until dSub).map { j =>
+        val e = s"(r_${i * dSub + j} - (${dlit(pqCbs(i)(c * dSub + j))}))"
+        s"$e * $e"
+      }.mkString(" + ")
+      s"($d) AS d${i}_$c"
+    }).mkString(",\n    ")
+    val adcCase = "CASE centroid_id " + probeIds.map { p =>
+      val centroid = coarse.centroid(p)
+      val qRes = query.indices.map(j => query(j) - centroid(j))
+      val chain = graft.ops.Quantize.adcTables(pqCbs, dSub, qRes).zipWithIndex
+        .map { case (t, i) =>
+          s"(${t.map(dlit).mkString("[", ", ", "]")}::DOUBLE[])[code_$i + 1]"
+        }.mkString(" + ")
+      s"WHEN $p THEN ($chain)"
+    }.mkString(" ") + " END"
+    s"""WITH dd AS (
+       |  SELECT vec_id, embedding,
+       |    $coarseD
+       |  FROM embeddings
+       |  $pqCleanWhere),
+       |probed AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT vec_id, embedding,
+       |      CAST(CASE $coarseCase ELSE ${coarseK - 1} END AS BIGINT) AS centroid_id
+       |    FROM dd)
+       |  WHERE centroid_id IN (${probeIds.mkString(", ")})),
+       |res AS (
+       |  SELECT vec_id, centroid_id,
+       |    $rcols
+       |  FROM probed),
+       |dr AS (
+       |  SELECT vec_id, centroid_id,
+       |    $dcols
+       |  FROM res),
+       |codes AS (
+       |  SELECT vec_id, centroid_id,
+       |    ${pqCodeCaseSql(m, kSub)}
+       |  FROM dr)
+       |SELECT vec_id, centroid_id, ${pqPackSql(m, kSub)} AS pq_word,
+       |  $adcCase AS adc_dist
+       |FROM codes ORDER BY adc_dist, vec_id LIMIT $k""".stripMargin
+  }
+
   /** Oracle for `q_ivf_assign`: the seeded centroid table embedded as SQL
     * literal constants, each squared-L2 distance written in the kernel's
     * exact left-to-right accumulation order ((v[j]-c[j])² terms, SQL `+`
@@ -1987,6 +2074,9 @@ object SparkEntry {
 
     "q_ann_ivfpq" -> ivfPqOracleSql(coarseK = 8, dim = 64, m = 8, kSub = 16,
       dSub = 8, query = pqQueryVec, k = 10, nprobe = 2),
+
+    "q_ann_ivfpq_residual" -> ivfPqResidualOracleSql(coarseK = 8, dim = 64,
+      m = 8, kSub = 16, dSub = 8, query = pqQueryVec, k = 10, nprobe = 2),
 
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity

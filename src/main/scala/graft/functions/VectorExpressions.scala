@@ -340,6 +340,52 @@ object VectorExpressions {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
+
+  /** Fused residual product-quantization encoder: codes quantize the IVF
+    * residual x − c(x) (Jégou et al. 2011 §III) — for each subspace `i`,
+    * the argmin over `kSub` codebook entries of the residual slice's
+    * squared L2, all in ONE codegen'd pass per row with no residual array
+    * materialized. Residual PQ is the recall-correct composition with a
+    * coarse quantizer (flat PQ wastes code entropy re-describing the
+    * centroid offset). Arithmetic contract (mirrored by the SQL oracle):
+    * every term is `((double)x_j − coarse_j) − cb_j`, squared-L2
+    * accumulated left-to-right, strictly-smaller argmin update
+    * (earliest-minimum tie-break).
+    */
+  case class PqResidualCodesF32(left: Expression, right: Expression,
+      coarseFlat: Array[Double], codebooksFlat: Array[Double],
+      m: Int, kSub: Int, dSub: Int) extends BinaryExpression {
+    require(coarseFlat.length % (m * dSub) == 0,
+      s"coarse table length ${coarseFlat.length} not a multiple of dim ${m * dSub}")
+    require(codebooksFlat.length == m * kSub * dSub,
+      s"codebook table length ${codebooksFlat.length} != $m*$kSub*$dSub")
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(FloatType, _), IntegerType) =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float>, int) arguments, " +
+            s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "pq_residual_codes_f32"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      QuantizeKernels.pqResidualCodes(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[Int], coarseFlat, codebooksFlat, m, kSub, dSub)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val coarseRef = ctx.addReferenceObj("coarse", coarseFlat, "double[]")
+      val cbRef = ctx.addReferenceObj("codebooks", codebooksFlat, "double[]")
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""${ev.value} = graft.functions.QuantizeKernels.pqResidualCodes(
+           |  $a, $b, $coarseRef, $cbRef, $m, $kSub, $dSub);""".stripMargin)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
 }
 
 /** Static loop body for [[VectorExpressions.QuantizeAuditInt8F32]] — a
@@ -402,6 +448,46 @@ object QuantizeKernels {
     org.apache.spark.sql.catalyst.InternalRow(
       n.toLong, qmin, qmax, cSum, cMin, cMax, maxErr)
   }
+
+  /** Static loop body for [[VectorExpressions.PqResidualCodesF32]] —
+    * residual PQ codes in one pass. Per subspace `i` and codebook entry
+    * `c`: dist = Σ_j (((double)v[i·dSub+j] − coarse[cid·dim + i·dSub+j])
+    * − cb[((i·kSub)+c)·dSub+j])², accumulated left-to-right; argmin with
+    * strictly-smaller update. Elements past the vector's length contribute
+    * nothing (ragged clamp, same contract as NearestCentroidF32).
+    */
+  def pqResidualCodes(v: ArrayData, cid: Int, coarse: Array[Double],
+      codebooksFlat: Array[Double], m: Int, kSub: Int,
+      dSub: Int): ArrayData = {
+    val dim = m * dSub
+    val n = v.numElements()
+    val codes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var best = 0
+      var bestDist = Double.MaxValue
+      var c = 0
+      while (c < kSub) {
+        val cbOff = (i * kSub + c) * dSub
+        var dist = 0.0
+        var j = 0
+        while (j < dSub) {
+          val idx = i * dSub + j
+          if (idx < n) {
+            val r = v.getFloat(idx).toDouble - coarse(cid * dim + idx)
+            val d = r - codebooksFlat(cbOff + j)
+            dist += d * d
+          }
+          j += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = c }
+        c += 1
+      }
+      codes(i) = best.toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
 }
 
 /** Column-level API + SQL registration for the native vector kernels. */
@@ -422,6 +508,13 @@ object VectorFunctions {
     asColumn(NearestCentroidF32(expression(v), centroidsFlat, dim))
   def quantizeAuditInt8F32(v: Column): Column =
     asColumn(QuantizeAuditInt8F32(expression(v)))
+  def pqResidualCodesF32(v: Column, centroidId: Column,
+      coarseFlat: Array[Double], codebooks: Array[Array[Double]],
+      dSub: Int): Column = {
+    val kSub = codebooks(0).length / dSub
+    asColumn(PqResidualCodesF32(expression(v), expression(centroidId),
+      coarseFlat, codebooks.flatten, codebooks.length, kSub, dSub))
+  }
 
   private def expression(c: Column): Expression = GraftExpressionBridge.expression(c)
 

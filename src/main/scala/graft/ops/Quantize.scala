@@ -170,6 +170,48 @@ object Quantize {
         col("adc_dist"))
   }
 
+  /** Residual IVF-PQ retrieval (the recall-correct composition): codes
+    * quantize the residual x − c(x) instead of x itself — flat PQ wastes
+    * code entropy re-describing the centroid offset that the coarse id
+    * already carries. The fused `pq_residual_codes_f32` kernel computes
+    * all m residual argmins in one codegen'd pass (no residual array
+    * materialized); ADC tables are built per PROBED LIST from the query's
+    * own residual q − c_ℓ and selected per row by centroid id. Same
+    * plan-literal bit-exactness contract as [[ivfPqTopK]].
+    */
+  def ivfPqResidualTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      coarse: Similarity.IvfIndex, codebooks: Array[Array[Double]],
+      dSub: Int, query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val probeIds = coarse.probes(query, nprobe)
+    val m = codebooks.length
+    // per-centroid ADC tables from the query residual; only probed lists
+    // are ever read, but the literal covers all k (tiny: k × m × kSub)
+    val tablesPerCid: Seq[Seq[Seq[Double]]] = (0 until coarse.k).map { c =>
+      val centroid = coarse.centroid(c)
+      val qResidual = query.indices.map(j => query(j) - centroid(j))
+      adcTables(codebooks, dSub, qResidual).map(_.toSeq).toSeq
+    }
+    val cidTables = element_at(typedLit(tablesPerCid), col("centroid_id") + lit(1))
+    val adc = (0 until m).map(i =>
+        element_at(element_at(cidTables, i + 1),
+          col("pq_codes")(i).cast(IntegerType) + lit(1)))
+      .reduceLeft(_ + _)
+    vecs.select(col(idCol), col(vecCol))
+      .withColumn("centroid_id",
+        graft.functions.VectorFunctions.nearestCentroidF32(
+          col(vecCol), coarse.centroidsFlat, coarse.dim))
+      .where(col("centroid_id").isin(probeIds: _*))
+      .withColumn("pq_codes",
+        graft.functions.VectorFunctions.pqResidualCodesF32(
+          col(vecCol), col("centroid_id"), coarse.centroidsFlat, codebooks, dSub))
+      .withColumn("adc_dist", adc)
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("centroid_id").cast(LongType).as("centroid_id"),
+        pqPackWord(col("pq_codes"), m, bitsPerCode(codebooks(0).length / dSub)).as("pq_word"),
+        col("adc_dist"))
+  }
+
   /** Bits needed per code for a `kSub`-entry codebook. */
   private[graft] def bitsPerCode(kSub: Int): Int =
     math.max(1, 64 - java.lang.Long.numberOfLeadingZeros((kSub - 1).toLong).toInt)

@@ -162,6 +162,41 @@ class QuantizeSpec extends SparkSpec {
     top.foreach(r =>
       assert(assigns(r.getLong(0)) == r.getAs[Long]("centroid_id")))
   }
+
+  test("residual PQ kernel: codes match a driver-side residual argmin") {
+    val (m, kSub, dSub, dim) = (4, 8, 2, 8)
+    val cbs = Quantize.pqCodebooks(m, kSub, dSub, scale = 0.3)
+    // coarse offsets larger than the codebook spread so subtracting the
+    // centroid provably moves at least one subspace argmin vs flat PQ
+    val coarseFlat = Similarity.fixedCentroids(3, dim, seed = 21L).map(_ * 3.0)
+    val vecs = Seq(
+      (1L, Array(0.1f, -0.3f, 1.2f, 0.4f, -2.0f, 0.0f, 0.7f, 0.9f), 0),
+      (2L, Array(-1.1f, 0.3f, -0.2f, 2.4f, 1.0f, -0.5f, 0.2f, -0.9f), 2))
+    val df = vecs.toDF("vec_id", "embedding", "centroid_id")
+    val got = df.select(col("vec_id"),
+        graft.functions.VectorFunctions.pqResidualCodesF32(
+          col("embedding"), col("centroid_id"), coarseFlat, cbs, dSub).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    vecs.foreach { case (id, v, cid) =>
+      val expected = (0 until m).map { i =>
+        (0 until kSub).minBy { c =>
+          (0 until dSub).map { j =>
+            val idx = i * dSub + j
+            val r = v(idx).toDouble - coarseFlat(cid * dim + idx)
+            val d = r - cbs(i)(c * dSub + j)
+            d * d
+          }.sum
+        }.toLong
+      }
+      assert(got(id) == expected, s"vec $id residual codes diverge")
+    }
+    // residual codes must differ from flat codes somewhere (the residual
+    // actually changed what gets quantized) for a non-zero centroid
+    val flat = Quantize.pqEncode(df, "vec_id", "embedding", cbs, dSub)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Long](r.fieldIndex("pq_codes"))).toMap
+    assert(got(2L) != flat(2L), "residual encoding degenerated to flat")
+  }
 }
 
 class KeywordSearchSpec extends SparkSpec {
