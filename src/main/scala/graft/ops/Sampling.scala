@@ -136,12 +136,16 @@ object Sampling {
     * engine. Documents longer than the budget start a bin at their offset
     * (first-fit-by-running-sum semantics).
     *
+    * @param bucketSalt optional extra partitioning column for the packing
+    *   window (e.g. a train/val/test split label) — bins then never
+    *   straddle a salt boundary; `pack_bucket` itself is unchanged.
     * @return input plus (pack_bucket, pack_bin, bin_offset).
     */
   def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
-      budget: Long, buckets: Int = 32): DataFrame = {
+      budget: Long, buckets: Int = 32,
+      bucketSalt: Option[Column] = None): DataFrame = {
     require(budget > 0 && buckets > 0, "budget and buckets must be positive")
-    val w = Window.partitionBy(col("pack_bucket"))
+    val w = Window.partitionBy(bucketSalt.toSeq :+ col("pack_bucket"): _*)
       .orderBy(col(nTokensCol).desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("pack_bucket", col(idCol) % buckets)
