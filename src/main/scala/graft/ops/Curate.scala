@@ -45,9 +45,15 @@ object Curate {
     * @param minQuality   [[TextAnalysis.qualityScore]] threshold in [0,1]
     * @param splits       per-myriad split weights (sum 10000)
     * @param packBudget   token budget per packed training bin
-    * @param report       when false, skip the per-stage count actions —
-    *                     production mode: counts cost one extra job per
-    *                     stage and are observability, not semantics
+    * @param report       when true, each counted stage is persisted
+    *                     (MEMORY_AND_DISK) before its count so no stage
+    *                     prefix re-executes, intermediates are unpersisted
+    *                     once the final stage is materialized, and the
+    *                     returned frame reads from the retained last-stage
+    *                     cache. When false (production mode) nothing is
+    *                     counted or cached — the pipeline is one fully
+    *                     lazy plan and observability is the caller's
+    *                     metrics layer.
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
       evalSet: DataFrame,
@@ -58,31 +64,49 @@ object Curate {
         Seq(("train", 9000), ("val", 500), ("test", 500)),
       packBudget: Long = 2048L, packBuckets: Int = 32,
       report: Boolean = true): Curated = {
-    def cnt(df: DataFrame): Long = if (report) df.count() else -1L
+    val intermediates = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // persist-then-count: each count touches only its OWN stage (the
+    // parent is already cached), never the whole pipeline prefix
+    def cnt(df: DataFrame): (DataFrame, Long) =
+      if (!report) (df, -1L)
+      else {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        intermediates += p
+        (p, p.count())
+      }
 
-    val input = cnt(docs)
-    val exact = Dedup.dropExactDuplicates(docs, idCol, textCol)
-    val nExact = cnt(exact)
-    val near = Dedup.dropNearDuplicates(exact, idCol, textCol,
-      minJaccard = minJaccard, maxDocFreq = maxDocFreq)
-    val nNear = cnt(near)
+    val input = if (report) docs.count() else -1L
+    val (exact, nExact) =
+      cnt(Dedup.dropExactDuplicates(docs, idCol, textCol))
+    val (near, nNear) = cnt(Dedup.dropNearDuplicates(exact, idCol, textCol,
+      minJaccard = minJaccard, maxDocFreq = maxDocFreq))
+    // decontaminate's output is keyed "doc_id" regardless of idCol (the
+    // shingle pipeline's canonical id name) — rename back for the join
     val contaminated = Dedup.decontaminate(near, evalSet, idCol, textCol,
         minShared = minShared)
-      .select(col(idCol))
-    val clean = near.join(contaminated, Seq(idCol), "left_anti")
-    val nClean = cnt(clean)
-    val scored = clean.withColumn("quality_score",
-      TextAnalysis.qualityScore(col(textCol)))
-    val kept = scored.where(col("quality_score") >= minQuality)
-    val nKept = cnt(kept)
+      .select(col("doc_id").as(idCol))
+    val (clean, nClean) = cnt(near.join(contaminated, Seq(idCol), "left_anti"))
+    // stage the tokens ONCE: the quality expression reads them ~5 times
+    // and the packer needs the count — inlining the tokenizer would
+    // re-run regexp extraction per read (TextAnalysis's documented
+    // production contract)
+    val scored = clean
+      .withColumn("__toks", TextAnalysis.tokens(lower(col(textCol))))
+      .withColumn("quality_score",
+        TextAnalysis.qualityScoreFromTokens(col("__toks")))
+    val (kept, nKept) = cnt(scored.where(col("quality_score") >= minQuality))
     val split = Sampling.splitAssign(kept, idCol, splits)
-    // pack within each split: bucket ids are salted by the split name so
-    // bins can never straddle split boundaries
+    // pack within each split: the packing window is salted by the split
+    // name so bins can never straddle split boundaries
     val packed = Sampling.packSequences(
-      split.withColumn("__n_tokens", TextAnalysis.tokenCount(col(textCol))),
+      split.withColumn("__n_tokens", size(col("__toks")).cast(LongType)),
       idCol, "__n_tokens", budget = packBudget, buckets = packBuckets,
       bucketSalt = Some(col("split")))
-    Curated(packed.drop("__n_tokens"),
-      CurationReport(input, nExact, nNear, nClean, nKept))
+      .drop("__n_tokens", "__toks")
+    // the final stage is now counted/materialized through the cached
+    // parents; earlier intermediates are no longer needed (kept's blocks
+    // back the returned frame)
+    if (report) intermediates.dropRight(1).foreach(_.unpersist(false))
+    Curated(packed, CurationReport(input, nExact, nNear, nClean, nKept))
   }
 }

@@ -196,21 +196,37 @@ object Quantize {
         element_at(element_at(cidTables, i + 1),
           col("pq_codes")(i).cast(IntegerType) + lit(1)))
       .reduceLeft(_ + _)
+    val scored = coarseProbe(vecs, idCol, vecCol, coarse, probeIds)
+      .withColumn("pq_codes",
+        graft.functions.VectorFunctions.pqResidualCodesF32(
+          col(vecCol), col("centroid_id"), coarse.centroidsFlat, codebooks, dSub))
+      .withColumn("adc_dist", adc)
+    rankAndPack(scored, idCol, m, codebooks(0).length / dSub, k)
+  }
+
+  /** Coarse-assign + keep only the probed inverted lists — the shared
+    * head of both IVF-PQ variants.
+    */
+  private def coarseProbe(vecs: DataFrame, idCol: String, vecCol: String,
+      coarse: Similarity.IvfIndex, probeIds: Seq[Int]): DataFrame =
     vecs.select(col(idCol), col(vecCol))
       .withColumn("centroid_id",
         graft.functions.VectorFunctions.nearestCentroidF32(
           col(vecCol), coarse.centroidsFlat, coarse.dim))
       .where(col("centroid_id").isin(probeIds: _*))
-      .withColumn("pq_codes",
-        graft.functions.VectorFunctions.pqResidualCodesF32(
-          col(vecCol), col("centroid_id"), coarse.centroidsFlat, codebooks, dSub))
-      .withColumn("adc_dist", adc)
+
+  /** Rank by ADC distance (id tie-break), keep k, emit the packed code
+    * word — the shared tail of every PQ retrieval (single definition so
+    * the ranking/packing contract cannot drift between variants).
+    */
+  private def rankAndPack(scored: DataFrame, idCol: String, m: Int,
+      kSub: Int, k: Int): DataFrame =
+    scored
       .orderBy(col("adc_dist"), col(idCol))
       .limit(k)
       .select(col(idCol), col("centroid_id").cast(LongType).as("centroid_id"),
-        pqPackWord(col("pq_codes"), m, bitsPerCode(codebooks(0).length / dSub)).as("pq_word"),
+        pqPackWord(col("pq_codes"), m, bitsPerCode(kSub)).as("pq_word"),
         col("adc_dist"))
-  }
 
   /** Bits needed per code for a `kSub`-entry codebook. */
   private[graft] def bitsPerCode(kSub: Int): Int =
@@ -234,18 +250,11 @@ object Quantize {
       dSub: Int, query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
     val probeIds = coarse.probes(query, nprobe)
     val m = codebooks.length
-    val assigned = vecs.select(col(idCol), col(vecCol))
-      .withColumn("centroid_id",
-        graft.functions.VectorFunctions.nearestCentroidF32(
-          col(vecCol), coarse.centroidsFlat, coarse.dim))
-      .where(col("centroid_id").isin(probeIds: _*))
-    pqEncode(assigned, idCol, vecCol, codebooks, dSub)
+    val scored = pqEncode(
+        coarseProbe(vecs, idCol, vecCol, coarse, probeIds),
+        idCol, vecCol, codebooks, dSub)
       .withColumn("adc_dist", adcColumn(adcTables(codebooks, dSub, query)))
-      .orderBy(col("adc_dist"), col(idCol))
-      .limit(k)
-      .select(col(idCol), col("centroid_id").cast(LongType).as("centroid_id"),
-        pqPackWord(col("pq_codes"), m, bitsPerCode(codebooks(0).length / dSub)).as("pq_word"),
-        col("adc_dist"))
+    rankAndPack(scored, idCol, m, codebooks(0).length / dSub, k)
   }
 
   /** Higher-order-function reference formulation of [[auditInt8]] —

@@ -37,6 +37,14 @@ class CurateSpec extends SparkSpec {
     result.unpersist()
   }
 
+  test("curation honors caller column names (idCol/textCol are not doc_id/text)") {
+    val renamed = docs.toDF("id", "body")
+    val alt = Curate.run(renamed, "id", "body",
+      evalSet = renamed.limit(2), report = false)
+    assert(alt.docs.columns.contains("id"))
+    assert(alt.docs.count() > 0)
+  }
+
   test("packing is split-confined and deterministic across runs") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     def run() = Curate.run(docs, "doc_id", "text", empty, report = false).docs
@@ -47,19 +55,31 @@ class CurateSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(a == b, "curation is not deterministic across runs")
-    // bins never straddle splits: within one (split, bucket, bin) the
-    // offsets are dense from 0 — an offset can only be nonzero if a
-    // same-split predecessor filled the space below it
+    // split confinement, checked for real: recompute the expected packing
+    // from scratch on the driver — running sum in (n_tokens desc, id)
+    // order WITHIN each (split, bucket) stream — and require exact
+    // equality. A packer that ignored the split salt would lay documents
+    // of different splits end-to-end in one stream and disagree here.
     val out = run()
       .withColumn("__n", graft.ops.TextAnalysis.tokenCount($"text"))
-    val binStart = out.groupBy("split", "pack_bucket", "pack_bin")
-      .agg(min($"bin_offset").as("first_off"), count(lit(1)).as("n_docs"))
-    // every bin's lowest offset begins exactly at a budget boundary
-    // remainder (bin k starts at global offset k*budget within its
-    // split-bucket stream) — only true if the stream was split-local
-    assert(binStart.where($"first_off" >= lit(2048L)).count() == 0)
-    val splitsSeen = out.select("split").distinct()
-      .as[String].collect().toSet
+      .select("doc_id", "split", "pack_bucket", "pack_bin", "bin_offset", "__n")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val budget = 2048L
+    out.groupBy { case (_, split, bucket, _, _, _) => (split, bucket) }
+      .foreach { case (_, rows) =>
+        var start = 0L
+        rows.sortBy { case (id, _, _, _, _, n) => (-n, id) }
+          .foreach { case (id, _, _, bin, off, n) =>
+            assert(bin == start / budget,
+              s"doc $id: bin $bin != expected ${start / budget}")
+            assert(off == start - (start / budget) * budget,
+              s"doc $id: offset $off != expected")
+            start += n
+          }
+      }
+    val splitsSeen = out.map(_._2).toSet
     assert(splitsSeen.subsetOf(Set("train", "val", "test")))
     assert(splitsSeen.contains("train"))
   }
