@@ -412,8 +412,14 @@ object Dedup {
       maxDocFreq: Long = 20L,
       persistLevel: Option[org.apache.spark.storage.StorageLevel] =
         Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)): DataFrame = {
+    // same cache-lifetime discipline as [[jaccardPairs]]: intermediates
+    // persist for their multiple consumers, the audit RESULT (bounded by
+    // the candidate-pair count) is checkpointed, intermediates released
+    val intermediates = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def cached(df: DataFrame): DataFrame =
-      persistLevel.fold(df)(df.persist)
+      persistLevel.fold(df) { lvl =>
+        val p = df.persist(lvl); intermediates += p; p
+      }
     val exploded = cached(explodedShingles(docs, idCol, textCol, n))
     val est = cached(lshCandidatesFromSigs(
       minhashSigsFromExploded(exploded, bands * rowsPerBand),
@@ -431,7 +437,7 @@ object Dedup {
     val docSets = idx.join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(collect_set(col("shingle")).as("sh"))
     val nCommon = size(array_intersect(col("sh_a"), col("sh_b")))
-    est
+    val out = est
       .join(docSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("n_common", nCommon)
@@ -442,6 +448,12 @@ object Dedup {
         round(col("n_common").cast(DoubleType) /
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")), 4))
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+    if (intermediates.isEmpty) out
+    else {
+      val mat = out.localCheckpoint(true)
+      intermediates.foreach(_.unpersist(false))
+      mat
+    }
   }
 
   /** 64-bit SimHash from a materialized token-hash column: bit b of the

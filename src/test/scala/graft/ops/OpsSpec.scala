@@ -44,6 +44,11 @@ class DedupSpec extends SparkSpec {
       assert(pairs.count() > 0)
       assert(leaked == 0, s"call $i left a persisted intermediate behind")
     }
+    // same contract for the sketch-audit pipeline (3 cached intermediates)
+    val audit = Dedup.sketchVsExactPairs(docs, "doc_id", "text",
+      persistLevel = Some(lvl))
+    audit.count()
+    assert(leaked == 0, "sketchVsExactPairs left a persisted intermediate behind")
   }
 
   test("incremental near-dup ingest: index dups, in-batch dups, novel docs") {
