@@ -238,8 +238,21 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 25): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true) // read every round — cut the upstream plan once
+    // the edge set is read every round — checkpoint once to cut an
+    // arbitrary upstream plan, UNLESS the input is already a materialized
+    // RDD scan (e.g. jaccardPairs' checkpointed output): re-checkpointing
+    // a checkpoint is a pure copy job
+    val alreadyMaterialized = {
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      import org.apache.spark.sql.execution.LogicalRDD
+      edges.queryExecution.optimizedPlan match {
+        case _: LogicalRDD => true
+        case Project(_, _: LogicalRDD) => true
+        case _ => false
+      }
+    }
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (alreadyMaterialized) e0 else e0.localCheckpoint(true)
     val und = e
       .select(explode(array(
         struct(col("src"), col("dst")),
