@@ -40,12 +40,13 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     // SPARK_GRAFT_CONF: semicolon-separated k=v overrides for config
-    // experiments (runtime-settable SQL confs only; unset in driver runs)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      })
+    // experiments (runtime-settable SQL confs only; unset in driver runs).
+    // Limitation: a semicolon cannot appear inside a value. Entries with an
+    // empty key ("=v", stray ";") are skipped, not passed to conf.set("").
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';')
+      .map(_.split("=", 2))
+      .collect { case Array(k, v) if k.trim.nonEmpty => (k.trim, v.trim) }
+      .foreach { case (k, v) => spark.conf.set(k, v) })
     spark.sparkContext.setLogLevel("WARN")
     // Session-level warmup: file listing + parquet footers for every table.
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",

@@ -1234,21 +1234,24 @@ object SparkEntry {
           Seq("doc_id"))
     },
 
-    // PageRank centrality over the customer→supplier interaction graph
-    // (rows-only: double rank sums are partition-merge-order dependent —
-    // verified against a driver-side reference under tolerance in
-    // PageRankSpec). Iterations are shuffled join+agg rounds with
-    // constant-depth lineage, the CC iteration discipline.
+    // PageRank centrality over the customer→supplier interaction graph,
+    // fixed-point: ranks are BIGINT multiples of 1e-15 and every step is
+    // integer multiply/divide, so sums are merge-order independent and the
+    // DuckDB twin (same recurrence unrolled as CTEs, `//` floor division)
+    // hashes identically — retires the r3 "declared necessity". Iterations
+    // are shuffled join+agg rounds with constant-depth lineage, the CC
+    // iteration discipline; the double variant stays in PageRank.run for
+    // callers wanting IEEE semantics (spec'd under tolerance).
     "q_pagerank" -> q { (s, dir) =>
       val edges = Tables.lineitem(s, dir)
         .where(col("l_orderkey") % 5 === 0)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + lit(1000000L)).as("dst"))
-      graft.ops.PageRank.run(edges, "src", "dst", iters = 3)
-        .orderBy(col("rank").desc, col("id"))
+      graft.ops.PageRank.runFixedPoint(edges, "src", "dst", iters = 3)
+        .orderBy(col("rank_fp").desc, col("id"))
         .limit(25)
-        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .select(col("id"), col("rank_fp"))
     },
 
     // Approximate triangle counting (DOULION) over the supplier
@@ -1870,8 +1873,58 @@ object SparkEntry {
     * derived from the SAME bit width, so a kSub change cannot desync the
     * two sides).
     */
+  /** Fixed-point PageRank oracle: PageRank.runFixedPoint's recurrence
+    * unrolled as chained CTEs. All arithmetic is BIGINT multiply and `//`
+    * floor division on nonnegative operands — identical to the engine's
+    * Scala `/` on Long and SQL `div`, so the ranks are bit-equal by
+    * construction, not by tolerance.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val scale = 1000000000000000L
+    val head =
+      s"""WITH e AS (
+         |  SELECT CAST(o.o_custkey AS BIGINT) AS src,
+         |         CAST(l.l_suppkey + 1000000 AS BIGINT) AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_orderkey % 5 = 0),
+         |nodes AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         |outdeg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+         |r0 AS (
+         |  SELECT id,
+         |    CAST($scale // (SELECT count(*) FROM nodes) AS BIGINT) AS rank_fp
+         |  FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""d$i AS (
+         |  SELECT CAST(coalesce(sum(r.rank_fp), 0) AS BIGINT) AS dm
+         |  FROM r$p r LEFT JOIN outdeg o ON r.id = o.src
+         |  WHERE o.src IS NULL),
+         |c$i AS (
+         |  SELECT e.dst AS id,
+         |    CAST(sum(r.rank_fp // o.out_deg) AS BIGINT) AS in_mass
+         |  FROM r$p r JOIN outdeg o ON r.id = o.src JOIN e ON e.src = r.id
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.id,
+         |    CAST((15 * $scale + 85 * (SELECT dm FROM d$i))
+         |           // (100 * (SELECT count(*) FROM nodes))
+         |         + (85 * coalesce(c.in_mass, 0)) // 100 AS BIGINT) AS rank_fp
+         |  FROM nodes n LEFT JOIN c$i c ON n.id = c.id)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$head$rounds
+       |SELECT id, rank_fp FROM r$iters
+       |ORDER BY rank_fp DESC, id LIMIT 25""".stripMargin
+  }
+
   private def pqPackSql(m: Int, kSub: Int): String = {
     val bits = graft.ops.Quantize.bitsPerCode(kSub)
+    // engine and oracle share this bound: an overflowing config must fail
+    // loudly on BOTH sides rather than silently overlap code fields (which
+    // the bit-exact gate could never detect, both sides corrupting alike)
+    require(m * bits <= 64,
+      s"pqPackSql: m=$m codes x $bits bits = ${m * bits} bits exceed one 64-bit word")
     s"CAST(${(0 until m).map(i => s"code_$i * ${1L << (bits * i)}").mkString(" + ")} AS BIGINT)"
   }
 
@@ -2415,6 +2468,8 @@ object SparkEntry {
         |SELECT e.grp AS flag, e.n_exact, z.z_scaled,
         |  (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0 / z.z_scaled AS hll_est
         |FROM ex e JOIN z ON e.grp = z.grp""".stripMargin,
+
+    "q_pagerank" -> pageRankOracleSql(iters = 3),
 
     "q_triangle_count" ->
       """WITH co AS (

@@ -245,9 +245,16 @@ object Dedup {
     val alreadyMaterialized = {
       import org.apache.spark.sql.catalyst.plans.logical.Project
       import org.apache.spark.sql.execution.LogicalRDD
+      import org.apache.spark.storage.StorageLevel
+      // a LogicalRDD can wrap an RDD with live (even nondeterministic)
+      // lineage — createDataFrame(rdd) — so the plan shape alone is not
+      // proof of materialization; also require the RDD itself to be
+      // persisted or checkpointed before skipping the localCheckpoint
+      def pinned(lr: LogicalRDD): Boolean =
+        lr.rdd.getStorageLevel != StorageLevel.NONE || lr.rdd.isCheckpointed
       edges.queryExecution.optimizedPlan match {
-        case _: LogicalRDD => true
-        case Project(_, _: LogicalRDD) => true
+        case lr: LogicalRDD => pinned(lr)
+        case Project(_, lr: LogicalRDD) => pinned(lr)
         case _ => false
       }
     }
@@ -537,10 +544,24 @@ object Dedup {
     */
   def keepCanonical(docs: DataFrame, idCol: String, pairs: DataFrame,
       aCol: String, bCol: String, preference: Seq[Column],
-      maxBroadcastLabels: Long = 10000000L): DataFrame = {
+      maxBroadcastLabels: Long = 10000000L,
+      maxBroadcastBytes: Long = 512L * 1024 * 1024): DataFrame = {
     val labels = connectedComponents(pairs, aCol, bCol)
       .withColumnRenamed("id", idCol)
-    val small = labels.count() <= maxBroadcastLabels
+    // gate the broadcast on BOTH row count and estimated payload bytes:
+    // with wide string ids a sub-threshold row count can still be a
+    // multi-GB broadcast, the exact OOM the shuffled fallback exists to
+    // avoid. The labels frame is already materialized by the CC loop, so
+    // this single agg is a cheap local scan.
+    val stats = labels.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(length(col(idCol).cast("string")) +
+        length(col("label").cast("string"))), lit(0L)).as("chars")).head()
+    val nLabels = stats.getLong(0)
+    // ~2 bytes/char UTF-16 in the broadcast hash map + per-row object
+    // overhead; a coarse but order-of-magnitude-safe estimate
+    val estBytes = stats.getLong(1) * 2 + nLabels * 48
+    val small = nLabels <= maxBroadcastLabels && estBytes <= maxBroadcastBytes
     def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val contenders = docs.join(side(labels), Seq(idCol))
     val w = Window.partitionBy(col("label"))

@@ -113,9 +113,13 @@ object Quantize {
     * pack a 256 B vector into one 8-byte integer column, and a scalar
     * column keeps the code word sortable/comparable in any engine.
     */
-  def pqPackWord(codes: Column, m: Int, bits: Int): Column =
+  def pqPackWord(codes: Column, m: Int, bits: Int): Column = {
+    require(m * bits <= 64,
+      s"pqPackWord: m=$m codes x $bits bits = ${m * bits} bits exceed one " +
+        "64-bit word; use a byte-array layout for larger configs")
     (0 until m).map(i => shiftleft(codes(i), i * bits))
       .reduce(_ bitwiseOR _)
+  }
 
   /** Query→centroid squared-L2 tables, one per subspace, each distance
     * accumulated left-to-right — the single source of truth for ADC

@@ -46,4 +46,36 @@ class PageRankSpec extends SparkSpec {
       .collect().map(r => r.getDouble(1))
     got.foreach(r => assert(math.abs(r - 1.0 / 3) < 1e-9))
   }
+
+  test("fixed-point variant tracks the double variant to ~1e-12 and conserves mass") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (3L, 1L),
+      (4L, 5L), (6L, 1L), (2L, 6L), (6L, 2L))
+    val scale = 1000000000000000L
+    val fp = PageRank.runFixedPoint(edges.toDF("s", "d"), "s", "d", iters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dbl = PageRank.run(edges.toDF("s", "d"), "s", "d", iters = 15)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fp.keySet == dbl.keySet)
+    fp.foreach { case (id, r) =>
+      assert(math.abs(r.toDouble / scale - dbl(id)) < 1e-12,
+        s"node $id: fp ${r.toDouble / scale} vs double ${dbl(id)}")
+    }
+    // integer division leaks at most one unit per node per round: mass
+    // stays within iters × n units of exactly 1.0 — and never exceeds it
+    val mass = fp.values.sum
+    assert(mass <= scale && mass > scale - 15L * fp.size * 2,
+      s"mass $mass vs scale $scale")
+  }
+
+  test("fixed-point is bit-identical across repartitionings (merge-order independence)") {
+    val edges = (1L to 200L).map(i => (i % 17, i % 23)) ++
+      Seq((100L, 101L), (101L, 100L))
+    val df = edges.toDF("s", "d")
+    val a = PageRank.runFixedPoint(df, "s", "d", iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = PageRank.runFixedPoint(df.repartition(7), "s", "d", iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }
