@@ -512,6 +512,10 @@ object SparkEntry {
 
     // Full text-statistics projection incl. heuristic language ID and
     // quality score (rows-only: scoring heuristics aren't SQL-portable).
+    // (Oracled bit-exactly in r4: the quality round(…,4) is mirrored via a
+    // VARCHAR→DECIMAL detour reproducing Spark's HALF_UP-on-shortest-repr,
+    // and the langId argmax maps to a score-then-lang-DESC CASE chain —
+    // the same lexicographic struct-max tiebreak.)
     "q_text_analyze" -> q { (s, dir) =>
       TextAnalysis.analyze(Tables.documents(s, dir))
         .select("doc_id", "n_tokens", "quality_score", "lang_detected", "fingerprint")
@@ -1170,13 +1174,31 @@ object SparkEntry {
         pqQueryVec, k = 10, nprobe = 2)
     },
 
-    // ---- multimodal plumbing (rows-only; decode is stubbed) ----
+    // ---- multimodal decode (REAL codecs, bit-exact) ----
 
+    // PNG encode→decode roundtrip: executors write real PNGs from a
+    // closed-form pixel pattern (javax.imageio), then decodeImageStats
+    // reads the rasters back and emits exact integer channel sums. The
+    // oracle predicts those sums arithmetically (range() laterals), so a
+    // raster/color-order/codec bug breaks the hash. Iterator-to-iterator
+    // mapPartitions both ways — no partition materialization, binary
+    // column never shuffled.
     "q_multimodal_features" -> q { (s, dir) =>
-      val media = Multimodal.fixtureFromDocuments(Tables.documents(s, dir))
-      Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          element_at(col("features"), 1).as("f0"))
+      val media = Multimodal.encodePngFixture(Tables.documents(s, dir))
+      Multimodal.decodeImageStats(media).toDF()
+        .select(col("media_id"), col("ok"), col("format"),
+          col("width"), col("height"), col("channels"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
+    },
+
+    // WAV (PCM16 mono) encode→decode roundtrip via javax.sound.sampled;
+    // same exact-integer-stats oracle discipline as the PNG path.
+    "q_audio_decode" -> q { (s, dir) =>
+      val media = Multimodal.encodeWavFixture(Tables.documents(s, dir))
+      Multimodal.decodeAudioStats(media).toDF()
+        .select(col("media_id"), col("ok"), col("channels"),
+          col("sample_rate"), col("n_samples"), col("sum_samples"),
+          col("min_sample"), col("max_sample"))
     },
 
     // Full ranking-function surface. Two window specs on purpose:
@@ -2409,6 +2431,61 @@ object SparkEntry {
         |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
 
+    // Composite text profile. quality_score mirrors Spark's round(x, 4)
+    // exactly: Spark rounds HALF_UP on the double's SHORTEST DECIMAL REPR
+    // (BigDecimal.valueOf), so the oracle goes double → VARCHAR (DuckDB
+    // prints shortest repr) → DECIMAL → round → DOUBLE instead of rounding
+    // the raw binary value. lang argmax = max(score, lang) struct order →
+    // CASE chain testing langs in DESCENDING name order at the max score.
+    "q_text_analyze" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '\w+') AS t
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id,
+        |    CAST(len(t) AS BIGINT) AS n_tokens,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+        |    least(CAST(len(t) AS DOUBLE) / 100e0, 1e0) AS ls,
+        |    least(coalesce(CAST(len(list_filter(t, x -> x IN
+        |        ('the','a','an','of','and','to','in','is','it','for'))) AS DOUBLE)
+        |        / CAST(nullif(len(t), 0) AS DOUBLE), 0e0) * 5e0, 1e0) AS ss,
+        |    CASE WHEN coalesce(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |        / CAST(nullif(len(t), 0) AS DOUBLE), 0e0) >= 3e0
+        |      AND coalesce(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |        / CAST(nullif(len(t), 0) AS DOUBLE), 0e0) <= 10e0
+        |      THEN 1e0 ELSE 5e-1 END AS wls,
+        |    CAST(len(list_filter(t, x -> x IN
+        |      ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |      / CAST(nullif(len(t), 0) AS DOUBLE) AS s_en,
+        |    CAST(len(list_filter(t, x -> x IN
+        |      ('der','die','das','und','ist','nicht','ein','zu','mit','den'))) AS DOUBLE)
+        |      / CAST(nullif(len(t), 0) AS DOUBLE) AS s_de,
+        |    CAST(len(list_filter(t, x -> x IN
+        |      ('le','la','les','et','est','un','une','des','que','pour'))) AS DOUBLE)
+        |      / CAST(nullif(len(t), 0) AS DOUBLE) AS s_fr,
+        |    CAST(len(list_filter(t, x -> x IN
+        |      ('el','la','los','y','es','un','una','que','de','por'))) AS DOUBLE)
+        |      / CAST(nullif(len(t), 0) AS DOUBLE) AS s_es,
+        |    CAST(len(list_filter(t, x -> x IN
+        |      ('de','le','shi','bu','wo','you','zai','ta','men','zhe'))) AS DOUBLE)
+        |      / CAST(nullif(len(t), 0) AS DOUBLE) AS s_zh
+        |  FROM tok),
+        |scored AS (
+        |  SELECT doc_id, n_tokens, fingerprint,
+        |    4e-1 * ls + 3e-1 * ss + 3e-1 * wls AS qraw,
+        |    greatest(s_en, s_de, s_fr, s_es, s_zh) AS m,
+        |    s_en, s_de, s_fr, s_es, s_zh
+        |  FROM feat)
+        |SELECT doc_id, n_tokens,
+        |  CAST(round(CAST(CAST(qraw AS VARCHAR) AS DECIMAL(30, 20)), 4) AS DOUBLE)
+        |    AS quality_score,
+        |  CASE WHEN m IS NULL OR NOT (m > 0e0) THEN 'und'
+        |       WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr'
+        |       WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en'
+        |       ELSE 'de' END AS lang_detected,
+        |  fingerprint
+        |FROM scored""".stripMargin,
+
     "q_lang_profile" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -2582,6 +2659,52 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CAST(unnest(generate_series(0, doc_id % 30, 5)) AS INT) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    // Decode oracles: each RGB channel of the PNG fixture varies along one
+    // axis (r~x, g~y, b~x), so per-image sums collapse to one range()
+    // lateral per axis; the engine side must recover EXACTLY these
+    // integers from real decoded rasters.
+    "q_multimodal_features" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(doc_id % 32 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 24 + 8 AS BIGINT) AS h
+        |  FROM documents),
+        |sr AS (
+        |  SELECT media_id, sum((media_id + x.range) % 256) AS sx
+        |  FROM m CROSS JOIN range(40) x WHERE x.range < m.w GROUP BY media_id),
+        |sg AS (
+        |  SELECT media_id, sum((media_id * 3 + y.range) % 256) AS sy
+        |  FROM m CROSS JOIN range(32) y WHERE y.range < m.h GROUP BY media_id),
+        |sb AS (
+        |  SELECT media_id, sum((media_id * 5 + 7 * x.range) % 256) AS sbx
+        |  FROM m CROSS JOIN range(40) x WHERE x.range < m.w GROUP BY media_id)
+        |SELECT m.media_id, TRUE AS ok, 'png' AS format,
+        |  CAST(m.w AS INT) AS width, CAST(m.h AS INT) AS height,
+        |  CAST(3 AS INT) AS channels, CAST(m.w * m.h AS BIGINT) AS n_pixels,
+        |  CAST(m.h * sr.sx AS BIGINT) AS sum_r,
+        |  CAST(m.w * sg.sy AS BIGINT) AS sum_g,
+        |  CAST(m.h * sb.sbx AS BIGINT) AS sum_b
+        |FROM m JOIN sr USING (media_id) JOIN sg USING (media_id)
+        |       JOIN sb USING (media_id)""".stripMargin,
+
+    "q_audio_decode" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(doc_id % 400 + 100 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, sum(v) AS sv, min(v) AS mn, max(v) AS mx
+        |  FROM (
+        |    SELECT m.media_id,
+        |      ((m.media_id * 31 + i.range * 17) % 65536) - 32768 AS v
+        |    FROM m CROSS JOIN range(500) i WHERE i.range < m.n)
+        |  GROUP BY media_id)
+        |SELECT m.media_id, TRUE AS ok, CAST(1 AS INT) AS channels,
+        |  CAST(8000 AS INT) AS sample_rate, m.n AS n_samples,
+        |  CAST(s.sv AS BIGINT) AS sum_samples,
+        |  CAST(s.mn AS INT) AS min_sample, CAST(s.mx AS INT) AS max_sample
+        |FROM m JOIN s USING (media_id)""".stripMargin,
 
     "q_resample_locf" ->
       """WITH bars AS (

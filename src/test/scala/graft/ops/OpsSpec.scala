@@ -621,6 +621,49 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, everyNth = 5)
     assert(frames.count() > 0)
   }
+
+  test("PNG roundtrip: real imageio decode recovers the exact raster stats") {
+    val docs = graft.Tables.documents(spark, sf).limit(20)
+    val stats = Multimodal.decodeImageStats(Multimodal.encodePngFixture(docs))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(stats.nonEmpty && stats.values.forall(_.ok))
+    stats.foreach { case (id, s) =>
+      val (w, h) = Multimodal.fixtureDims(id)
+      assert((s.width, s.height, s.channels) == ((w, h, 3)))
+      // closed-form channel sums (each channel varies along one axis)
+      val expR = h.toLong * (0 until w).map(x => (id + x) % 256).sum
+      val expG = w.toLong * (0 until h).map(y => (id * 3 + y) % 256).sum
+      val expB = h.toLong * (0 until w).map(x => (id * 5 + 7L * x) % 256).sum
+      assert((s.sum_r, s.sum_g, s.sum_b) == ((expR, expG, expB)), s"id=$id")
+    }
+  }
+
+  test("WAV roundtrip: real PCM16 decode recovers exact sample stats") {
+    val docs = graft.Tables.documents(spark, sf).limit(20)
+    val stats = Multimodal.decodeAudioStats(Multimodal.encodeWavFixture(docs))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(stats.nonEmpty && stats.values.forall(_.ok))
+    stats.foreach { case (id, s) =>
+      val n = Multimodal.fixtureSamples(id)
+      val samples = (0 until n).map(i => Multimodal.fixtureSample(id, i.toLong))
+      assert(s.n_samples == n && s.channels == 1 && s.sample_rate == 8000)
+      assert((s.sum_samples, s.min_sample, s.max_sample) ==
+        ((samples.map(_.toLong).sum, samples.min, samples.max)), s"id=$id")
+    }
+  }
+
+  test("corrupt or null payloads decode to ok=false, never fail the partition") {
+    import spark.implicits._
+    val bad = Seq(
+      Multimodal.Media(1L, "image", Array[Byte](1, 2, 3), Multimodal.MediaMeta("png", 1, 1, 1)),
+      Multimodal.Media(2L, "image", null, Multimodal.MediaMeta("png", 1, 1, 1)),
+      Multimodal.Media(3L, "audio", Array[Byte](9, 9), Multimodal.MediaMeta("wav", 0, 0, 0)))
+    val img = Multimodal.decodeImageStats(bad.toDS().toDF()).collect()
+    assert(img.filter(s => s.media_id <= 2).forall(s => !s.ok && s.n_pixels == 0))
+    val aud = Multimodal.decodeAudioStats(bad.filter(_.kind == "audio").toDS().toDF())
+      .collect()
+    assert(aud.forall(s => !s.ok))
+  }
 }
 
 class BloomSpec extends SparkSpec {
