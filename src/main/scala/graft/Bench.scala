@@ -67,12 +67,15 @@ object Bench {
       System.gc()
     }
 
-    // q_pipeline_verify is correctness-gated (Verify) but not timed: its
-    // S4 stage is the reference's single-file CSV contract — deliberately
-    // non-distributed (coalesce(1)), kept off the bench path per SURVEY
-    // §7.5-4. Every distributed operator it exercises is timed by the
-    // other queries.
-    val skip = Set("q_pipeline_verify")
+    // Correctness-gated (Verify) but not timed:
+    //  - q_pipeline_verify: its S4 stage is the reference's single-file
+    //    CSV contract — deliberately non-distributed (coalesce(1)), kept
+    //    off the bench path per SURVEY §7.5-4;
+    //  - q_minhash_est_error: a sketch-parameter AUDIT that by definition
+    //    runs two dedup pipelines (sketched + exact) to compare them — it
+    //    measures the sketch's error, not an operator a user would time.
+    // Every distributed operator both exercise is timed by other queries.
+    val skip = Set("q_pipeline_verify", "q_minhash_est_error")
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query filter for local
     // iteration on one hot spot (full set when unset — the driver's mode)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

@@ -957,9 +957,16 @@ object SparkEntry {
     // (rows-only: the sketch is not SQL-portable; the exact side is oracled
     // via q_dedup_ngram_jaccard). Error stats use exact integer sums of the
     // 4-decimal errors, so the row is bit-deterministic. Audited on the
-    // deterministic 50% hash-sample: a sketch-parameter audit needs a
+    // deterministic 50% hash-sample (a 25% sample was measured to surface
+    // ZERO candidate pairs at the sf0.01 gate — below 50% the audit is
+    // vacuous at test scale): a sketch-parameter audit needs a
     // statistically sufficient sample, not the corpus — at 100 TB running
     // it in full would double the cost of the dedup pass it validates.
+    // UNTIMED (r4): like q_pipeline_verify, this is a correctness audit of
+    // sketch parameters, not a data-path operator — it inherently re-runs
+    // two dedup pipelines (sketched + exact) to compare them, and was the
+    // suite's slowest "query" while measuring nothing a user would run.
+    // Every operator it exercises is timed by q_dedup_* / q_minhash_*.
     "q_minhash_est_error" -> q { (s, dir) =>
       Dedup.sketchVsExactPairs(
         graft.ops.Sampling.bernoulliSample(
