@@ -1181,6 +1181,39 @@ object SparkEntry {
         pqQueryVec, k = 10, nprobe = 2)
     },
 
+    // nprobe recall/cost sweep: recall@10 of IVF-PQ at nprobe ∈ {1,2,4}
+    // against the EXACT squared-L2 top-10 — the self-certifying index
+    // audit (probe few lists cheaply, measure exactly what recall that
+    // bought). Bit-exact end to end: truth is a left-associated 64-term
+    // double chain mirrored verbatim in SQL, each sweep leg reuses the
+    // already-oracled IVF-PQ pipeline as a CTE, and recall is an integer
+    // hit count over 10e0. At 100 TB the sweep runs on a sample but the
+    // shape is identical: nprobe list scans + one tiny semi-join per leg.
+    "q_ann_nprobe_sweep" -> q { (s, dir) =>
+      import s.implicits._
+      val emb = cleanEmbeddings(Tables.embeddings(s, dir))
+      val truth = emb
+        .withColumn("l2", exactL2Col(pqQueryVec))
+        .orderBy(col("l2"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"))
+      val sweep = Seq(1, 2, 4).map { np =>
+        graft.ops.Quantize.ivfPqTopK(
+            emb, "vec_id", "embedding",
+            Similarity.IvfIndex(ivfPqCoarseFlat, 64), pqCbs, dSub = 8,
+            pqQueryVec, k = 10, nprobe = np)
+          .select(lit(np).as("nprobe"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      val hits = sweep.join(truth, Seq("vec_id"), "left_semi")
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      Seq(1, 2, 4).toDF("nprobe")
+        .join(hits, Seq("nprobe"), "left_outer")
+        .select(col("nprobe"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(10.0))
+            .as("recall_at_10"))
+    },
+
     // ---- multimodal decode (REAL codecs, bit-exact) ----
 
     // PNG encode→decode roundtrip: executors write real PNGs from a
@@ -2003,6 +2036,75 @@ object SparkEntry {
        |FROM codes ORDER BY adc_dist, vec_id LIMIT $k""".stripMargin
   }
 
+  /** Exact squared-L2 distance to `query` as a left-associated 64-term
+    * chain — the truth side of the nprobe recall sweep; the SQL twin
+    * emits the identical `+` chain so the top-10 is bit-agreed.
+    */
+  private def exactL2Col(query: Seq[Double]): org.apache.spark.sql.Column =
+    query.indices.map { j =>
+      val d = col("embedding").getItem(j).cast(DoubleType) - lit(query(j))
+      d * d
+    }.reduceLeft(_ + _)
+
+  /** Oracle for `q_ann_nprobe_sweep`: exact-L2 top-k truth CTE + the
+    * IVF-PQ assigned/ADC relation built ONCE as a MATERIALIZED CTE (the
+    * heavy 128-distance-column arithmetic inlined per leg blew DuckDB's
+    * planner memory); each nprobe leg is just a probe-list filter + top-k
+    * over it, intersected by scalar-subquery hit counts.
+    */
+  private def nprobeSweepOracleSql(k: Int): String = {
+    val (coarseK, dim, m, kSub, dSub) = (8, 64, 8, 16, 8)
+    val cents = ivfPqCoarseFlat
+    val index = Similarity.IvfIndex(cents, dim)
+    val l2 = (0 until dim).map { j =>
+      val e = s"(CAST(embedding[${j + 1}] AS DOUBLE) - (${dlit(pqQueryVec(j))}))"
+      s"$e * $e"
+    }.mkString(" + ")
+    val coarseD = (0 until coarseK).map { c =>
+      val d = (0 until dim).map { j =>
+        val e = s"(CAST(embedding[${j + 1}] AS DOUBLE) - (${dlit(cents(c * dim + j))}))"
+        s"$e * $e"
+      }.mkString(" + ")
+      s"($d) AS cd$c"
+    }.mkString(",\n    ")
+    val coarseCase = (0 until coarseK - 1).map { c =>
+      val conds = (c + 1 until coarseK).map(o => s"cd$c <= cd$o").mkString(" AND ")
+      s"WHEN $conds THEN $c"
+    }.mkString(" ")
+    val (dcols, codeExprs) = pqOracleParts(m, kSub, dSub)
+    val adc = pqAdcSql(m, kSub, dSub, pqQueryVec)
+    val legs = Seq(1, 2, 4).map { np =>
+      val probeIds = index.probes(pqQueryVec, np)
+      s"""SELECT $np AS nprobe,
+         |  (SELECT count(*) FROM (
+         |     SELECT vec_id FROM scored
+         |     WHERE centroid_id IN (${probeIds.mkString(", ")})
+         |     ORDER BY adc_dist, vec_id LIMIT $k) p
+         |   JOIN bf USING (vec_id)) AS n_hits""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH dd AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    $coarseD,
+       |    $dcols
+       |  FROM embeddings
+       |  $pqCleanWhere),
+       |scored AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CAST(CASE $coarseCase ELSE ${coarseK - 1} END AS BIGINT) AS centroid_id,
+       |    $adc AS adc_dist
+       |  FROM (SELECT vec_id,
+       |          ${(0 until coarseK).map(c => s"cd$c").mkString(", ")},
+       |          $codeExprs
+       |        FROM dd)),
+       |bf AS MATERIALIZED (
+       |  SELECT vec_id FROM embeddings
+       |  $pqCleanWhere
+       |  ORDER BY $l2, vec_id LIMIT $k)
+       |SELECT CAST(nprobe AS INT) AS nprobe, CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(n_hits AS DOUBLE) / 10e0 AS recall_at_10
+       |FROM ($legs)""".stripMargin
+  }
+
   /** Oracle for `q_ann_ivfpq`: coarse CASE-chain assignment restricted to
     * the same plan-time probe list as the engine, then the PQ code and
     * ADC fragments — the composed retrieval bit-exact end to end.
@@ -2159,6 +2261,8 @@ object SparkEntry {
 
     "q_ann_ivfpq_residual" -> ivfPqResidualOracleSql(coarseK = 8, dim = 64,
       m = 8, kSub = 16, dSub = 8, query = pqQueryVec, k = 10, nprobe = 2),
+
+    "q_ann_nprobe_sweep" -> nprobeSweepOracleSql(k = 10),
 
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity
