@@ -1181,34 +1181,51 @@ object SparkEntry {
         pqQueryVec, k = 10, nprobe = 2)
     },
 
-    // nprobe recall/cost sweep: recall@10 of IVF-PQ at nprobe ∈ {1,2,4}
+    // nprobe recall/cost sweep: IVF-PQ recall@10 at nprobe ∈ {1,2,4}
     // against the EXACT squared-L2 top-10 — the self-certifying index
-    // audit (probe few lists cheaply, measure exactly what recall that
-    // bought). Bit-exact end to end: truth is a left-associated 64-term
-    // double chain mirrored verbatim in SQL, each sweep leg reuses the
-    // already-oracled IVF-PQ pipeline as a CTE, and recall is an integer
-    // hit count over 10e0. At 100 TB the sweep runs on a sample but the
-    // shape is identical: nprobe list scans + one tiny semi-join per leg.
+    // audit, DECOMPOSED into the two loss sources: `recall_cand` = truth
+    // mass inside the probed lists (coarse-quantizer loss; monotone in
+    // nprobe by construction) vs `recall_at_10` = after ADC top-k ranking
+    // (adds PQ quantization loss; may dip when new lists contribute
+    // ADC-optimistic impostors). Bit-exact: truth is a left-associated
+    // 64-term double chain mirrored verbatim in SQL, each leg reuses the
+    // already-oracled IVF-PQ pipeline, and recalls are integer hit counts
+    // over 10e0. At 100 TB the sweep runs on a sample but the shape is
+    // identical: nprobe list scans + one tiny semi-join per leg.
     "q_ann_nprobe_sweep" -> q { (s, dir) =>
       import s.implicits._
       val emb = cleanEmbeddings(Tables.embeddings(s, dir))
+      val index = Similarity.IvfIndex(ivfPqCoarseFlat, 64)
       val truth = emb
         .withColumn("l2", exactL2Col(pqQueryVec))
         .orderBy(col("l2"), col("vec_id"))
         .limit(10)
         .select(col("vec_id"))
+        .localCheckpoint(true) // tiny; read by all six legs
+      val assigned = emb.withColumn("centroid_id",
+        graft.functions.VectorFunctions.nearestCentroidF32(
+          col("embedding"), ivfPqCoarseFlat, 64))
       val sweep = Seq(1, 2, 4).map { np =>
         graft.ops.Quantize.ivfPqTopK(
-            emb, "vec_id", "embedding",
-            Similarity.IvfIndex(ivfPqCoarseFlat, 64), pqCbs, dSub = 8,
+            emb, "vec_id", "embedding", index, pqCbs, dSub = 8,
             pqQueryVec, k = 10, nprobe = np)
           .select(lit(np).as("nprobe"), col("vec_id"))
       }.reduce(_ unionByName _)
-      val hits = sweep.join(truth, Seq("vec_id"), "left_semi")
-        .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      val candSweep = Seq(1, 2, 4).map { np =>
+        val probeIds = index.probes(pqQueryVec, np)
+        assigned.where(col("centroid_id").isin(probeIds: _*))
+          .select(lit(np).as("nprobe"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      def hitCounts(legs: org.apache.spark.sql.DataFrame, out: String) =
+        legs.join(truth, Seq("vec_id"), "left_semi")
+          .groupBy(col("nprobe")).agg(count(lit(1)).as(out))
       Seq(1, 2, 4).toDF("nprobe")
-        .join(hits, Seq("nprobe"), "left_outer")
+        .join(hitCounts(sweep, "n_hits"), Seq("nprobe"), "left_outer")
+        .join(hitCounts(candSweep, "n_cand_hits"), Seq("nprobe"), "left_outer")
         .select(col("nprobe"),
+          coalesce(col("n_cand_hits"), lit(0L)).as("n_cand_hits"),
+          (coalesce(col("n_cand_hits"), lit(0L)).cast(DoubleType) / lit(10.0))
+            .as("recall_cand"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(10.0))
             .as("recall_at_10"))
@@ -2076,6 +2093,9 @@ object SparkEntry {
     val legs = Seq(1, 2, 4).map { np =>
       val probeIds = index.probes(pqQueryVec, np)
       s"""SELECT $np AS nprobe,
+         |  (SELECT count(*) FROM scored
+         |   WHERE centroid_id IN (${probeIds.mkString(", ")})
+         |     AND vec_id IN (SELECT vec_id FROM bf)) AS n_cand_hits,
          |  (SELECT count(*) FROM (
          |     SELECT vec_id FROM scored
          |     WHERE centroid_id IN (${probeIds.mkString(", ")})
@@ -2100,7 +2120,10 @@ object SparkEntry {
        |  SELECT vec_id FROM embeddings
        |  $pqCleanWhere
        |  ORDER BY $l2, vec_id LIMIT $k)
-       |SELECT CAST(nprobe AS INT) AS nprobe, CAST(n_hits AS BIGINT) AS n_hits,
+       |SELECT CAST(nprobe AS INT) AS nprobe,
+       |  CAST(n_cand_hits AS BIGINT) AS n_cand_hits,
+       |  CAST(n_cand_hits AS DOUBLE) / 10e0 AS recall_cand,
+       |  CAST(n_hits AS BIGINT) AS n_hits,
        |  CAST(n_hits AS DOUBLE) / 10e0 AS recall_at_10
        |FROM ($legs)""".stripMargin
   }
