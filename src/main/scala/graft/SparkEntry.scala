@@ -980,14 +980,21 @@ object SparkEntry {
           max(col("err")).as("max_abs_err"))
     },
 
-    // MinHash signatures (rows-only: 64-perm xxhash sketch not in DuckDB).
+    // MinHash signatures — bit-exact against a DuckDB oracle that re-derives
+    // Spark's xxhash64 in pure SQL (graft.XxHash64Sql): three probe
+    // positions plus an XOR-fold checksum of the whole 64-perm signature.
     "q_minhash_signatures" -> q { (s, dir) =>
       Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text")
-        .select(col("doc_id"), hash(col("sig")).cast(LongType).as("sig_hash"),
-          element_at(col("sig"), 1).as("minhash_0"))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("minhash_0"),
+          element_at(col("sig"), 32).as("minhash_31"),
+          element_at(col("sig"), 64).as("minhash_63"),
+          aggregate(col("sig"), lit(0L), (acc, x) => acc.bitwiseXOR(x))
+            .as("sig_xor"))
     },
 
-    // SimHash signatures (rows-only).
+    // SimHash signatures — bit-exact via the same SQL xxhash64 re-derivation
+    // (per-bit majority votes are plain integer sums on top of it).
     "q_simhash_signatures" -> q { (s, dir) =>
       Dedup.simhashSignatures(Tables.documents(s, dir), "doc_id", "text")
     },
@@ -2268,6 +2275,71 @@ object SparkEntry {
        |FROM dd""".stripMargin
   }
 
+  /** Oracle for `q_minhash_signatures`: the "engine-internal xxhash"
+    * declared-necessity is retired by re-deriving Spark's xxhash64 inside
+    * DuckDB ([[XxHash64Sql]]). Tokens → n-gram shingles mirror
+    * `Dedup.explodedShingles` (`\w+` has identical ASCII semantics in Java
+    * regex and RE2); the k per-permutation minima use the same
+    * `permSeeds(k)` affine constants as the engine, folded in the
+    * sign-rotated unsigned domain so DuckDB's `min` ranks exactly like
+    * Spark's signed-Long `min`.
+    */
+  private def minhashOracleSql(n: Int, k: Int): String = {
+    val seeds = Dedup.permSeeds(k)
+    val minCols = seeds.zipWithIndex.map { case ((a, b), i) =>
+      s"min(${XxHash64Sql.affineOrderable("h", a, b)}) AS __mu$i"
+    }.mkString(",\n    ")
+    val signedCols = (0 until k)
+      .map(i => s"${XxHash64Sql.fromOrderable(s"__mu$i")} AS m$i")
+      .mkString(",\n    ")
+    val xorFold = (0 until k).map(i => s"m$i")
+      .reduce((x, y) => s"xor($x, $y)")
+    val gram = (0 until n).map(j => s"ts[i+$j]").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\w+') AS ts FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - ${n - 2}),
+       |    i -> concat_ws(' ', $gram))) AS s
+       |  FROM toks WHERE len(ts) >= $n),
+       |${XxHash64Sql.hashCtes("sh", "s", "hs")},
+       |mins AS (
+       |  SELECT doc_id,
+       |    $minCols
+       |  FROM hs GROUP BY doc_id),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $signedCols
+       |  FROM mins)
+       |SELECT d.doc_id, sig.m0 AS minhash_0, sig.m31 AS minhash_31,
+       |  sig.m63 AS minhash_63, $xorFold AS sig_xor
+       |FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id""".stripMargin
+  }
+
+  /** Oracle for `q_simhash_signatures`: per-bit majority votes over the
+    * token-hash MULTISET (occurrence-weighted, as in the engine), the 64
+    * token hashes re-derived by the same SQL xxhash64.
+    */
+  private def simhashOracleSql: String = {
+    val bitSums = (0 until 64)
+      .map(b => s"sum(((h // ${BigInt(1) << b}) % 2)::BIGINT) AS __b$b")
+      .mkString(",\n    ")
+    val sigTerms = (0 until 64)
+      .map(b => s"CASE WHEN 2 * __b$b >= __cnt THEN ${BigInt(1) << b}::HUGEINT ELSE 0::HUGEINT END")
+      .mkString(" +\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\w+')) AS s FROM documents),
+       |${XxHash64Sql.hashCtes("toks", "s", "hs")},
+       |agg AS (
+       |  SELECT doc_id, count(*) AS __cnt,
+       |    $bitSums
+       |  FROM hs GROUP BY doc_id),
+       |sig0 AS (
+       |  SELECT doc_id, ($sigTerms) AS __su FROM agg),
+       |sig AS (SELECT doc_id, ${XxHash64Sql.toSignedBigint("__su")} AS simhash FROM sig0)
+       |SELECT d.doc_id, sig.simhash
+       |FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_ann_lsh_buckets" -> lshBucketOracleSql(planes = 12, dim = 64),
@@ -2286,6 +2358,10 @@ object SparkEntry {
       m = 8, kSub = 16, dSub = 8, query = pqQueryVec, k = 10, nprobe = 2),
 
     "q_ann_nprobe_sweep" -> nprobeSweepOracleSql(k = 10),
+
+    "q_minhash_signatures" -> minhashOracleSql(n = 3, k = 64),
+
+    "q_simhash_signatures" -> simhashOracleSql,
 
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity

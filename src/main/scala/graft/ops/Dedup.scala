@@ -322,7 +322,7 @@ object Dedup {
     * a_i·h(x) + b_i (mod 2^64 via Long overflow). Odd multipliers keep the
     * map bijective.
     */
-  private def permSeeds(k: Int): Seq[(Long, Long)] = {
+  private[graft] def permSeeds(k: Int): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
   }
