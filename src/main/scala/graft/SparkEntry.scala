@@ -1359,15 +1359,14 @@ object SparkEntry {
       graft.ops.Triangles.approxSparsified(co, "u", "v", pInv = 10)
     },
 
-    // BM25 ranked retrieval (rows-only: BM25's ln() is libm-dependent in
-    // its last ulp, not cross-engine oracle-able; the boolean match
-    // sub-structure is oracled by q_keyword_search and the scoring is
-    // spec-verified on known orderings).
+    // BM25 ranked retrieval — bit-exact: the libm-ln obstacle is removed by
+    // scoring with ExactMath's deterministic ln (same IEEE op sequence on
+    // both engines) plus order-independent fixed-point score summation, so
+    // raw double scores hash-match with no rounding at all.
     "q_bm25_search" -> q { (s, dir) =>
       TextAnalysis.bm25Search(Tables.documents(s, dir), "doc_id",
           Seq("spark", "join", "window"))
-        .select(col("doc_id"), round(col("score"), 4).as("score"),
-          col("n_matched"))
+        .select(col("doc_id"), col("score"), col("n_matched"))
     },
 
     // Int8 scalar quantization audit: per-vector affine codes plus the max
@@ -2315,6 +2314,51 @@ object SparkEntry {
        |FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id""".stripMargin
   }
 
+  /** Oracle for `q_bm25_search`: mirrors `TextAnalysis.bm25Search` stepwise
+    * with every double literal emitted from the SAME Scala-folded constants
+    * the engine uses (shortest round-trip repr; both parsers are correctly
+    * rounded), idf through [[graft.functions.ExactMath.lnCtes]] (the shared
+    * deterministic-ln stage list), and the per-doc score as the identical
+    * 2⁴⁰ fixed-point fold — bit-exact raw doubles, no rounding.
+    */
+  private def bm25OracleSql(terms: Seq[String], k1: Double, b: Double,
+      topK: Int): String = {
+    val t = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    val termList = t.map(s => s"'$s'").mkString(", ")
+    // string-cast double literals: a bare decimal literal is DECIMAL in
+    // DuckDB (different arithmetic); CAST('…' AS DOUBLE) is a correctly-
+    // rounded parse of the engine's exact Catalyst-folded constant
+    def dlit(d: Double): String =
+      s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
+    val k1p1 = dlit(k1 + 1.0) // the engine's Catalyst-folded constants
+    val oneMinusB = dlit(1.0 - b)
+    val fx = dlit(1099511627776.0) // 2^40
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok0 GROUP BY doc_id, token),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |dfc AS (SELECT token, count(*) AS df FROM tf
+       |        WHERE token IN ($termList) GROUP BY token),
+       |m0 AS (
+       |  SELECT tf.doc_id, tf.tf, dfc.df, dl.dl, nd.n_docs, ad.avgdl
+       |  FROM tf JOIN dfc USING (token) JOIN dl USING (doc_id)
+       |  CROSS JOIN nd CROSS JOIN ad),
+       |mx AS (SELECT *,
+       |  ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) AS __idf_x FROM m0),
+       |${graft.functions.ExactMath.lnCtes("mx", "__idf_x", "__idf", "ml")},
+       |ms AS (SELECT *,
+       |  (__idf * ((CAST(tf AS DOUBLE) * $k1p1) / (CAST(tf AS DOUBLE) + (${dlit(k1)} * ($oneMinusB + ((${dlit(b)} * CAST(dl AS DOUBLE)) / avgdl)))))) AS __ts
+       |  FROM ml),
+       |sc AS (SELECT doc_id,
+       |  sum(CAST(floor(__ts * $fx) AS BIGINT)) AS __fx, count(*) AS n_matched
+       |  FROM ms GROUP BY doc_id)
+       |SELECT doc_id, (__fx / $fx) AS score, n_matched
+       |FROM sc ORDER BY score DESC, doc_id LIMIT $topK""".stripMargin
+  }
+
   /** Oracle for `q_simhash_signatures`: per-bit majority votes over the
     * token-hash MULTISET (occurrence-weighted, as in the engine), the 64
     * token hashes re-derived by the same SQL xxhash64.
@@ -2362,6 +2406,9 @@ object SparkEntry {
     "q_minhash_signatures" -> minhashOracleSql(n = 3, k = 64),
 
     "q_simhash_signatures" -> simhashOracleSql,
+
+    "q_bm25_search" -> bm25OracleSql(Seq("spark", "join", "window"),
+      k1 = 1.2, b = 0.75, topK = 20),
 
     "q_scan_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice, l_quantity

@@ -337,10 +337,17 @@ object TextAnalysis {
     * aggregate cross-joined in. Scoring touches only the matched postings,
     * never the corpus.
     *
-    * BM25 uses `ln` whose last-ulp behavior differs across libm
-    * implementations, so scores are NOT cross-engine oracle-able — this
-    * operator is spec-verified (known orderings) and its boolean
-    * sub-structure is oracled via `q_keyword_search`.
+    * Scoring is bit-reproducible across engines by construction — every
+    * double operation is fully specified:
+    *  - idf uses [[graft.functions.ExactMath]]'s deterministic ln (shared
+    *    stage list, identical IEEE ops in Spark and the DuckDB oracle) —
+    *    libm `ln` differs between engines in its last ulp and would make
+    *    scores unverifiable;
+    *  - avgdl is an exact integer sum followed by ONE double division
+    *    (`avg` would be merge-order-dependent);
+    *  - the per-doc score folds term scores through 2⁴⁰-scaled fixed-point
+    *    integers (`floor`, exact power-of-two scaling), so the sum is
+    *    order-independent — a distributed double `sum` is not.
     */
   def bm25Search(docs: DataFrame, idCol: String, terms: Seq[String],
       textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
@@ -355,7 +362,8 @@ object TextAnalysis {
     // corpus (Spark plans no subplan sharing across the two consumers)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val n = docs.select(count(lit(1)).as("n_docs"))
-    val avgdl = dl.select(avg(col("dl")).as("avgdl"))
+    val avgdl = dl.select(
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
     val df = tf.where(col("token").isin(t: _*))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val matched = tf.where(col("token").isin(t: _*))
@@ -363,14 +371,18 @@ object TextAnalysis {
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(avgdl))
-    val idf = log(
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val idfInput =
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+    val withIdf = graft.functions.ExactMath.lnColumn(
+      matched.withColumn("__idf_x", idfInput), "__idf_x", "__idf")
     val tfNorm = col("tf") * (lit(k1) + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
-    matched
-      .withColumn("term_score", idf * tfNorm)
+    val fxScale = 1099511627776.0 // 2^40: exact scaling, ~12 kept decimal digits
+    withIdf
+      .withColumn("term_score", col("__idf") * tfNorm)
+      .withColumn("__ts_fx", floor(col("term_score") * lit(fxScale)))
       .groupBy(col("doc_id"))
-      .agg(sum(col("term_score")).as("score"),
+      .agg((sum(col("__ts_fx")) / lit(fxScale)).as("score"),
         count(lit(1)).as("n_matched"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
