@@ -1039,10 +1039,10 @@ object SparkEntry {
         minCosine = 0.95)
     },
 
-    // Multiprobe-LSH recall against exact nearest-neighbor ground truth
-    // (rows-only: the bucket side depends on seeded hyperplanes not
-    // expressible in SQL; the exact scorer is oracled via
-    // q_ann_bruteforce). Corpus = the near-dup fixture, so every probe has
+    // Multiprobe-LSH recall against exact nearest-neighbor ground truth —
+    // bit-exact: the seeded hyperplanes embed as SQL literals
+    // (annRecallOracleSql), the multiprobe set is a bucket-xor membership
+    // test. Corpus = the near-dup fixture, so every probe has
     // a KNOWN true nearest neighbor (its duplicate, cosine 1) — recall@1
     // must be 1.0, and n_candidates shows the sub-linear candidate set the
     // index scans instead of the corpus. ONE scan pass: probes
@@ -1108,15 +1108,16 @@ object SparkEntry {
         .withColumn("loaded_rows", lit(report.loadedRows))
     },
 
-    // IVF coarse-quantizer occupancy (rows-only: centroids come from a
-    // seeded driver-side Lloyd fit, not expressible in SQL; the exact
-    // scorer it shares is oracled via q_ann_bruteforce). Deterministic:
-    // hash-ordered sample, fixed init, lowest-id tie-breaks.
+    // IVF coarse-quantizer occupancy — bit-exact: the trained geometry IS
+    // expressible in SQL because training is deterministic end to end
+    // (hash-ordered sample, fixed init, sequential accumulation), so the
+    // oracle replays all 10 Lloyd rounds as unrolled DuckDB CTEs
+    // (annIvfOracleSql) and must land on bit-identical centroids.
     "q_ann_ivf" -> q { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val idx = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", k = 16)
       Similarity.ivfAssign(emb, "vec_id", "embedding", idx)
-        .groupBy(col("centroid_id"))
+        .groupBy(col("centroid_id").cast(LongType).as("centroid_id"))
         .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
     },
 
@@ -1863,17 +1864,74 @@ object SparkEntry {
     * sees bit-identical doubles. Disjoint power-of-two bits sum to the
     * same value the kernel ORs together.
     */
-  private def lshBucketOracleSql(planes: Int, dim: Int): String = {
+  /** The hyperplane-sign bucket of a vector column, as a SQL expression:
+    * each plane's dot product in the kernel's left-to-right accumulation
+    * order, strict `> 0.0` sign test, disjoint power-of-two bits summed.
+    */
+  private def lshBucketExprSql(vecCol: String, planes: Int, dim: Int): String = {
     val hs = Similarity.hyperplanes(dim, planes)
-    val bucket = hs.zipWithIndex.map { case (h, i) =>
+    hs.zipWithIndex.map { case (h, i) =>
       val dot = h.zipWithIndex
-        .map { case (c, j) => s"(${c}) * CAST(embedding[${j + 1}] AS DOUBLE)" }
+        .map { case (c, j) => s"(${dlit(c)}) * CAST($vecCol[${j + 1}] AS DOUBLE)" }
         .mkString(" + ")
       s"CASE WHEN ($dot) > 0.0 THEN ${1L << i} ELSE 0 END"
     }.mkString("\n    + ")
+  }
+
+  private def lshBucketOracleSql(planes: Int, dim: Int): String =
     s"""SELECT vec_id,
-       |  CAST($bucket AS BIGINT) AS bucket
+       |  CAST(${lshBucketExprSql("embedding", planes, dim)} AS BIGINT) AS bucket
        |FROM embeddings""".stripMargin
+
+  /** Oracle for `q_ann_recall`: the "seeded hyperplanes not expressible in
+    * SQL" declared-necessity is retired the same way `q_ann_lsh_buckets`
+    * was — the hyperplane table is embedded as double literals, and the
+    * probes' multiprobe bucket set (query bucket + all 1-bit flips) is the
+    * condition `xor(bucket, qb) IN (0, 1, 2, …, 2^(planes-1))`. Cosine
+    * ranking reuses the `q_ann_bruteforce` precedent (DuckDB's native
+    * cosine; rankings agree because the fixture's true neighbor sits at
+    * cosine 1 vs a ~0.6 background, and exact-duplicate ties break on
+    * vec_id in both engines). Counts, hits, and the recall ratio are
+    * integer arithmetic plus one exact division.
+    */
+  private def annRecallOracleSql(planes: Int, dim: Int): String = {
+    val flipSet = (Seq(0L) ++ (0 until planes).map(i => 1L << i)).mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+       |cb AS (SELECT vec_id, embedding,
+       |  CAST(${lshBucketExprSql("embedding", planes, dim)} AS BIGINT) AS bucket
+       |  FROM corpus),
+       |pr AS (SELECT vec_id AS probe_id, embedding AS probe_vec,
+       |  CAST(${lshBucketExprSql("embedding", planes, dim)} AS BIGINT) AS qb
+       |  FROM embeddings WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT c.vec_id, c.bucket, p.probe_id, p.qb,
+       |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+       |                           CAST(p.probe_vec AS DOUBLE[])) AS cos
+       |  FROM cb c CROSS JOIN pr p WHERE c.vec_id <> p.probe_id),
+       |exact AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM scored) WHERE rnk <= 1),
+       |cand AS (
+       |  SELECT *, count(*) OVER (PARTITION BY probe_id) AS n_candidates
+       |  FROM scored WHERE xor(bucket, qb) IN ($flipSet)),
+       |ann AS (
+       |  SELECT probe_id, vec_id, n_candidates, CAST(1 AS BIGINT) AS hit FROM (
+       |    SELECT probe_id, vec_id, n_candidates,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+       |    FROM cand) WHERE rnk <= 1)
+       |SELECT e.probe_id,
+       |  count(*) AS n_exact,
+       |  sum(coalesce(a.hit, 0)) AS n_found,
+       |  (sum(coalesce(a.hit, 0)) / count(*)) AS recall_at_k,
+       |  max(coalesce(a.n_candidates, 0)) AS n_candidates
+       |FROM exact e LEFT JOIN ann a
+       |  ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+       |GROUP BY e.probe_id""".stripMargin
   }
 
   /** Embeddings restricted to the domain where kernel and SQL arithmetic
@@ -2243,6 +2301,75 @@ object SparkEntry {
        |FROM codes ORDER BY adc_dist, vec_id LIMIT $k""".stripMargin
   }
 
+  /** Oracle for `q_ann_ivf`: the "trained geometry not expressible in SQL"
+    * declared-necessity is retired by replaying the ENTIRE training run in
+    * DuckDB. `Similarity.trainIvfCentroids` is deterministic end to end —
+    * sample = the `sampleSize` lowest `(xxhash64(id), id)` rows, init = the
+    * first k sample vectors, `iters` Lloyd rounds with SEQUENTIAL
+    * sample-order accumulation — so the mirror is: the signed long hash via
+    * [[XxHash64Sql.hashLongStages]], `row_number` sample ranks, and per
+    * round (unrolled CTEs) squared-L2 argmin with the kernel's
+    * left-to-right `+` order and earliest-minimum tie-break, then
+    * per-cluster element-wise vector folds in rank order
+    * (`list_reduce([zero] || list(vec ORDER BY rank), …)` — a left fold,
+    * bit-identical to the engine's `sums(c)(j) += v(j)` loop) divided once
+    * by the member count. Empty clusters keep the previous centroid via a
+    * LEFT JOIN. The final corpus assignment repeats the same argmin against
+    * the round-`iters` centroids (the fixture has no null/ragged vectors,
+    * so the kernel's clamp paths stay unexercised on both sides).
+    */
+  private def annIvfOracleSql(k: Int, sampleSize: Int, iters: Int,
+      dim: Int): String = {
+    val hashStages = XxHash64Sql.hashLongStages("vec_id", "__h")
+    val hashCtes = hashStages.zipWithIndex.map { case ((nm, e), i) =>
+      val from = if (i == 0) "emb0" else s"hx${i - 1}"
+      s"hx$i AS (SELECT *, $e AS $nm FROM $from)"
+    }.mkString(",\n")
+    val lastHx = s"hx${hashStages.size - 1}"
+    val zeroVec = (1 to dim).map(_ => "0.0e0").mkString("[", ", ", "]")
+    val distExpr = // left fold from 0 in coordinate order = the kernel loop
+      s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+        "j -> (vec[j] - cvec[j]) * (vec[j] - cvec[j])), (a, b) -> a + b)"
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""pair$i AS (SELECT s.rank, s.vec, c.c, c.cvec FROM samp s CROSS JOIN cent$p c),
+         |dist$i AS (SELECT rank, vec, c, $distExpr AS dist FROM pair$i),
+         |best$i AS (SELECT rank, vec, c FROM (
+         |  SELECT rank, vec, c,
+         |    row_number() OVER (PARTITION BY rank ORDER BY dist ASC, c ASC) AS rn
+         |  FROM dist$i) WHERE rn = 1),
+         |agg$i AS (SELECT c, count(*) AS cnt,
+         |  list_reduce([$zeroVec] || list(vec ORDER BY rank),
+         |    (a, b) -> list_transform(range(1, ${dim + 1}), j -> a[j] + b[j])) AS sv
+         |  FROM best$i GROUP BY c),
+         |cent$i AS (SELECT p.c,
+         |  CASE WHEN a.cnt IS NULL THEN p.cvec
+         |       ELSE list_transform(a.sv, x -> x / a.cnt) END AS cvec
+         |  FROM cent$p p LEFT JOIN agg$i a ON p.c = a.c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb0 AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+       |$hashCtes,
+       |samp0 AS (SELECT vec_id, embedding,
+       |  row_number() OVER (ORDER BY __h, vec_id) AS rank FROM $lastHx),
+       |samp AS (SELECT rank,
+       |  list_transform(embedding, v -> CAST(v AS DOUBLE)) AS vec
+       |  FROM samp0 WHERE rank <= $sampleSize),
+       |cent0 AS (SELECT rank - 1 AS c, vec AS cvec FROM samp WHERE rank <= $k),
+       |$rounds,
+       |fpair AS (SELECT e.vec_id,
+       |  list_transform(e.embedding, v -> CAST(v AS DOUBLE)) AS vec, c.c, c.cvec
+       |  FROM embeddings e CROSS JOIN cent$iters c),
+       |fdist AS (SELECT vec_id, c, $distExpr AS dist FROM fpair),
+       |fbest AS (SELECT vec_id, c FROM (
+       |  SELECT vec_id, c,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
+       |  FROM fdist) WHERE rn = 1)
+       |SELECT CAST(c AS BIGINT) AS centroid_id, count(*) AS n_vectors,
+       |  min(vec_id) AS min_vec_id
+       |FROM fbest GROUP BY c""".stripMargin
+  }
+
   /** Oracle for `q_ivf_assign`: the seeded centroid table embedded as SQL
     * literal constants, each squared-L2 distance written in the kernel's
     * exact left-to-right accumulation order ((v[j]-c[j])² terms, SQL `+`
@@ -2404,6 +2531,11 @@ object SparkEntry {
     "q_ann_nprobe_sweep" -> nprobeSweepOracleSql(k = 10),
 
     "q_minhash_signatures" -> minhashOracleSql(n = 3, k = 64),
+
+    "q_ann_recall" -> annRecallOracleSql(planes = 12, dim = 64),
+
+    "q_ann_ivf" -> annIvfOracleSql(k = 16, sampleSize = 2048, iters = 10,
+      dim = 64),
 
     "q_simhash_signatures" -> simhashOracleSql,
 

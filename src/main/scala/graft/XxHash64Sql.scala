@@ -132,6 +132,25 @@ object XxHash64Sql {
       s" __a5, __a6), $av3 AS h FROM ${prefix}16)"
   }
 
+  /** Spark's `xxhash64` over a BIGINT column — the specialized single-word
+    * XXH64 path (hash of the value's 8 little-endian bytes: acc =
+    * seed+P5+8, one 8-byte round, avalanche; verified against Spark on
+    * positive/negative/boundary longs). Returns (columnName, sqlExpr)
+    * stages like [[hashCtes]]'s CTEs but small enough to inline as chained
+    * SELECT stages; the final stage named `out` is the SIGNED hash, so it
+    * orders and compares exactly like Spark's LongType result.
+    */
+  def hashLongStages(x: String, out: String): Seq[(String, String)] = {
+    val acc0 = (Seed + P5 + 8) % M64
+    Seq(
+      "__xl_w" -> s"(CAST($x AS HUGEINT) % $M + $M) % $M", // two's-complement view
+      "__xl_k" -> mul(rot(mul("__xl_w", P2.toString), 31), P1.toString),
+      "__xl_a" -> add(mul(rot(xor(s"$acc0::HUGEINT", "__xl_k"), 27), P1.toString), P4.toString),
+      "__xl_b" -> mul(xor("__xl_a", s"__xl_a // ${BigInt(1) << 33}"), P2.toString),
+      "__xl_c" -> mul(xor("__xl_b", s"__xl_b // ${BigInt(1) << 29}"), P3.toString),
+      out -> toSignedBigint(xor("__xl_c", s"__xl_c // ${BigInt(1) << 32}")))
+  }
+
   /** Reinterpret an unsigned [0,2^64) HUGEINT expression as its signed
     * 64-bit twin (what Spark's LongType holds).
     */
