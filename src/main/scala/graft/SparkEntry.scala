@@ -448,30 +448,85 @@ object SparkEntry {
     },
 
     // HLL++ approximate distinct (the sketch path for corpus statistics at
-    // 100 TB) side by side with the exact count. Rows-only: sketch
-    // estimates are engine-specific; the spec bounds the relative error.
+    // 100 TB), ACCURACY-CONTRACT ORACLED (r4): the raw estimate is
+    // engine-internal, but the estimate's documented error contract is
+    // not — the query emits the exact count (oracled) plus a boolean
+    // asserting |approx − exact| ≤ 3·rsd·exact (rsd = 0.05 default → 15%),
+    // which the oracle pins to TRUE. HLL register merges are max-based —
+    // order- and partitioning-independent — so the boolean is
+    // deterministic; a sketch-accuracy regression now hash-FAILS instead
+    // of hiding in a rows-only row. Measured margin: worst observed
+    // relative error across sf0.001/0.01/0.1 is 8.6% vs the 15% bound.
     "q_approx_distinct" -> q { (s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey")).as("__ap"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("__ap") - col("exact_orders")).cast(DoubleType) <=
+            col("exact_orders").cast(DoubleType) * lit(0.15))
+            .as("within_3sigma"))
     },
 
     // Approximate percentiles (Greenwald-Khanna sketch, mergeable across
     // partitions — the quantile path when exact sorting of 100 TB is off
-    // the table) side by side with the exact values. Rows-only: sketch
-    // outputs are engine-specific; the spec bounds the rank error.
+    // the table), ACCURACY-CONTRACT ORACLED (r4): exact p50/p95 via the
+    // same bracket interpolation as q_percentiles (bit-exact vs DuckDB
+    // quantile_cont), plus booleans asserting the GK RANK guarantee — the
+    // observed rank interval of each approx value must lie within
+    // 2·eps·n + 2 of the target rank (eps = 1/accuracy = 1e-4; the 2×
+    // covers merge-induced error growth, the +2 discretization). The
+    // oracle pins the booleans to TRUE: the sketch VALUE may drift with
+    // merge order, the rank CONTRACT may not. Measured margin: worst
+    // observed rank distance is 0.95·eps·n (sf0.1).
     "q_approx_percentiles" -> q { (s, dir) =>
-      Tables.lineitem(s, dir)
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      // exact percentiles: identical bracket interpolation to q_percentiles
+      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val ranked = li
+        .withColumn("rn", row_number().over(wOrd).cast(LongType))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val qs = Seq(0.5, 0.95)
+      val bracketAggs = qs.zipWithIndex.flatMap { case (qv, i) =>
+        val h = (col("n") - 1) * lit(qv)
+        Seq(
+          max(when(col("rn") - 1 === floor(h), col("l_extendedprice"))).as(s"__lo$i"),
+          max(when(col("rn") - 1 === ceil(h), col("l_extendedprice"))).as(s"__hi$i"))
+      }
+      val exact = ranked.groupBy(col("l_returnflag"))
+        .agg(bracketAggs.head, (bracketAggs.tail :+ max(col("n")).as("n")): _*)
+        .select(col("l_returnflag") +: col("n") +:
+          qs.zipWithIndex.map { case (qv, i) =>
+            val h = (col("n") - 1) * lit(qv)
+            round(when(floor(h) === ceil(h), col(s"__lo$i"))
+              .otherwise(col(s"__lo$i") * (ceil(h) - h) + col(s"__hi$i") * (h - floor(h))),
+              4).as(s"exact_p${(qv * 100).toInt}")
+          }: _*)
+      // approx values + their observed rank intervals (one extra pass)
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("__ap"))
+        .select(col("l_returnflag"),
+          col("__ap")(0).as("__ap50"), col("__ap")(1).as("__ap95"))
+      val ranks = li.join(broadcast(ap), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(
-          percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.95)), lit(10000)).as("approx_p"),
-          expr("percentile(l_extendedprice, array(0.5, 0.95))").as("exact_p"))
-        .select(col("l_returnflag"),
-          col("approx_p")(0).as("approx_p50"), col("approx_p")(1).as("approx_p95"),
-          col("exact_p")(0).as("exact_p50"), col("exact_p")(1).as("exact_p95"))
+          sum(when(col("l_extendedprice") <= col("__ap50"), 1L).otherwise(0L)).as("__le50"),
+          sum(when(col("l_extendedprice") < col("__ap50"), 1L).otherwise(0L)).as("__lt50"),
+          sum(when(col("l_extendedprice") <= col("__ap95"), 1L).otherwise(0L)).as("__le95"),
+          sum(when(col("l_extendedprice") < col("__ap95"), 1L).otherwise(0L)).as("__lt95"))
+      def rankOk(lt: Column, le: Column, p: Double): Column = {
+        val target = col("n") * lit(p)
+        val slack = col("n") * lit(2.0 / 10000.0) + lit(2.0)
+        (lt + lit(1L) <= target + slack) && (le >= target - slack)
+      }
+      exact.join(ranks, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"), col("n"),
+          rankOk(col("__lt50"), col("__le50"), 0.5).as("p50_rank_ok"),
+          rankOk(col("__lt95"), col("__le95"), 0.95).as("p95_rank_ok"))
     },
 
     // ---- text analysis (LLM-pipeline extensions) ----
@@ -953,9 +1008,11 @@ object SparkEntry {
     },
 
     // MinHash estimation quality: signature-estimated Jaccard vs the exact
-    // n-gram Jaccard on every candidate pair the banding surfaces
-    // (rows-only: the sketch is not SQL-portable; the exact side is oracled
-    // via q_dedup_ngram_jaccard). Error stats use exact integer sums of the
+    // n-gram Jaccard on every candidate pair the banding surfaces —
+    // bit-exact (r4): the DuckDB oracle re-derives the ENTIRE audit
+    // (sample, shingles, xxhash64 signatures, band-slice candidate
+    // generation, estimator, exact Jaccard, fixed-point error sums); see
+    // minhashEstErrorOracleSql. Error stats use exact integer sums of the
     // 4-decimal errors, so the row is bit-deterministic. Audited on the
     // deterministic 50% hash-sample (a 25% sample was measured to surface
     // ZERO candidate pairs at the sf0.01 gate — below 50% the audit is
@@ -2441,6 +2498,72 @@ object SparkEntry {
        |FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id""".stripMargin
   }
 
+  /** Oracle for `q_minhash_est_error`: the full sketch-vs-exact audit made
+    * bit-exact. Every stage is re-derived in DuckDB: the deterministic
+    * key-hash sample, shingling, xxhash64 ([[XxHash64Sql]]), the 64
+    * affine-min signature, LSH banding (candidate = EXACT band-slice
+    * equality — `band_hash` in the engine is only a bucketing pre-filter,
+    * re-checked against the slice, so no murmur3 enters the semantics),
+    * the matching-positions estimator, the rare-shingle exact Jaccard, and
+    * the fixed-point error sums.
+    */
+  private def minhashEstErrorOracleSql(n: Int, bands: Int, rowsPerBand: Int,
+      maxDocFreq: Long, perMyriad: Int): String = {
+    val k = bands * rowsPerBand
+    val seeds = Dedup.permSeeds(k)
+    val minCols = seeds.zipWithIndex.map { case ((a, b), i) =>
+      s"min(${XxHash64Sql.affineOrderable("h", a, b)}) AS __mu$i"
+    }.mkString(",\n    ")
+    val signedCols = (0 until k)
+      .map(i => s"${XxHash64Sql.fromOrderable(s"__mu$i")} AS m$i")
+      .mkString(",\n    ")
+    val bandEq = (0 until bands).map { b =>
+      (0 until rowsPerBand)
+        .map(r => s"a.m${b * rowsPerBand + r} = b.m${b * rowsPerBand + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n      OR ")
+    val nMatch = (0 until k).map(i => s"(a.m$i = b.m$i)::INT").mkString(" + ")
+    val gram = (0 until n).map(j => s"ts[i+$j]").mkString(", ")
+    s"""WITH docs_s AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ((doc_id * 2654435761 + 104729) % 4294967296) % 10000 < $perMyriad),
+       |toks AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS ts FROM docs_s),
+       |shl AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - ${n - 2}),
+       |    i -> concat_ws(' ', $gram))) AS sl
+       |  FROM toks WHERE len(ts) >= $n),
+       |sh AS (SELECT doc_id, unnest(sl) AS s FROM shl),
+       |${XxHash64Sql.hashCtes("sh", "s", "hs")},
+       |mins AS (SELECT doc_id,
+       |    $minCols
+       |  FROM hs GROUP BY doc_id),
+       |sig AS (SELECT doc_id,
+       |    $signedCols
+       |  FROM mins),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    round(($nMatch) / $k.0, 4) AS est_j
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $maxDocFreq),
+       |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM idx GROUP BY 1),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+       |           FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |px AS (
+       |  SELECT cand.id_a, cand.id_b, cand.est_j,
+       |    round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 4) AS j
+       |  FROM cand JOIN common c ON c.id_a = cand.id_a AND c.id_b = cand.id_b
+       |  JOIN sizes sa ON sa.doc_id = cand.id_a
+       |  JOIN sizes sb ON sb.doc_id = cand.id_b),
+       |errs AS (SELECT round(abs(est_j - j), 4) AS err FROM px)
+       |SELECT count(*) AS n_pairs,
+       |  sum(CAST(round(err * 10000) AS BIGINT)) / 10000.0 AS total_abs_err,
+       |  (sum(CAST(round(err * 10000) AS BIGINT)) / 10000.0) / count(*) AS mean_abs_err,
+       |  max(err) AS max_abs_err
+       |FROM errs""".stripMargin
+  }
+
   /** Oracle for `q_bm25_search`: mirrors `TextAnalysis.bm25Search` stepwise
     * with every double literal emitted from the SAME Scala-folded constants
     * the engine uses (shortest round-trip repr; both parsers are correctly
@@ -2531,6 +2654,9 @@ object SparkEntry {
     "q_ann_nprobe_sweep" -> nprobeSweepOracleSql(k = 10),
 
     "q_minhash_signatures" -> minhashOracleSql(n = 3, k = 64),
+
+    "q_minhash_est_error" -> minhashEstErrorOracleSql(n = 3, bands = 16,
+      rowsPerBand = 4, maxDocFreq = 20L, perMyriad = 5000),
 
     "q_ann_recall" -> annRecallOracleSql(planes = 12, dim = 64),
 
@@ -2718,6 +2844,23 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
         |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // accuracy-contract oracles: the exact side is recomputed, the sketch
+    // side's documented error bound is pinned to TRUE (see the query
+    // comments — the booleans are deterministic under the sketch contract)
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS within_3sigma
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_approx_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
+        |  count(*) AS n,
+        |  TRUE AS p50_rank_ok,
+        |  TRUE AS p95_rank_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_events_hourly" ->

@@ -394,6 +394,17 @@ object Dedup {
         b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
 
+  /** The band-`b` slice of a signature as an array column — the value whose
+    * EQUALITY defines a banding collision. `band_hash` is only the 4-byte
+    * bucketing key for that 32-byte value; every candidate join re-checks
+    * the slice itself, so a 32-bit hash accident can never surface a bogus
+    * candidate and the candidate-set semantics contain no engine-internal
+    * hash (which is what lets `q_minhash_est_error` oracle bit-exactly:
+    * DuckDB mirrors slice equality, not murmur3).
+    */
+  private def bandSlice(sig: Column, band: Column, rowsPerBand: Int): Column =
+    slice(sig, band * rowsPerBand + 1, lit(rowsPerBand))
+
   /** Banding over precomputed non-null signatures (composition point). */
   private[graft] def lshCandidatesFromSigs(sigs: DataFrame, bands: Int,
       rowsPerBand: Int, minEstJaccard: Double): DataFrame = {
@@ -403,6 +414,8 @@ object Dedup {
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
+          bandSlice(col("a.sig"), col("a.band"), rowsPerBand) ===
+            bandSlice(col("b.sig"), col("b.band"), rowsPerBand) &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
@@ -689,7 +702,9 @@ object Dedup {
     val vsIndex = cached(banded.as("n")
       .join(index.as("i"),
         col("n.band") === col("i.band") &&
-          col("n.band_hash") === col("i.band_hash"))
+          col("n.band_hash") === col("i.band_hash") &&
+          bandSlice(col("n.sig"), col("n.band"), rowsPerBand) ===
+            bandSlice(col("i.sig"), col("i.band"), rowsPerBand))
       .where(estJaccardExpr(col("n.sig"), col("i.sig"), k) >= minEstJaccard)
       .groupBy(col("n.doc_id").as("doc_id"))
       .agg(min(col("i.doc_id")).as("match_id")))
