@@ -587,6 +587,14 @@ object SparkEntry {
         .limit(50)
     },
 
+    // CCNet-style unigram LM quality score — bit-exact across engines
+    // (deterministic ExactMath ln + 2^32 fixed-point sums); minCount = 3
+    // exercises the out-of-vocabulary scoring path.
+    "q_unigram_logprob" -> q { (s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id",
+        minCount = 3L)
+    },
+
     // Heavy hitters via a count-min sketch whose md5-derived bucket hashes
     // are engine-portable — the SKETCH ESTIMATES themselves are oracled
     // bit-exactly (unlike the xxhash-seeded MinHash/SimHash sketches,
@@ -1600,6 +1608,75 @@ object SparkEntry {
         ORDER BY supp_nation, cust_nation, l_year""")
     },
 
+    // TPC-H Q4 shape (EXISTS decorrelation): the correlated EXISTS must
+    // rewrite to a LEFT SEMI join on o_orderkey — Catalyst's
+    // RewritePredicateSubquery — not a per-row subquery execution. The
+    // date window bounds the probe side before the join.
+    "q_sql_exists" -> q { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority""")
+    },
+
+    // NOT EXISTS twin → LEFT ANTI join after decorrelation: orders in the
+    // window with NO returned line at all.
+    "q_sql_not_exists" -> q { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND NOT EXISTS (SELECT 1 FROM v_lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority""")
+    },
+
+    // Correlated SCALAR aggregate subqueries (×2, same correlation key):
+    // "orders above twice their customer's average" — Catalyst must
+    // decorrelate each into an aggregate-then-join, and with both
+    // subqueries keyed on o_custkey the rewritten plan shares one
+    // customer-grain aggregate. The comparison is exact integer-cents
+    // arithmetic (avg as sum×count cross-multiplication), so the
+    // boundary predicate cannot flip on float merge order.
+    "q_sql_corr_scalar" -> q { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o
+        WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) *
+              (SELECT count(*) FROM v_orders o2
+               WHERE o2.o_custkey = o.o_custkey) >
+              2 * (SELECT sum(CAST(round(o3.o_totalprice * 100) AS BIGINT))
+                   FROM v_orders o3 WHERE o3.o_custkey = o.o_custkey)""")
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    // with an extra ON-clause filter (must stay in the join, not become a
+    // WHERE — the unmatched-customer rows survive with count 0), then a
+    // second aggregation over the first's results.
+    "q_sql_custdist" -> q { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM v_customer c LEFT OUTER JOIN v_orders o
+            ON c.c_custkey = o.o_custkey
+              AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) c_orders
+        GROUP BY c_count""")
+    },
+
     // FULL OUTER join with unmatched keys on BOTH sides (deliberately
     // non-overlapping nation filters): the one outer-join shape the suite
     // didn't cover.
@@ -2564,6 +2641,36 @@ object SparkEntry {
        |FROM errs""".stripMargin
   }
 
+  /** Oracle for `q_unigram_logprob`: mirrors `TextAnalysis.unigramLogProb`
+    * stage by stage — tf, corpus unigram counts, the minCount vocabulary
+    * floor with the 0.5/N out-of-vocabulary probability, ln through the
+    * shared [[graft.functions.ExactMath]] stages, and the 2^32 fixed-point
+    * per-document fold — bit-exact raw doubles.
+    */
+  private def unigramLogProbOracleSql(minCount: Long): String =
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok0 GROUP BY 1, 2),
+       |cnts AS (SELECT token, sum(tf) AS cnt FROM tf GROUP BY 1),
+       |tot AS (SELECT sum(cnt) AS n_total FROM cnts),
+       |lm AS (SELECT * FROM cnts WHERE cnt >= $minCount),
+       |m0 AS (
+       |  SELECT tf.doc_id, tf.tf,
+       |    CASE WHEN lm.cnt IS NOT NULL
+       |      THEN CAST(lm.cnt AS DOUBLE) / CAST(n_total AS DOUBLE)
+       |      ELSE 0.5 / CAST(n_total AS DOUBLE) END AS __p_x
+       |  FROM tf LEFT JOIN lm USING (token) CROSS JOIN tot),
+       |${graft.functions.ExactMath.lnCtes("m0", "__p_x", "__lnp", "ml")},
+       |sc AS (SELECT doc_id,
+       |    sum(CAST(floor(__lnp * 4294967296.0) AS BIGINT) * tf) AS fxs,
+       |    sum(tf) AS n_tokens
+       |  FROM ml GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(sc.fxs AS DOUBLE) / 4294967296.0 / sc.n_tokens AS avg_logprob
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+
   /** Oracle for `q_bm25_search`: mirrors `TextAnalysis.bm25Search` stepwise
     * with every double literal emitted from the SAME Scala-folded constants
     * the engine uses (shortest round-trip repr; both parsers are correctly
@@ -3028,6 +3135,8 @@ object SparkEntry {
       """SELECT t AS token, count(*) AS n
         |FROM (SELECT unnest(regexp_extract_all(text, '\w+')) AS t FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q_unigram_logprob" -> unigramLogProbOracleSql(minCount = 3L),
 
     "q_heavy_hitters" ->
       """WITH toks AS (
@@ -3686,6 +3795,43 @@ object SparkEntry {
         |                       AND TIMESTAMP '1996-12-31 00:00:00') shipping
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_sql_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_sql_not_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_sql_corr_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(round(o.o_totalprice * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey) >
+        |      2 * (SELECT sum(CAST(round(o3.o_totalprice * 100) AS BIGINT))
+        |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin,
+
+    "q_sql_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c LEFT OUTER JOIN orders o
+        |    ON c.c_custkey = o.o_custkey
+        |      AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin,
 
     "q_join_full_outer" ->
       """SELECT nationkey, n_custs, n_supps FROM

@@ -406,6 +406,52 @@ object TextAnalysis {
       .select(col("token"), col("n"), col("token_id"))
   }
 
+  /** CCNet-style unigram language-model quality score: each document's
+    * average per-token log-probability under the corpus's own unigram
+    * distribution (low = rare-token-heavy gibberish, high = fluent common
+    * text — the cheap proxy for LM-perplexity quality filtering when no
+    * external model is available).
+    *
+    * Bit-exact across engines by construction: ln through the shared
+    * deterministic [[graft.functions.ExactMath]] stages (libm-free), and
+    * the per-document sum as exact 2^32 fixed-point integers (order- and
+    * partitioning-independent; safe to ~100 M tokens/doc before the
+    * BIGINT sum could overflow). Tokens below `minCount` corpus
+    * occurrences are out-of-vocabulary and score at p = 0.5/N — the
+    * vocabulary cap is also the scale lever: the frequency table joined
+    * back to the corpus is vocabulary-sized (broadcastable after the
+    * floor), so the corpus itself shuffles only for the (doc, token)
+    * aggregation it already pays in any tf pipeline.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String = "text",
+      minCount: Long = 1L): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    val totals = counts.select(sum(col("cnt")).as("n_total")) // 1-row scalar
+    val lm = counts.where(col("cnt") >= minCount)
+    val px = tf.join(broadcast(lm), Seq("token"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .withColumn("__p_x",
+        when(col("cnt").isNotNull,
+          col("cnt").cast(DoubleType) / col("n_total").cast(DoubleType))
+          .otherwise(lit(0.5) / col("n_total").cast(DoubleType)))
+    val fxScale = 4294967296.0 // 2^32: ~9 kept decimal digits, overflow-safe
+    val scored = graft.functions.ExactMath.lnColumn(px, "__p_x", "__lnp")
+      .withColumn("__fx",
+        floor(col("__lnp") * lit(fxScale)).cast(LongType) * col("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__fx")).as("__fxs"), sum(col("tf")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__fxs").cast(DoubleType) / lit(fxScale) / col("n_tokens"))
+          .as("avg_logprob"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("avg_logprob"))
+  }
+
   /** Full per-document text-statistics projection. Tokenizes once (staged
     * column), then derives every statistic from the attribute.
     */

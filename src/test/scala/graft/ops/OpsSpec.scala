@@ -486,6 +486,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byIdx(0L)(199) == 'Y' && byIdx(1L)(0) == 'z')
   }
 
+  test("unigram logprob: hand-checked values, OOV floor, partition invariance") {
+    val df = Seq(
+      (1L, "a a b"), // N=5: p(a)=3/5, p(b)=1/5
+      (2L, "a c"),   // p(c)=1/5
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(df, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out(1L)._1 == 3L && out(2L)._1 == 2L)
+    assert(out(3L) == ((0L, None)), "empty doc: zero tokens, null score")
+    val exp1 = (2.0 * math.log(0.6) + math.log(0.2)) / 3.0
+    assert(math.abs(out(1L)._2.get - exp1) < 1e-8)
+    // common-token doc scores higher (closer to 0) than rare-token doc
+    assert(out(1L)._2.get > out(2L)._2.get)
+    // OOV floor: minCount=2 drops b and c from the vocab → p = 0.5/N
+    val oov = TextAnalysis.unigramLogProb(df, "doc_id", minCount = 2L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val expOov1 = (2.0 * math.log(0.6) + math.log(0.1)) / 3.0
+    assert(math.abs(oov(1L).get - expOov1) < 1e-8)
+    // bit-identical across partitionings (fixed-point sums are order-free)
+    val p1 = TextAnalysis.unigramLogProb(df.repartition(7), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(p1(1L).get == out(1L)._2.get && p1(2L).get == out(2L)._2.get)
+  }
+
   test("term weights: tf, corpus df, exact tf/df score") {
     val df = Seq(
       ("s1", "spark spark rare1"),
