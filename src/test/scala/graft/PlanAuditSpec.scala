@@ -147,6 +147,32 @@ class PlanAuditSpec extends SparkSpec {
       s"ORDER BY+LIMIT fell back to a global sort:\n$p")
   }
 
+  test("q_sql_exists / q_sql_not_exists: subqueries decorrelate to semi/anti joins") {
+    val pe = plan("q_sql_exists")
+    assert(pe.contains("LeftSemi"), s"EXISTS did not rewrite to a semi join:\n$pe")
+    val pn = plan("q_sql_not_exists")
+    assert(pn.contains("LeftAnti"), s"NOT EXISTS did not rewrite to an anti join:\n$pn")
+    // neither may fall back to a per-row subquery or nested loop
+    assert(!pe.contains("NestedLoop") && !pn.contains("NestedLoop"),
+      "subquery fell back to a nested-loop join")
+  }
+
+  test("q_sql_corr_scalar: scalar subqueries decorrelate to aggregate+hash joins") {
+    val p = plan("q_sql_corr_scalar")
+    // each correlated scalar must become a customer-grain aggregate hash-
+    // joined back (Catalyst keeps the count/sum subplans separate — the
+    // count leg is LeftOuter, the sum leg Inner — but both must be
+    // broadcast/shuffle HASH joins over grouped aggregates, never a
+    // per-outer-row re-execution or nested loop)
+    assert(!p.contains("NestedLoop"), s"correlated scalar fell back to a nested loop:\n$p")
+    val hashJoins = "(?m)HashJoin".r.findAllIn(p).size
+    assert(hashJoins >= 2, s"expected 2 decorrelated hash joins:\n$p")
+    // one scan per consumer (main + 2 subquery legs); `Location:` appears
+    // once per scan node in the details section
+    val scans = "(?m)Location: InMemoryFileIndex".r.findAllIn(p).size
+    assert(scans <= 3, s"orders scanned more than once per consumer:\n$p")
+  }
+
   test("q_keyword_search: postings scan filtered before aggregation (no full-corpus join)") {
     val p = plan("q_keyword_search")
     // the isin predicate must sit below the aggregation: the only rows that
