@@ -160,7 +160,13 @@ object Bench {
     * SCALING.md substantiates (judge-selected set, r3 verdict item 1).
     */
   private val scaleSuite = Seq("q_dedup_ngram_jaccard", "q_dedup_canonical",
-    "q_ann_ivfpq", "q_asof_bars", "q_pack_sequences")
+    "q_ann_ivfpq", "q_asof_bars", "q_pack_sequences",
+    // the r3 "weak by ratio" set (correct plans, >2x oracle at sf0.1):
+    // their ratios are per-job/floor artifacts, and the honest way to
+    // show that is growth ≤ linear at 10x with stable plans — measured
+    // here rather than asserted
+    "q_vwap", "q_stats_moments", "q_triangle_count",
+    "q_text_ngram_repetition")
 
   private def runScaleStudy(spark: SparkSession, dirs: Seq[String]): Unit = {
     def timeOnce(name: String, dir: String): Double = {

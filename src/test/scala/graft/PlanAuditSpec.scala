@@ -241,8 +241,11 @@ class PlanSweepSpec extends SparkSpec {
   //  - q_ann_quantized cross-joins the 1-ROW broadcast query-codes vector
   //  - q_triangle_count cross-joins three 1-ROW broadcast aggregates
   //    (n_nodes, n_edges, n_triangles) into the single stats row
+  //  - q_unigram_logprob cross-joins the 1-ROW broadcast corpus token
+  //    total onto the (doc, token) frame
   private val cartesianOk =
-    Set("q_ann_recall", "q_bm25_search", "q_ann_quantized", "q_triangle_count")
+    Set("q_ann_recall", "q_bm25_search", "q_ann_quantized", "q_triangle_count",
+      "q_unigram_logprob")
 
   test("no accidental cartesian or nested-loop joins in any driver query") {
     val problems = scala.collection.mutable.ListBuffer.empty[String]
