@@ -1006,6 +1006,23 @@ object SparkEntry {
         n = 3, minJaccard = 0.5, maxDocFreq = 20L)
     },
 
+    // Substring-level duplicated spans (Lee et al. 2022 at k-token window
+    // granularity): per-doc duplicated-token coverage from corpus-wide
+    // repeated 8-token windows, interval-union merged. Bit-exact: window
+    // identity is an md5 digest both engines compute from the same token
+    // stream, and the coverage fraction is integer permyriad arithmetic.
+    "q_dedup_spans" -> q { (s, dir) =>
+      Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 8)
+    },
+
+    // The filter the span stats exist for: keep documents whose duplicated
+    // coverage is at most 20% of their tokens.
+    "q_dedup_span_filter" -> q { (s, dir) =>
+      Dedup.dropSpanDuplicated(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, maxPermyriad = 2000L)
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+    },
+
     // Duplicate clusters: near-dup pairs (n-gram Jaccard) grouped into
     // connected components by iterative min-label propagation; oracled
     // against a DuckDB recursive-CTE transitive closure.
@@ -1964,6 +1981,46 @@ object SparkEntry {
   private val lineitemCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
     "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
     "l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** Shared CTE chain for the duplicated-span stats (DuckDB mirror of
+    * [[graft.ops.Dedup.duplicatedSpans]]): same `\w+` token stream, same
+    * md5 window digests, same interval-union running-max sweep, integer
+    * permyriad. `spans` exposes the full per-doc stats frame.
+    */
+  private def duplicatedSpansCtes(k: Int): String = {
+    val wtext = (Seq("tok") ++ (1 until k).map(i => s"lead(tok,$i) OVER w"))
+      .mkString(" || ' ' || ")
+    s"""d AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS t FROM documents),
+      |tok AS (SELECT doc_id, unnest(t) AS tok,
+      |          unnest(generate_series(0, len(t)-1)) AS pos FROM d),
+      |win AS (
+      |  SELECT doc_id, pos AS strt, md5($wtext) AS wkey
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(tok,${k - 1}) OVER w IS NOT NULL),
+      |dup AS (
+      |  SELECT doc_id, strt FROM (
+      |    SELECT doc_id, strt, count(*) OVER (PARTITION BY wkey) AS n_occ FROM win)
+      |  WHERE n_occ >= 2),
+      |cov AS (
+      |  SELECT doc_id, count(*) AS dup_windows,
+      |    sum(greatest(0, strt + $k - greatest(coalesce(pe, strt), strt))) AS covered
+      |  FROM (SELECT doc_id, strt,
+      |          max(strt + $k) OVER (PARTITION BY doc_id ORDER BY strt
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+      |        FROM dup)
+      |  GROUP BY doc_id),
+      |nt AS (SELECT doc_id,
+      |         CAST(len(regexp_extract_all(text,'\\w+')) AS BIGINT) AS n_tokens
+      |       FROM documents),
+      |spans AS (
+      |  SELECT nt.doc_id, nt.n_tokens,
+      |    CAST(coalesce(dup_windows, 0) AS BIGINT) AS dup_windows,
+      |    CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
+      |    CAST(CASE WHEN n_tokens > 0
+      |              THEN floor(coalesce(covered, 0) * 10000 / n_tokens)
+      |              ELSE 0 END AS BIGINT) AS dup_permyriad
+      |  FROM nt LEFT JOIN cov USING (doc_id))""".stripMargin
+  }
 
   /** Shared CTE chain computing the n-gram-Jaccard near-dup pairs (the
     * DuckDB mirror of [[graft.ops.Dedup.jaccardPairs]]); `pairs` exposes
@@ -3602,6 +3659,16 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" ->
       s"""WITH $jaccardPairsCtes
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs""".stripMargin,
+
+    "q_dedup_spans" ->
+      s"""WITH ${duplicatedSpansCtes(8)}
+        |SELECT * FROM spans""".stripMargin,
+
+    "q_dedup_span_filter" ->
+      s"""WITH ${duplicatedSpansCtes(8)}
+        |SELECT d.doc_id, CAST(length(d.text) AS INT) AS text_len
+        |FROM documents d JOIN spans s ON d.doc_id = s.doc_id
+        |WHERE s.dup_permyriad <= 2000""".stripMargin,
 
     "q_dedup_groups" ->
       s"""WITH RECURSIVE $jaccardPairsCtes,

@@ -770,4 +770,103 @@ object Dedup {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round(col("cosine"), 4).as("cosine"))
   }
+
+  /** Exploded k-token window occurrences WITH positions: one row per
+    * (doc, start offset), keyed by the md5 digest of the window text.
+    * Same codegen'd posexplode + `lead` assembly as [[explodedShingles]]
+    * (array-lambda shingling evaluates interpreted — measured 14× slower)
+    * but keeps the token offset and does NOT dedup: substring-level
+    * dedup needs every occurrence, not the distinct shingle set. The
+    * digest is computed map-side, so the shuffle that follows carries
+    * (16 B digest, id, int) — never the window text.
+    */
+  private def explodedWindows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leadCols = (1 until k).map(i => lead(col("tok"), i).over(w).as(s"__t$i"))
+    toks
+      .select((Seq(col("doc_id"), col("pos"), col("tok")) ++ leadCols): _*)
+      .where(col(s"__t${k - 1}").isNotNull)
+      .select(col("doc_id"), col("pos").as("start"),
+        md5(concat_ws(" ", (col("tok") +: (1 until k).map(i => col(s"__t$i"))): _*))
+          .as("wkey"))
+  }
+
+  /** Substring-level duplicated-span statistics, the k-token-granular
+    * form of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * k-token window whose exact text occurs at least `minOccurrences`
+    * times corpus-wide marks its [start, start+k) token range as
+    * duplicated; per document, the union of marked ranges yields the
+    * duplicated-token count — the signal used to strip or down-weight
+    * documents dominated by boilerplate the EXACT-dup pass cannot see
+    * (licence headers, navigation chrome, quoted reply chains).
+    *
+    * Returns one row per input document:
+    * (doc_id, n_tokens, dup_windows, covered_tokens, dup_permyriad)
+    * where dup_permyriad = floor(10000 · covered / n_tokens) — integer
+    * arithmetic, no float-tie exposure (0 for docs shorter than k).
+    *
+    * Scale design (100 TB):
+    *  - Window text never shuffles: occurrences travel as (digest 16 B,
+    *    doc id, int offset). A 50-token window over a trillion-token
+    *    corpus is ~20 B/row shuffled, not ~300 B of text.
+    *  - Corpus-wide occurrence counting is the same one-shuffle window
+    *    count as the Jaccard df cap ([[jaccardPairsFromExploded]]): a
+    *    count over the digest partition, whose WindowExec row buffer
+    *    SPILLS on a viral window (a collect_list would not) — the
+    *    boilerplate window that motivates the operator is exactly the
+    *    hot key the formulation must survive.
+    *  - Span-union coverage is a prefix running-max inside the doc
+    *    partition (one shuffle by doc id) — linear, no interval
+    *    materialization.
+    *  - Three shuffles total, all narrow columns; document bodies are
+    *    read once at the scan and never move.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, minOccurrences: Long = 2L): DataFrame = {
+    val occ = explodedWindows(docs, idCol, textCol, k)
+    // corpus-wide occurrence count inside the digest partition (spillable)
+    val dupOcc = occ
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("wkey"))))
+      .where(col("n_occ") >= minOccurrences)
+    // interval-union sweep: tokens newly covered by this window = the part
+    // of [start, start+k) past the running max end of all earlier windows
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevEnd = max(col("start") + lit(k)).over(wPrev)
+    val cov = dupOcc
+      .withColumn("new_cov",
+        greatest(lit(0),
+          col("start") + lit(k) - greatest(coalesce(prevEnd, col("start")), col("start"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_windows"),
+        sum(col("new_cov")).cast(LongType).as("covered_tokens"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") > 0,
+          floor(coalesce(col("covered_tokens"), lit(0L)) * lit(10000L) / col("n_tokens")))
+          .otherwise(lit(0L)).cast(LongType).as("dup_permyriad"))
+  }
+
+  /** Keep documents whose duplicated-span fraction is at most
+    * `maxPermyriad` (10000 = keep everything). The coverage side of the
+    * semi-join is the tiny per-doc stats frame, never the bodies.
+    */
+  def dropSpanDuplicated(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, minOccurrences: Long = 2L, maxPermyriad: Long = 2000L): DataFrame = {
+    val keep = duplicatedSpans(docs, idCol, textCol, k, minOccurrences)
+      .where(col("dup_permyriad") <= maxPermyriad)
+      .select(col("doc_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
 }
