@@ -1121,6 +1121,23 @@ object SparkEntry {
         minCosine = 0.95)
     },
 
+    // SemDeDup over the near-dup fixture: coarse-quantizer clustering
+    // (fixed seeded centroids — the plan-time-literal pattern of
+    // q_ivf_assign, so the oracle replays the argmin bit-exactly), then
+    // within-cluster cosine with greedy lowest-id keep. Every planted
+    // duplicate (cosine 1, same cluster by identical distances) must be
+    // dropped; natural pairs (max ~0.6) must all survive. Domain-restricted
+    // to exactly-64-dim non-null vectors like q_ivf_assign so the SQL
+    // distance arithmetic is defined identically.
+    "q_semantic_dedup" -> q { (s, dir) =>
+      val emb = doubledEmbeddings(s, dir)
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64 &&
+          !exists(col("embedding"), _.isNull))
+      Dedup.semanticDedup(emb, "vec_id", "embedding",
+        Similarity.IvfIndex(Similarity.fixedCentroids(k = 8, dim = 64), 64),
+        minCosine = 0.95)
+    },
+
     // Multiprobe-LSH recall against exact nearest-neighbor ground truth —
     // bit-exact: the seeded hyperplanes embed as SQL literals
     // (annRecallOracleSql), the multiprobe set is a bucket-xor membership
@@ -2592,6 +2609,50 @@ object SparkEntry {
        |FROM dd""".stripMargin
   }
 
+  /** Oracle for `q_semantic_dedup` (DuckDB mirror of
+    * [[graft.ops.Dedup.semanticDedup]]): the doubled near-dup fixture,
+    * the same fixed-centroid argmin as [[ivfAssignOracleSql]] (distances
+    * in kernel accumulation order, earliest-minimum tie-break), then the
+    * within-cluster pair join with greedy lowest-id keep.
+    */
+  private def semanticDedupOracleSql(k: Int, dim: Int, minCosine: Double): String = {
+    val cents = Similarity.fixedCentroids(k, dim)
+    val dcols = (0 until k).map { c =>
+      val d = (0 until dim).map { j =>
+        val e = s"(v[${j + 1}] - (${cents(c * dim + j)}))"
+        s"$e * $e"
+      }.mkString(" + ")
+      s"($d) AS d$c"
+    }.mkString(",\n    ")
+    val cases = (0 until k - 1).map { c =>
+      val conds = (c + 1 until k).map(o => s"d$c <= d$o").mkString(" AND ")
+      s"WHEN $conds THEN $c"
+    }.mkString("\n    ")
+    s"""WITH u AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+       |f AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM u
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |dd AS (
+       |  SELECT vec_id, v,
+       |    $dcols
+       |  FROM f),
+       |asg AS (
+       |  SELECT vec_id, v,
+       |    CAST(CASE $cases ELSE ${k - 1} END AS BIGINT) AS centroid_id
+       |  FROM dd),
+       |drp AS (
+       |  SELECT DISTINCT y.vec_id, TRUE AS is_dropped
+       |  FROM asg x JOIN asg y
+       |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+       |  WHERE list_cosine_similarity(x.v, y.v) >= $minCosine)
+       |SELECT a.vec_id, a.centroid_id,
+       |  coalesce(d.is_dropped, FALSE) AS is_dropped
+       |FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id""".stripMargin
+  }
+
   /** Oracle for `q_minhash_signatures`: the "engine-internal xxhash"
     * declared-necessity is retired by re-deriving Spark's xxhash64 inside
     * DuckDB ([[XxHash64Sql]]). Tokens → n-gram shingles mirror
@@ -2803,6 +2864,9 @@ object SparkEntry {
     "q_ann_lsh_buckets" -> lshBucketOracleSql(planes = 12, dim = 64),
 
     "q_ivf_assign" -> ivfAssignOracleSql(k = 8, dim = 64),
+
+    "q_semantic_dedup" -> semanticDedupOracleSql(k = 8, dim = 64,
+      minCosine = 0.95),
 
     "q_pq_encode" -> pqEncodeOracleSql(m = 8, kSub = 16, dSub = 8),
 

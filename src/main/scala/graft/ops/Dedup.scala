@@ -869,4 +869,40 @@ object Dedup {
       .select(col("doc_id").as(idCol))
     docs.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * corpus with a coarse quantizer, compute pairwise cosine ONLY within
+    * each cluster, and drop every vector that has a lower-id neighbor at
+    * cosine ≥ `minCosine` (greedy lowest-id representative — the same
+    * deterministic keep rule as [[keepCanonical]]).
+    *
+    * Returns (vec_id, centroid_id, is_dropped) for every input vector.
+    *
+    * Scale design (100 TB): the quantizer bounds the pair space — cost is
+    * Σ cluster², never corpus². The paper's operating point holds that
+    * bound by growing k with the corpus (cluster size ≈ corpus/k stays
+    * constant, so the join is linear in corpus × cluster size); the
+    * cluster join itself is an ordinary shuffled equi-join on a small int
+    * key that AQE skew-splits if the quantizer leaves a hot cluster. The
+    * scoring kernel is the fused codegen'd `cosine_f32`.
+    */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+      index: graft.ops.Similarity.IvfIndex, minCosine: Double = 0.95): DataFrame = {
+    import graft.functions.VectorFunctions
+    val assigned = Similarity.ivfAssign(vecs, idCol, vecCol, index)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        col("centroid_id").cast(LongType).as("centroid_id"))
+    val dropped = assigned.as("x")
+      .join(assigned.as("y"),
+        col("x.centroid_id") === col("y.centroid_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .where(VectorFunctions.cosineF32(col("x.v"), col("y.v")) >= minCosine)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.select(col("vec_id"), col("centroid_id"))
+      .join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("centroid_id"),
+        coalesce(col("__dropped"), lit(false)).as("is_dropped"))
+  }
 }
