@@ -951,6 +951,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     },
 
+    // Target-mixture selection: rebalance the lang-skewed corpus (en
+    // dominates) toward a declared output mixture with a 250-row budget.
+    // Rates are DERIVED in-plan from the corpus's own counts; 'fr' at
+    // 4000 pm is deliberately under-supplied so the 100% rate cap binds.
+    // Row-level oracle: DuckDB re-derives the integer rate math and the
+    // portable hash and must select the exact same rows.
+    "q_mixture_select" -> q { (s, dir) =>
+      graft.ops.Sampling.mixtureSelect(Tables.documents(s, dir), "doc_id", "lang",
+        targets = Seq("en" -> 2000, "de" -> 2000, "es" -> 1000,
+          "fr" -> 4000, "zh" -> 1000),
+        budget = 250L)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    },
+
     // Per-domain quota: keep the 15 longest documents per source (unique
     // ordering via doc_id tiebreak; 15 < the ~25 docs/source at sf0.01 so
     // the cut binds at the correctness-gate scale). Plans with
@@ -3382,6 +3396,18 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE ((doc_id * 2654435761 + 104729) % 4294967296) % 10000 <
         |  CASE WHEN lang = 'en' THEN 1000 ELSE 8000 END""".stripMargin,
+
+    "q_mixture_select" ->
+      """WITH t(dom, pm) AS (VALUES ('en', 2000), ('de', 2000), ('es', 1000),
+        |                           ('fr', 4000), ('zh', 1000)),
+        |cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |r AS (SELECT lang,
+        |        CAST(least(10000, floor(floor(pm * 250 / 10000) * 10000 / n))
+        |             AS BIGINT) AS rate_pm
+        |      FROM cnt JOIN t ON lang = dom)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE ((doc_id * 2654435761 + 104729) % 4294967296) % 10000 < rate_pm""".stripMargin,
 
     "q_domain_quota" ->
       """SELECT doc_id, source, n_chars FROM (

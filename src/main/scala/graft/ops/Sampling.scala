@@ -156,4 +156,49 @@ object Sampling {
       .withColumn("bin_offset", col("__start") - col("pack_bin") * budget)
       .drop("__start")
   }
+
+  /** Target-mixture selection (the Pile / DoReMi domain-weighting step):
+    * given per-domain target weights (permyriad of the OUTPUT mixture)
+    * and a total row budget, derive each domain's sampling rate from the
+    * corpus's OWN per-domain counts and select rows deterministically by
+    * key hash. This is [[stratifiedSample]] with the rates computed
+    * in-plan instead of supplied: the mixture spec stays fixed while the
+    * corpus grows, and each run re-derives the rates that hit it.
+    *
+    * Semantics: domains absent from `targets` are dropped (a mixture is a
+    * whitelist); a domain too small to meet its quota is taken whole
+    * (rate capped at 100%) — compare achieved counts to targets downstream
+    * to detect under-supply. Selection is rate-based, so achieved counts
+    * track `budget` proportionally rather than exactly (exact-count cuts
+    * need a global order — that is [[quotaCap]]).
+    *
+    * Scale design: pass 1 is a partial-aggregated per-domain count (rows =
+    * #domains, tiny); pass 2 broadcast-joins the derived rates back and
+    * filters map-side on the portable hash — the corpus itself never
+    * shuffles. All rate arithmetic is integer-valued floor math, exact in
+    * IEEE doubles for budgets below ~9·10^11 rows (needed × 10^4 < 2^53),
+    * so any engine derives bit-identical rates.
+    */
+  def mixtureSelect(df: DataFrame, keyCol: String, domainCol: String,
+      targets: Seq[(String, Int)], budget: Long): DataFrame = {
+    require(targets.nonEmpty, "mixture needs at least one target domain")
+    require(targets.forall(_._2 > 0) && targets.map(_._2).sum <= 10000,
+      "target weights must be positive permyriad summing to at most 10000")
+    require(budget > 0 && budget < 900000000000L,
+      "budget must be positive and below 9e11 (exact-arithmetic bound)")
+    val session = df.sparkSession
+    import session.implicits._
+    val tdf = targets.toDF("__dom", "__target_pm")
+    val rates = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+      .join(tdf, Seq("__dom"))
+      .select(col("__dom"),
+        least(lit(10000L),
+          floor(floor(col("__target_pm") * lit(budget) / lit(10000L))
+            * lit(10000L) / col("__n")))
+          .cast("long").as("__rate_pm"))
+    df.join(broadcast(rates), df(domainCol) === rates("__dom"))
+      .where(hashBucket(col(keyCol)) < col("__rate_pm"))
+      .drop("__dom", "__rate_pm")
+  }
 }

@@ -128,4 +128,37 @@ class SamplingSpec extends SparkSpec {
     assert(v == Map("alpha" -> ((6L, 0L)), "beta" -> ((6L, 1L)),
       "gamma" -> ((3L, 2L))))
   }
+
+  test("mixtureSelect: achieved counts track targets, whitelist drops unnamed domains") {
+    // corpus: en 400, de 400, fr 1200; target 50/50 en/de at budget 400
+    val out = Sampling.mixtureSelect(docs, "doc_id", "lang",
+      targets = Seq("en" -> 5000, "de" -> 5000), budget = 400L)
+    val byLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("fr")) // not in the mixture → dropped
+    // needed 200 of 400 each → rate 5000 pm; binomial 4-sigma ≈ 40
+    assert(byLang("en") > 160 && byLang("en") < 240, s"en: ${byLang("en")}")
+    assert(byLang("de") > 160 && byLang("de") < 240, s"de: ${byLang("de")}")
+  }
+
+  test("mixtureSelect: under-supplied domain is taken whole (rate cap)") {
+    // en needs 5000pm*3000/10000 = 1500 rows but only 400 exist → all kept
+    val out = Sampling.mixtureSelect(docs, "doc_id", "lang",
+      targets = Seq("en" -> 5000, "fr" -> 5000), budget = 3000L)
+    val byLang = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") === 400L)
+    // fr has 1200 for a 1500 quota → also capped whole
+    assert(byLang("fr") === 1200L)
+  }
+
+  test("mixtureSelect: selection is key-stable under repartitioning") {
+    val a = Sampling.mixtureSelect(docs, "doc_id", "lang",
+      targets = Seq("en" -> 3000, "de" -> 7000), budget = 300L)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Sampling.mixtureSelect(docs.repartition(11), "doc_id", "lang",
+      targets = Seq("en" -> 3000, "de" -> 7000), budget = 300L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
 }
