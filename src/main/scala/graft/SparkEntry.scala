@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.ExactNum.exactSum
 import graft.etl.{StockBars, StockEtl}
-import graft.ops.{AsOfJoin, Dedup, Layout, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Bpe, Dedup, Layout, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 plus the LLM-data-pipeline extensions, each with an
@@ -593,6 +593,24 @@ object SparkEntry {
     "q_unigram_logprob" -> q { (s, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id",
         minCount = 3L)
+    },
+
+    // BPE tokenizer training (Sennrich et al. 2016): the first 12 learned
+    // merges over the corpus word table — max-frequency pair per round,
+    // lexicographic tie-break, greedy-left overlap. The oracle replays all
+    // 12 rounds as unrolled DuckDB CTEs (argmax included) and must land on
+    // the identical merge table — the same replay pattern that oracled the
+    // Lloyd quantizer training.
+    "q_bpe_merges" -> q { (s, dir) =>
+      Bpe.trainMerges(Tables.documents(s, dir), "text", numMerges = 12)
+    },
+
+    // Applying a FIXED merge table: per-document word and BPE-subtoken
+    // budgets under a 3-merge tokenizer whose chain (a,b)→(l,e)→(ab,le)
+    // compounds inside 'table'. Bit-exact: integer counts only.
+    "q_bpe_segment" -> q { (s, dir) =>
+      Bpe.segmentCounts(Tables.documents(s, dir), "doc_id", "text",
+        merges = Seq(("a", "b"), ("l", "e"), ("ab", "le")))
     },
 
     // Heavy hitters via a count-min sketch whose md5-derived bucket hashes
@@ -2623,6 +2641,81 @@ object SparkEntry {
        |FROM dd""".stripMargin
   }
 
+  // -------------------------------------------------------------- BPE oracle
+
+  /** One unrolled BPE merge round as DuckDB CTEs (mirror of
+    * [[graft.ops.Bpe]]'s round: pair marking with `lead`, greedy-left
+    * overlap resolution by match-run parity, ordered list rebuild).
+    * `top` supplies the round's merge pair CTE `t<i>` — either the argmax
+    * of this round's pair frequencies (training) or a literal (apply).
+    */
+  private def bpeRoundCtes(i: Int, top: String): String =
+    s"""e$i AS MATERIALIZED (SELECT word, wcount, unnest(syms) AS sym,
+       |         unnest(generate_series(0, len(syms)-1)) AS pos FROM w${i - 1}),
+       |p$i AS MATERIALIZED (SELECT word, wcount, pos, sym,
+       |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM e$i),
+       |$top,
+       |mm$i AS MATERIALIZED (SELECT p.word, p.wcount, p.pos, p.sym, p.nxt,
+       |          (p.nxt IS NOT NULL AND p.sym = t.l AND p.nxt = t.r) AS m
+       |        FROM p$i p CROSS JOIN t$i t),
+       |g$i AS MATERIALIZED (SELECT *, sum(CASE WHEN m THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY word ORDER BY pos) AS cm FROM mm$i),
+       |k$i AS MATERIALIZED (SELECT *, CASE WHEN m THEN pos - cm END AS grp FROM g$i),
+       |kb$i AS MATERIALIZED (SELECT *, min(CASE WHEN m THEN pos END)
+       |           OVER (PARTITION BY word, grp) AS gmin FROM k$i),
+       |kc$i AS MATERIALIZED (SELECT *, (m AND (pos - gmin) % 2 = 0) AS keepm FROM kb$i),
+       |kd$i AS MATERIALIZED (SELECT *, coalesce(lag(keepm)
+       |           OVER (PARTITION BY word ORDER BY pos), FALSE) AS absorbed FROM kc$i),
+       |w$i AS MATERIALIZED (SELECT word, wcount,
+       |          list(CASE WHEN keepm THEN sym || nxt ELSE sym END ORDER BY pos) AS syms
+       |        FROM kd$i WHERE NOT absorbed GROUP BY word, wcount)""".stripMargin
+
+  /** The corpus word-count table with character-level seed segmentation
+    * (mirror of [[graft.ops.Bpe.wordTable]]). */
+  private val bpeWordCte: String =
+    """w0 AS MATERIALIZED (SELECT word, wcount,
+      |  list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
+      |FROM (SELECT word, CAST(count(*) AS BIGINT) AS wcount FROM
+      |  (SELECT unnest(regexp_extract_all(text, '\w+')) AS word FROM documents)
+      |  GROUP BY 1))""".stripMargin
+
+  /** Oracle for `q_bpe_merges`: replay all `m` training rounds — each
+    * round's winning pair is the max-frequency (lexicographic tie-break)
+    * argmax over the CURRENT segmentation, exactly the engine's loop.
+    */
+  private def bpeMergesOracleSql(m: Int): String = {
+    def top(i: Int) =
+      s"""f$i AS MATERIALIZED (SELECT sym AS l, nxt AS r, CAST(sum(wcount) AS BIGINT) AS freq
+         |        FROM p$i WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |t$i AS MATERIALIZED (SELECT l, r, freq FROM f$i ORDER BY freq DESC, l, r LIMIT 1)""".stripMargin
+    val ctes = bpeWordCte +: (1 to m).map(i => bpeRoundCtes(i, top(i)))
+    val sel = (1 to m)
+      .map(i => s"SELECT CAST($i AS INT) AS merge_rank, l AS lhs, r AS rhs, freq FROM t$i")
+      .mkString("\nUNION ALL ")
+    s"WITH ${ctes.mkString(",\n")}\n$sel"
+  }
+
+  /** Oracle for `q_bpe_segment`: replay a FIXED merge list (literal pair
+    * per round), then join the final per-word subtoken counts back to the
+    * document word stream.
+    */
+  private def bpeSegmentOracleSql(merges: Seq[(String, String)]): String = {
+    def top(i: Int, l: String, r: String) =
+      s"t$i AS MATERIALIZED (SELECT '$l' AS l, '$r' AS r)"
+    val rounds = merges.zipWithIndex.map { case ((l, r), ix) =>
+      bpeRoundCtes(ix + 1, top(ix + 1, l, r))
+    }
+    val last = merges.size
+    s"""WITH ${(bpeWordCte +: rounds).mkString(",\n")},
+       |seg AS MATERIALIZED (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub FROM w$last)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\w+')) AS word
+       |      FROM documents) dw
+       |JOIN seg USING (word)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   /** Oracle for `q_semantic_dedup` (DuckDB mirror of
     * [[graft.ops.Dedup.semanticDedup]]): the doubled near-dup fixture,
     * the same fixed-centroid argmin as [[ivfAssignOracleSql]] (distances
@@ -3272,6 +3365,11 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
     "q_unigram_logprob" -> unigramLogProbOracleSql(minCount = 3L),
+
+    "q_bpe_merges" -> bpeMergesOracleSql(m = 12),
+
+    "q_bpe_segment" -> bpeSegmentOracleSql(
+      Seq(("a", "b"), ("l", "e"), ("ab", "le"))),
 
     "q_heavy_hitters" ->
       """WITH toks AS (
