@@ -166,7 +166,12 @@ object Bench {
     // show that is growth ≤ linear at 10x with stable plans — measured
     // here rather than asserted
     "q_vwap", "q_stats_moments", "q_triangle_count",
-    "q_text_ngram_repetition")
+    "q_text_ngram_repetition",
+    // round-4 additions: substring-span dedup, SemDeDup, BPE training,
+    // mixture selection — each claims a specific scale shape (narrow-key
+    // shuffles / cluster-bounded pairs / vocabulary-not-corpus iteration /
+    // map-side-only selection) that the growth column must back
+    "q_dedup_spans", "q_semantic_dedup", "q_bpe_merges", "q_mixture_select")
 
   private def runScaleStudy(spark: SparkSession, dirs: Seq[String]): Unit = {
     def timeOnce(name: String, dir: String): Double = {
