@@ -1674,6 +1674,122 @@ object SparkEntry {
         ORDER BY supp_nation, cust_nation, l_year""")
     },
 
+    // TPC-H Q6 (forecasting revenue change): the pure scan-aggregate — all
+    // three predicates and both projected columns must reach the parquet
+    // scan (PushedFilters + 3-column ReadSchema); any plan with a
+    // post-scan filter on a wider read is wrong.
+    "q_sql_tpch_q6" -> q { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT sum(round(l_extendedprice * l_discount * 10000)) / 10000.0
+            AS revenue,
+          count(*) AS n_lines
+        FROM v_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    },
+
+    // TPC-H Q8 (national market share): 8-table join, then a nested
+    // aggregation computing a conditional-sum ratio per year. Volumes fold
+    // to exact integer ten-thousandths BEFORE summing, so both engines'
+    // double sums are exact integers and the ratio is bit-identical.
+    "q_sql_tpch_q8" -> q { (s, dir) =>
+      Tables.part(s, dir).createOrReplaceTempView("v_part")
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+      Tables.region(s, dir).createOrReplaceTempView("v_region")
+      s.sql("""
+        SELECT o_year,
+          round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume_fp
+                              ELSE 0 END) AS DOUBLE)
+                / sum(volume_fp), 4) AS mkt_share
+        FROM (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            round(l_extendedprice * (1 - l_discount) * 10000) AS volume_fp,
+            n2.n_name AS nation
+          FROM v_part
+          JOIN v_lineitem ON p_partkey = l_partkey
+          JOIN v_orders ON l_orderkey = o_orderkey
+          JOIN v_customer ON o_custkey = c_custkey
+          JOIN v_nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN v_region ON n1.n_regionkey = r_regionkey
+          JOIN v_supplier ON l_suppkey = s_suppkey
+          JOIN v_nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+            AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                AND TIMESTAMP '1997-12-31 00:00:00') all_nations
+        GROUP BY o_year
+        ORDER BY o_year""")
+    },
+
+    // TPC-H Q14 (promotion effect): conditional aggregation over a
+    // broadcast part join — one output row, ratio in exact fixed point.
+    "q_sql_tpch_q14" -> q { (s, dir) =>
+      Tables.part(s, dir).createOrReplaceTempView("v_part")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT round(100.0 *
+            CAST(sum(CASE WHEN p_type = 'PROMO'
+                          THEN round(l_extendedprice * (1 - l_discount) * 10000)
+                          ELSE 0 END) AS DOUBLE)
+            / sum(round(l_extendedprice * (1 - l_discount) * 10000)), 4)
+          AS promo_revenue
+        FROM v_lineitem
+        JOIN v_part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""")
+    },
+
+    // TPC-H Q15 (top supplier): a CTE consumed twice — once aggregated for
+    // the global max, once joined back. The max-equality compare runs on
+    // the INTEGER fixed-point revenue (division to a double happens only
+    // in the projection), so the scalar-subquery equality cannot be lost
+    // to float formatting on either engine.
+    "q_sql_tpch_q15" -> q { (s, dir) =>
+      Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            CAST(sum(round(l_extendedprice * (1 - l_discount) * 10000))
+                 AS BIGINT) AS total_rev_fp
+          FROM v_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev_fp / 10000.0 AS total_revenue
+        FROM v_supplier
+        JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev_fp = (SELECT max(total_rev_fp) FROM revenue)
+        ORDER BY s_suppkey""")
+    },
+
+    // TPC-H Q19 shape (disjunctive brand/size/quantity predicates): the
+    // OR-of-ANDs must still join on the single p_partkey equi-key with the
+    // part-only disjuncts pushed into the part scan — not a nested-loop
+    // over the disjunction.
+    "q_sql_tpch_q19" -> q { (s, dir) =>
+      Tables.part(s, dir).createOrReplaceTempView("v_part")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0
+            AS revenue,
+          count(*) AS n_lines
+        FROM v_lineitem
+        JOIN v_part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity >= 10 AND l_quantity <= 30)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity >= 20 AND l_quantity <= 40)""")
+    },
+
     // TPC-H Q4 shape (EXISTS decorrelation): the correlated EXISTS must
     // rewrite to a LEFT SEMI join on o_orderkey — Catalyst's
     // RewritePredicateSubquery — not a per-row subquery execution. The
@@ -4077,6 +4193,79 @@ object SparkEntry {
         |       WHERE o2.o_custkey = o.o_custkey) >
         |      2 * (SELECT sum(CAST(round(o3.o_totalprice * 100) AS BIGINT))
         |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)""".stripMargin,
+
+    "q_sql_tpch_q6" ->
+      """SELECT sum(round(l_extendedprice * l_discount * 10000)) / 10000.0
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_sql_tpch_q8" ->
+      """SELECT o_year,
+        |  round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume_fp
+        |                      ELSE 0 END) AS DOUBLE)
+        |        / sum(volume_fp), 4) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    round(l_extendedprice * (1 - l_discount) * 10000) AS volume_fp,
+        |    n2.n_name AS nation
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                        AND TIMESTAMP '1997-12-31 00:00:00') all_nations
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    "q_sql_tpch_q14" ->
+      """SELECT round(100.0 *
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |                  THEN round(l_extendedprice * (1 - l_discount) * 10000)
+        |                  ELSE 0 END) AS DOUBLE)
+        |    / sum(round(l_extendedprice * (1 - l_discount) * 10000)), 4)
+        |  AS promo_revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+
+    "q_sql_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(round(l_extendedprice * (1 - l_discount) * 10000))
+        |         AS BIGINT) AS total_rev_fp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev_fp / 10000.0 AS total_revenue
+        |FROM supplier
+        |JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_rev_fp = (SELECT max(total_rev_fp) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_sql_tpch_q19" ->
+      """SELECT sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0
+        |    AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity >= 10 AND l_quantity <= 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity >= 20 AND l_quantity <= 40)""".stripMargin,
 
     "q_sql_custdist" ->
       """SELECT c_count, count(*) AS custdist

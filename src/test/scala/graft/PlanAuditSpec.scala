@@ -147,6 +147,37 @@ class PlanAuditSpec extends SparkSpec {
       s"ORDER BY+LIMIT fell back to a global sort:\n$p")
   }
 
+  test("q_sql_tpch_q6: all three predicates and a 3-column read reach the scan") {
+    val p = plan("q_sql_tpch_q6")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("GreaterThanOrEqual(l_discount") &&
+      p.contains("LessThan(l_quantity"),
+      s"Q6 predicates not pushed to the parquet scan:\n$p")
+    // ReadSchema must be exactly the consumed columns, not the full table
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(Seq("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+      .forall(read.contains) && !read.contains("l_orderkey"),
+      s"Q6 scan reads more than the 4 consumed columns: $read")
+  }
+
+  test("q_sql_tpch_q19: OR-of-ANDs still joins on the single equi-key") {
+    val p = plan("q_sql_tpch_q19")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"Q19 disjunction fell out of the equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"Q19 has no hash/merge equi-join:\n$p")
+    // the brand disjunction must reach the part scan as a pushed Or filter
+    assert(p.contains("Or(") && p.contains("EqualTo(p_brand,Brand#1)"),
+      s"part-side disjuncts not pushed into the part scan:\n$p")
+  }
+
+  test("q_sql_tpch_q15: the revenue CTE max is a reused subquery, not a rescan per row") {
+    val p = plan("q_sql_tpch_q15")
+    assert(!p.contains("NestedLoop"),
+      s"Q15 scalar max fell back to a nested loop:\n$p")
+  }
+
   test("q_sql_exists / q_sql_not_exists: subqueries decorrelate to semi/anti joins") {
     val pe = plan("q_sql_exists")
     assert(pe.contains("LeftSemi"), s"EXISTS did not rewrite to a semi join:\n$pe")
