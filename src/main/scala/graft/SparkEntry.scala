@@ -1675,8 +1675,8 @@ object SparkEntry {
     },
 
     // TPC-H Q6 (forecasting revenue change): the pure scan-aggregate — all
-    // three predicates and both projected columns must reach the parquet
-    // scan (PushedFilters + 3-column ReadSchema); any plan with a
+    // three predicates and the four consumed columns must reach the
+    // parquet scan (PushedFilters + 4-column ReadSchema); any plan with a
     // post-scan filter on a wider read is wrong.
     "q_sql_tpch_q6" -> q { (s, dir) =>
       Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
@@ -3616,12 +3616,13 @@ object SparkEntry {
         |                           ('fr', 4000), ('zh', 1000)),
         |cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |r AS (SELECT lang,
-        |        CAST(least(10000, floor(floor(pm * 250 / 10000) * 10000 / n))
-        |             AS BIGINT) AS rate_pm
+        |        CAST(least(4294967296, floor(floor(pm * 250 / 10000)
+        |                                     * 4294967296.0 / n))
+        |             AS BIGINT) AS ring_thr
         |      FROM cnt JOIN t ON lang = dom)
         |SELECT d.doc_id, d.lang, d.source, d.n_chars
         |FROM documents d JOIN r ON d.lang = r.lang
-        |WHERE ((doc_id * 2654435761 + 104729) % 4294967296) % 10000 < rate_pm""".stripMargin,
+        |WHERE ((doc_id * 2654435761 + 104729) % 4294967296) < ring_thr""".stripMargin,
 
     "q_domain_quota" ->
       """SELECT doc_id, source, n_chars FROM (

@@ -71,9 +71,22 @@ object Dedup {
     * assembly adds NO extra shuffle.
     */
   private def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    completeGrams(docs, idCol, textCol, n)
+      .select(col("doc_id"),
+        concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"__t$i"))): _*)
+          .as("shingle"))
+      .dropDuplicates("doc_id", "shingle")
+
+  /** The shared n-gram assembly both dedup paths sit on: tokenize →
+    * posexplode → `lead` windows → keep only complete grams. Returns
+    * (doc_id, pos, tok, __t1..__t(n-1)). The explicit repartition exists
+    * because AQE's byte-based coalescing would fold this tiny-but-CPU-
+    * heavy stage back to one task, and it satisfies the window's
+    * ClusteredDistribution so gram assembly adds NO extra shuffle.
+    */
+  private def completeGrams(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    // explicit partition count: AQE's byte-based coalescing would fold a
-    // tiny-but-CPU-heavy stage back to one task
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val toks = docs.repartition(par, col(idCol))
       .select(col(idCol).as("doc_id"),
@@ -81,12 +94,8 @@ object Dedup {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val leadCols = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"__t$i"))
     toks
-      .select((Seq(col("doc_id"), col("tok")) ++ leadCols): _*)
+      .select((Seq(col("doc_id"), col("pos"), col("tok")) ++ leadCols): _*)
       .where(col(s"__t${n - 1}").isNotNull) // drop incomplete trailing grams
-      .select(col("doc_id"),
-        concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"__t$i"))): _*)
-          .as("shingle"))
-      .dropDuplicates("doc_id", "shingle")
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs via an inverted shingle
@@ -772,29 +781,20 @@ object Dedup {
   }
 
   /** Exploded k-token window occurrences WITH positions: one row per
-    * (doc, start offset), keyed by the md5 digest of the window text.
-    * Same codegen'd posexplode + `lead` assembly as [[explodedShingles]]
-    * (array-lambda shingling evaluates interpreted — measured 14× slower)
-    * but keeps the token offset and does NOT dedup: substring-level
-    * dedup needs every occurrence, not the distinct shingle set. The
-    * digest is computed map-side, so the shuffle that follows carries
+    * (doc, start offset), keyed by the md5 digest of the window text —
+    * the same [[completeGrams]] assembly as the shingle index (array-
+    * lambda shingling evaluates interpreted — measured 14× slower), but
+    * keeping the token offset and NOT dedup'ing: substring-level dedup
+    * needs every occurrence, not the distinct shingle set. The digest is
+    * computed map-side, so the shuffle that follows carries
     * (16 B digest, id, int) — never the window text.
     */
   private def explodedWindows(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val toks = docs.repartition(par, col(idCol))
-      .select(col(idCol).as("doc_id"),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leadCols = (1 until k).map(i => lead(col("tok"), i).over(w).as(s"__t$i"))
-    toks
-      .select((Seq(col("doc_id"), col("pos"), col("tok")) ++ leadCols): _*)
-      .where(col(s"__t${k - 1}").isNotNull)
+      k: Int): DataFrame =
+    completeGrams(docs, idCol, textCol, k)
       .select(col("doc_id"), col("pos").as("start"),
         md5(concat_ws(" ", (col("tok") +: (1 until k).map(i => col(s"__t$i"))): _*))
           .as("wkey"))
-  }
 
   /** Substring-level duplicated-span statistics, the k-token-granular
     * form of suffix-array substring dedup (Lee et al. 2022,

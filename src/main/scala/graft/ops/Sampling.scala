@@ -175,13 +175,21 @@ object Sampling {
     * Scale design: pass 1 is a partial-aggregated per-domain count (rows =
     * #domains, tiny); pass 2 broadcast-joins the derived rates back and
     * filters map-side on the portable hash — the corpus itself never
-    * shuffles. All rate arithmetic is integer-valued floor math, exact in
-    * IEEE doubles for budgets below ~9·10^11 rows (needed × 10^4 < 2^53),
-    * so any engine derives bit-identical rates.
+    * shuffles. The selection threshold lives on the FULL 2^32 hash ring
+    * (not the 10^4 buckets of [[hashBucket]]): a permyriad rate floors to
+    * ZERO — silent total dropout, not under-sampling — as soon as a
+    * domain outgrows 10^4× its quota, which a dominant web domain does
+    * long before 100 TB. Ring granularity defers that cliff to
+    * n > 2^32 × needed, beyond the hash's own key-space bound. The
+    * threshold is a floor of one double division — not exact integer
+    * math, but the SAME IEEE operation on both engines, which is what
+    * cross-engine parity actually requires.
     */
   def mixtureSelect(df: DataFrame, keyCol: String, domainCol: String,
       targets: Seq[(String, Int)], budget: Long): DataFrame = {
     require(targets.nonEmpty, "mixture needs at least one target domain")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "duplicate domain in mixture targets (the rates join would fan out)")
     require(targets.forall(_._2 > 0) && targets.map(_._2).sum <= 10000,
       "target weights must be positive permyriad summing to at most 10000")
     require(budget > 0 && budget < 900000000000L,
@@ -193,12 +201,13 @@ object Sampling {
       .agg(count(lit(1)).as("__n"))
       .join(tdf, Seq("__dom"))
       .select(col("__dom"),
-        least(lit(10000L),
+        least(lit(HashRing),
           floor(floor(col("__target_pm") * lit(budget) / lit(10000L))
-            * lit(10000L) / col("__n")))
-          .cast("long").as("__rate_pm"))
+            * lit(4294967296.0) / col("__n")))
+          .cast("long").as("__ring_thr"))
     df.join(broadcast(rates), df(domainCol) === rates("__dom"))
-      .where(hashBucket(col(keyCol)) < col("__rate_pm"))
-      .drop("__dom", "__rate_pm")
+      .where(pmod(col(keyCol) * lit(2654435761L) + lit(104729L), lit(HashRing))
+        < col("__ring_thr"))
+      .drop("__dom", "__ring_thr")
   }
 }

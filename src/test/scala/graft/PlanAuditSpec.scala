@@ -147,7 +147,7 @@ class PlanAuditSpec extends SparkSpec {
       s"ORDER BY+LIMIT fell back to a global sort:\n$p")
   }
 
-  test("q_sql_tpch_q6: all three predicates and a 3-column read reach the scan") {
+  test("q_sql_tpch_q6: all three predicates and a 4-column read reach the scan") {
     val p = plan("q_sql_tpch_q6")
     assert(p.contains("PushedFilters:") &&
       p.contains("GreaterThanOrEqual(l_shipdate") &&
