@@ -1272,6 +1272,21 @@ object SparkEntry {
             col("embedding"), cents, 64).cast(LongType).as("centroid_id"))
     },
 
+    // Prototypicality scores (Sorscher et al. 2022 data pruning): assigned
+    // prototype + squared distance to it, over the fixed seeded centroid
+    // table — same plan-time-literal pattern as q_ivf_assign, so the
+    // oracle recomputes every distance in kernel accumulation order and
+    // takes least(). Flags both outliers (far from every prototype) and
+    // prototype-redundant points (near zero).
+    "q_embed_prototypicality" -> q { (s, dir) =>
+      val cents = Similarity.fixedCentroids(k = 8, dim = 64)
+      Similarity.prototypicality(
+        Tables.embeddings(s, dir)
+          .where(col("embedding").isNotNull && size(col("embedding")) === 64 &&
+            !exists(col("embedding"), _.isNull)),
+        "vec_id", "embedding", Similarity.IvfIndex(cents, 64))
+    },
+
     // Product-quantization encode against fixed seeded subspace codebooks
     // (Jégou et al. 2011): 8 independent 8-dim argmins per row compress a
     // 256 B float vector to an 8-code word — the storage layout that makes
@@ -2832,6 +2847,36 @@ object SparkEntry {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** Oracle for `q_embed_prototypicality`: every centroid distance in the
+    * kernel's accumulation order (see [[ivfAssignOracleSql]]), argmin via
+    * the earliest-minimum CASE chain and the distance via `least`.
+    */
+  private def prototypicalityOracleSql(k: Int, dim: Int): String = {
+    val cents = Similarity.fixedCentroids(k, dim)
+    val dcols = (0 until k).map { c =>
+      val d = (0 until dim).map { j =>
+        val e = s"(CAST(embedding[${j + 1}] AS DOUBLE) - (${cents(c * dim + j)}))"
+        s"$e * $e"
+      }.mkString(" + ")
+      s"($d) AS d$c"
+    }.mkString(",\n    ")
+    val cases = (0 until k - 1).map { c =>
+      val conds = (c + 1 until k).map(o => s"d$c <= d$o").mkString(" AND ")
+      s"WHEN $conds THEN $c"
+    }.mkString("\n    ")
+    val leastAll = (0 until k).map(c => s"d$c").mkString(", ")
+    s"""WITH dd AS (
+       |  SELECT vec_id,
+       |    $dcols
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0)
+       |SELECT vec_id,
+       |  CAST(CASE $cases ELSE ${k - 1} END AS BIGINT) AS centroid_id,
+       |  round(least($leastAll), 4) AS sq_dist
+       |FROM dd""".stripMargin
+  }
+
   /** Oracle for `q_semantic_dedup` (DuckDB mirror of
     * [[graft.ops.Dedup.semanticDedup]]): the doubled near-dup fixture,
     * the same fixed-centroid argmin as [[ivfAssignOracleSql]] (distances
@@ -3090,6 +3135,8 @@ object SparkEntry {
 
     "q_semantic_dedup" -> semanticDedupOracleSql(k = 8, dim = 64,
       minCosine = 0.95),
+
+    "q_embed_prototypicality" -> prototypicalityOracleSql(k = 8, dim = 64),
 
     "q_pq_encode" -> pqEncodeOracleSql(m = 8, kSub = 16, dSub = 8),
 

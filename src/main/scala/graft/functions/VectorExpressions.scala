@@ -189,6 +189,73 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Squared L2 distance to the NEAREST centroid (the value the argmin
+    * kernel discards): the prototypicality score of Sorscher et al. 2022
+    * data pruning — far from every prototype = outlier/noise. Same fused
+    * loop, accumulation order and table reference as
+    * [[NearestCentroidF32]], so (argmin, mindist) pairs from the two
+    * kernels are always consistent, and an oracle can reproduce the
+    * value as `least(d_0..d_{k-1})` of identically-ordered sums.
+    */
+  case class CentroidMinSqDistF32(child: Expression, centroidsFlat: Array[Double],
+      dim: Int) extends UnaryExpression {
+    require(dim > 0 && centroidsFlat.length % dim == 0,
+      s"centroid table length ${centroidsFlat.length} not a multiple of dim $dim")
+    private val k = centroidsFlat.length / dim
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float> argument, got ${other.simpleString}")
+    }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "centroid_min_sqdist_f32"
+
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val n = math.min(dim, v.numElements())
+      var bestDist = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = c * dim
+        var dist = 0.0
+        var j = 0
+        while (j < n) {
+          val d = v.getFloat(j).toDouble - centroidsFlat(off + j)
+          dist += d * d; j += 1
+        }
+        if (dist < bestDist) bestDist = dist
+        c += 1
+      }
+      bestDist
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("centroids", centroidsFlat, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val (n, c, j, off, d, dist, bestDist) = (ctx.freshName("n"),
+          ctx.freshName("c"), ctx.freshName("j"), ctx.freshName("off"),
+          ctx.freshName("d"), ctx.freshName("dist"), ctx.freshName("bestDist"))
+        s"""
+           |int $n = Math.min($dim, $a.numElements());
+           |double $bestDist = Double.MAX_VALUE;
+           |for (int $c = 0; $c < $k; $c++) {
+           |  int $off = $c * $dim;
+           |  double $dist = 0.0;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    double $d = (double) $a.getFloat($j) - $cRef[$off + $j];
+           |    $dist += $d * $d;
+           |  }
+           |  if ($dist < $bestDist) $bestDist = $dist;
+           |}
+           |${ev.value} = $bestDist;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** IVF coarse-quantizer assignment: index (argmin) of the nearest
     * centroid by squared L2 distance, over an `array<float>` embedding.
     * The centroid table (k × dim doubles, flat row-major) is a plan-time
@@ -506,6 +573,8 @@ object VectorFunctions {
     asColumn(HyperplaneBucketF32(expression(v), planes, dim, seed))
   def nearestCentroidF32(v: Column, centroidsFlat: Array[Double], dim: Int): Column =
     asColumn(NearestCentroidF32(expression(v), centroidsFlat, dim))
+  def centroidMinSqDistF32(v: Column, centroidsFlat: Array[Double], dim: Int): Column =
+    asColumn(CentroidMinSqDistF32(expression(v), centroidsFlat, dim))
   def quantizeAuditInt8F32(v: Column): Column =
     asColumn(QuantizeAuditInt8F32(expression(v)))
   def pqResidualCodesF32(v: Column, centroidId: Column,

@@ -269,6 +269,35 @@ object Similarity {
         graft.functions.VectorFunctions.nearestCentroidF32(
           col(vecCol), index.centroidsFlat, index.dim))
 
+  /** Prototypicality scores (Sorscher et al. 2022, "Beyond neural scaling
+    * laws: beating power law scaling via data pruning"): each vector's
+    * assigned prototype and its squared L2 distance to it. Distance far
+    * from EVERY prototype flags outliers/noise for pruning; distance near
+    * zero flags prototype-redundant points (the "easy" examples the paper
+    * drops first when data is abundant). One narrow codegen'd projection —
+    * both kernels share the centroid table and accumulation order, so
+    * (centroid_id, sq_dist) are always mutually consistent.
+    */
+  def prototypicality(vecs: DataFrame, idCol: String, vecCol: String,
+      index: IvfIndex): DataFrame =
+    vecs.select(col(idCol), col(vecCol))
+      .withColumn("centroid_id",
+        graft.functions.VectorFunctions.nearestCentroidF32(
+          col(vecCol), index.centroidsFlat, index.dim).cast(LongType))
+      .withColumn("sq_dist",
+        round(graft.functions.VectorFunctions.centroidMinSqDistF32(
+          col(vecCol), index.centroidsFlat, index.dim), 4))
+      .drop(vecCol)
+
+  /** Keep only vectors within `maxSqDist` of their prototype — the
+    * outlier-pruning filter. Narrow, shuffle-free, pushdown-friendly.
+    */
+  def pruneOutliers(vecs: DataFrame, idCol: String, vecCol: String,
+      index: IvfIndex, maxSqDist: Double): DataFrame =
+    vecs.where(
+      graft.functions.VectorFunctions.centroidMinSqDistF32(
+        col(vecCol), index.centroidsFlat, index.dim) <= maxSqDist)
+
   /** IVF top-k: scan only the `nprobe` nearest inverted lists instead of
     * the corpus (candidate fraction ≈ nprobe/k), exact-score candidates
     * with the fused cosine kernel, return top-k. The assignment predicate

@@ -79,4 +79,34 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("l2_norm_f32") ||
       e.getMessage.toLowerCase.contains("datatype_mismatch"))
   }
+
+  test("centroid min-sqdist kernel: consistent with argmin, correct on hand geometry") {
+    // two centroids on the axes; v = (3,4,...0) is 9+16=25-ish from e0-ish
+    val cents = Array(1.0, 0.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    val df = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f)),   // exactly centroid 0 -> dist 0
+      (2L, Seq(0f, 1.0f, 0f, 0f)),   // exactly centroid 1 -> dist 0
+      (3L, Seq(0.5f, 0.5f, 0f, 0f))  // equidistant: 0.25+0.25 = 0.5 to both
+    ).toDF("vec_id", "v")
+    val out = df.select($"vec_id",
+      VectorFunctions.nearestCentroidF32($"v", cents, 4).as("cid"),
+      VectorFunctions.centroidMinSqDistF32($"v", cents, 4).as("d"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((0, 0.0)))
+    assert(out(2L) === ((1, 0.0)))
+    assert(out(3L)._1 === 0) // tie breaks to the lowest id
+    assert(math.abs(out(3L)._2 - 0.5) < 1e-12)
+  }
+
+  test("pruneOutliers keeps exactly the within-threshold vectors") {
+    val index = Similarity.IvfIndex(Array(1.0, 0.0, 0.0, 0.0), 4)
+    val df = Seq(
+      (1L, Seq(1.0f, 0f, 0f, 0f)),     // dist 0
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)),   // dist 0.02
+      (3L, Seq(-1f, 2f, 2f, 0f))       // dist 12 -> outlier
+    ).toDF("vec_id", "v")
+    val kept = Similarity.pruneOutliers(df, "vec_id", "v", index, maxSqDist = 1.0)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 2L))
+  }
 }
