@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 /** End-to-end training-data curation: the standard corpus-preparation
-  * sequence — exact dedup → near dedup → eval decontamination → quality
-  * filter → train/val/test split → per-split sequence packing — composed
-  * from this engine's individually-oracled operators into ONE declarative
-  * pipeline. Each stage is the already-verified implementation
+  * sequence — exact dedup → near dedup → [span dedup] → eval
+  * decontamination → quality filter → [mixture selection] → train/val/
+  * test split → per-split sequence packing — composed from this engine's
+  * individually-oracled operators into ONE declarative pipeline. Each
+  * stage is the already-verified implementation
   * ([[Dedup]], [[TextAnalysis]], [[Sampling]]); this object contributes
   * the composition contract, a run report, and the stage ordering that
   * matters at scale:
@@ -17,10 +18,14 @@ import org.apache.spark.sql.types.LongType
   *    before anything tokenizes);
   *  - near dedup on the survivors (the shingle pipeline never sees exact
   *    copies — at web scale exact duplicates are the bulk of duplication);
+  *  - substring-span dedup (optional) after near dedup: boilerplate
+  *    coverage should describe the surviving corpus;
   *  - decontamination BEFORE quality filtering (a contaminated doc must
   *    drop even if high-quality — eval leakage is not negotiable, and the
   *    broadcast eval index makes this the cheapest stage);
   *  - the quality gate next (narrow, shuffle-free projection);
+  *  - target-mixture selection (optional) after the quality gate — rates
+  *    derive from the clean pool, and the budget describes what ships;
   *  - deterministic hash split, then packing WITHIN each split (packing
   *    first would let one bin straddle splits — leakage again).
   *
@@ -31,10 +36,18 @@ import org.apache.spark.sql.types.LongType
   */
 object Curate {
 
-  /** Per-stage surviving-row counts, in pipeline order. */
+  /** Per-stage surviving-row counts, in pipeline order. A disabled
+    * optional stage reports its predecessor's count (the chain stays
+    * monotone either way). */
   final case class CurationReport(input: Long, afterExactDedup: Long,
-      afterNearDedup: Long, afterDecontamination: Long,
-      afterQualityFilter: Long)
+      afterNearDedup: Long, afterSpanDedup: Long, afterDecontamination: Long,
+      afterQualityFilter: Long, afterMixture: Long)
+
+  /** Target-mixture stage spec: rebalance on `domainCol` to permyriad
+    * `targets` within a `budget` (see [[Sampling.mixtureSelect]]). The
+    * domain column must ride along on the input frame. */
+  final case class MixtureSpec(domainCol: String,
+      targets: Seq[(String, Int)], budget: Long)
 
   final case class Curated(docs: DataFrame, report: CurationReport)
 
@@ -59,7 +72,9 @@ object Curate {
       evalSet: DataFrame,
       minJaccard: Double = 0.5, maxDocFreq: Long = 20L,
       minShared: Long = 3L,
+      maxSpanPermyriad: Long = 10000L, spanK: Int = 50,
       minQuality: Double = 0.3,
+      mixture: Option[MixtureSpec] = None,
       splits: Seq[(String, Int)] =
         Seq(("train", 9000), ("val", 500), ("test", 500)),
       packBudget: Long = 2048L, packBuckets: Int = 32,
@@ -80,12 +95,21 @@ object Curate {
       cnt(Dedup.dropExactDuplicates(docs, idCol, textCol))
     val (near, nNear) = cnt(Dedup.dropNearDuplicates(exact, idCol, textCol,
       minJaccard = minJaccard, maxDocFreq = maxDocFreq))
+    // substring-level span dedup (optional: 10000 permyriad admits all
+    // coverage levels, so the stage is skipped outright rather than paying
+    // the window pipeline for a no-op filter). AFTER near-dedup: coverage
+    // statistics should describe the corpus that survives, not mass the
+    // earlier stages already removed.
+    val (spanned, nSpan) =
+      if (maxSpanPermyriad >= 10000L) (near, nNear)
+      else cnt(Dedup.dropSpanDuplicated(near, idCol, textCol,
+        k = spanK, maxPermyriad = maxSpanPermyriad))
     // decontaminate's output is keyed "doc_id" regardless of idCol (the
     // shingle pipeline's canonical id name) — rename back for the join
-    val contaminated = Dedup.decontaminate(near, evalSet, idCol, textCol,
+    val contaminated = Dedup.decontaminate(spanned, evalSet, idCol, textCol,
         minShared = minShared)
       .select(col("doc_id").as(idCol))
-    val (clean, nClean) = cnt(near.join(contaminated, Seq(idCol), "left_anti"))
+    val (clean, nClean) = cnt(spanned.join(contaminated, Seq(idCol), "left_anti"))
     // stage the tokens ONCE: the quality expression reads them ~5 times
     // and the packer needs the count — inlining the tokenizer would
     // re-run regexp extraction per read (TextAnalysis's documented
@@ -95,7 +119,16 @@ object Curate {
       .withColumn("quality_score",
         TextAnalysis.qualityScoreFromTokens(col("__toks")))
     val (kept, nKept) = cnt(scored.where(col("quality_score") >= minQuality))
-    val split = Sampling.splitAssign(kept, idCol, splits)
+    // target-mixture selection (optional): composition control belongs
+    // AFTER the quality gate (rates derive from the clean pool) and
+    // BEFORE the split (membership is key-hashed either way, but the
+    // budget should describe the corpus that ships)
+    val (mixed, nMixed) = mixture match {
+      case None => (kept, nKept)
+      case Some(m) => cnt(Sampling.mixtureSelect(kept, idCol, m.domainCol,
+        m.targets, m.budget))
+    }
+    val split = Sampling.splitAssign(mixed, idCol, splits)
     // pack within each split: the packing window is salted by the split
     // name so bins can never straddle split boundaries
     val packed = Sampling.packSequences(
@@ -107,6 +140,7 @@ object Curate {
     // parents; earlier intermediates are no longer needed (kept's blocks
     // back the returned frame)
     if (report) intermediates.dropRight(1).foreach(_.unpersist(false))
-    Curated(packed, CurationReport(input, nExact, nNear, nClean, nKept))
+    Curated(packed,
+      CurationReport(input, nExact, nNear, nSpan, nClean, nKept, nMixed))
   }
 }

@@ -23,8 +23,10 @@ class CurateSpec extends SparkSpec {
     assert(r.input > 0)
     assert(r.afterExactDedup <= r.input)
     assert(r.afterNearDedup <= r.afterExactDedup)
-    assert(r.afterDecontamination <= r.afterNearDedup)
+    assert(r.afterSpanDedup === r.afterNearDedup) // stage disabled by default
+    assert(r.afterDecontamination <= r.afterSpanDedup)
     assert(r.afterQualityFilter <= r.afterDecontamination)
+    assert(r.afterMixture === r.afterQualityFilter) // stage disabled by default
     val result = out.docs.cache()
     assert(result.count() == r.afterQualityFilter)
     // eval leakage: the eval docs themselves must be gone (each shares all
@@ -34,6 +36,42 @@ class CurateSpec extends SparkSpec {
     assert(result.where($"quality_score" < 0.3).count() == 0)
     // no surviving exact-duplicate text
     assert(result.groupBy("text").count().where($"count" > 1).count() == 0)
+    result.unpersist()
+  }
+
+  test("optional stages: span dedup binds, mixture whitelists and rebalances") {
+    // plant a boilerplate PAIR the earlier dedup stages must keep: the two
+    // docs share a 12-token licence header (span coverage ~44% each) but
+    // differ in the majority of their trigrams (Jaccard well under 0.5),
+    // so only the span stage can catch them
+    val boiler = "copyright notice all rights reserved redistribution " +
+      "permitted provided this header stays intact"
+    val planted = Seq(
+      (900001L, s"$boiler alpha1 bravo1 charlie1 delta1 echo1 foxtrot1 " +
+        "golf1 hotel1 india1 juliet1 kilo1 lima1 mike1 nov1 oscar1", "en"),
+      (900002L, s"$boiler alpha2 bravo2 charlie2 delta2 echo2 foxtrot2 " +
+        "golf2 hotel2 india2 juliet2 kilo2 lima2 mike2 nov2 oscar2", "en"))
+      .toDF("doc_id", "text", "lang")
+    val full = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").unionByName(planted)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Curate.run(full, "doc_id", "text", empty,
+      maxSpanPermyriad = 3000L, spanK = 8,
+      minQuality = 0.0,
+      mixture = Some(Curate.MixtureSpec("lang",
+        Seq("en" -> 5000, "de" -> 5000), budget = 40L)))
+    val r = out.report
+    assert(r.afterSpanDedup < r.afterNearDedup,
+      s"span stage removed nothing: ${r.afterNearDedup} -> ${r.afterSpanDedup}")
+    assert(r.afterMixture < r.afterQualityFilter)
+    val result = out.docs.cache()
+    assert(result.count() == r.afterMixture)
+    // the planted boilerplate pair is gone, and it was the SPAN stage that
+    // did it (both docs survive to that stage by construction)
+    assert(result.where($"doc_id".isin(900001L, 900002L)).count() == 0)
+    // mixture whitelist: only the targeted domains survive
+    assert(result.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("en", "de")))
     result.unpersist()
   }
 
