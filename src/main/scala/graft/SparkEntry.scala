@@ -1272,6 +1272,21 @@ object SparkEntry {
             col("embedding"), cents, 64).cast(LongType).as("centroid_id"))
     },
 
+    // Two-level coarse assignment over fixed seeded super/sub tables —
+    // the O(sqrt(k)) assignment that keeps scaled-k clustering linear when
+    // cell count tracks the corpus (SCALING.md caveat, now implemented).
+    // Bit-exact: both argmin levels replay as nested earliest-minimum CASE
+    // chains over plan-time-literal centroids.
+    "q_ivf_assign_hier" -> q { (s, dir) =>
+      val sup = Similarity.fixedCentroids(k = 4, dim = 64, seed = 7L)
+      val sub = Similarity.fixedCentroids(k = 16, dim = 64, seed = 13L)
+      Similarity.hierarchicalAssign(
+        Tables.embeddings(s, dir)
+          .where(col("embedding").isNotNull && size(col("embedding")) === 64 &&
+            !exists(col("embedding"), _.isNull)),
+        "vec_id", "embedding", sup, sub, k2 = 4, dim = 64)
+    },
+
     // Prototypicality scores (Sorscher et al. 2022 data pruning): assigned
     // prototype + squared distance to it, over the fixed seeded centroid
     // table — same plan-time-literal pattern as q_ivf_assign, so the
@@ -2847,6 +2862,45 @@ object SparkEntry {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** Oracle for `q_ivf_assign_hier`: distances to all k1 super and
+    * k1·k2 sub centroids in kernel accumulation order, argmin at each
+    * level via nested earliest-minimum CASE chains.
+    */
+  private def hierAssignOracleSql(k1: Int, k2: Int, dim: Int): String = {
+    val sup = Similarity.fixedCentroids(k1, dim, seed = 7L)
+    val sub = Similarity.fixedCentroids(k1 * k2, dim, seed = 13L)
+    def dists(flat: Array[Double], count: Int, prefix: String): String =
+      (0 until count).map { c =>
+        val d = (0 until dim).map { j =>
+          val e = s"(CAST(embedding[${j + 1}] AS DOUBLE) - (${flat(c * dim + j)}))"
+          s"$e * $e"
+        }.mkString(" + ")
+        s"($d) AS $prefix$c"
+      }.mkString(",\n    ")
+    def argminCase(prefix: String, from: Int, count: Int): String = {
+      val cases = (0 until count - 1).map { c =>
+        val conds = (c + 1 until count)
+          .map(o => s"$prefix${from + c} <= $prefix${from + o}").mkString(" AND ")
+        s"WHEN $conds THEN $c"
+      }.mkString("\n      ")
+      s"CASE $cases ELSE ${count - 1} END"
+    }
+    val subSelect = (0 until k1).map { s =>
+      s"WHEN ss = $s THEN $s * $k2 + (${argminCase("du", s * k2, k2)})"
+    }.mkString("\n    ")
+    s"""WITH dd AS (
+       |  SELECT vec_id,
+       |    ${dists(sup, k1, "ds")},
+       |    ${dists(sub, k1 * k2, "du")}
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |sel AS (SELECT *, ${argminCase("ds", 0, k1)} AS ss FROM dd)
+       |SELECT vec_id, CAST(ss AS BIGINT) AS super_id,
+       |  CAST(CASE $subSelect END AS BIGINT) AS cell_id
+       |FROM sel""".stripMargin
+  }
+
   /** Oracle for `q_embed_prototypicality`: every centroid distance in the
     * kernel's accumulation order (see [[ivfAssignOracleSql]]), argmin via
     * the earliest-minimum CASE chain and the distance via `least`.
@@ -3137,6 +3191,8 @@ object SparkEntry {
       minCosine = 0.95),
 
     "q_embed_prototypicality" -> prototypicalityOracleSql(k = 8, dim = 64),
+
+    "q_ivf_assign_hier" -> hierAssignOracleSql(k1 = 4, k2 = 4, dim = 64),
 
     "q_pq_encode" -> pqEncodeOracleSql(m = 8, kSub = 16, dSub = 8),
 

@@ -256,6 +256,101 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Two-level (hierarchical) coarse assignment: argmin over k1 SUPER
+    * centroids, then argmin over that super cell's k2 SUB centroids —
+    * k1 + k2 distance evaluations instead of k1 × k2. This is the
+    * assignment shape that keeps scaled-k clustering linear when the
+    * cell count tracks the corpus (see SCALING.md's next-decade caveat):
+    * with k1 = k2 = √k, assignment cost is O(√k · dim) per vector.
+    * Returns the flat cell id `super · k2 + sub`. Same accumulation
+    * order and lowest-id tie-break as [[NearestCentroidF32]] at both
+    * levels, so an oracle reproduces the id with two nested
+    * earliest-minimum CASE chains.
+    *
+    * `subFlat` is row-major (k1 × k2) × dim: super cell c's sub table is
+    * rows [c·k2, (c+1)·k2).
+    */
+  case class HierCellF32(child: Expression, superFlat: Array[Double],
+      subFlat: Array[Double], k2: Int, dim: Int) extends UnaryExpression {
+    require(dim > 0 && k2 > 0 && superFlat.length % dim == 0,
+      s"super table length ${superFlat.length} not a multiple of dim $dim")
+    private val k1 = superFlat.length / dim
+    require(subFlat.length == k1 * k2 * dim,
+      s"sub table length ${subFlat.length} != k1*k2*dim = ${k1 * k2 * dim}")
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an array<float> argument, got ${other.simpleString}")
+    }
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "hier_cell_f32"
+
+    override def nullSafeEval(a: Any): Any = {
+      val v = a.asInstanceOf[ArrayData]
+      val n = math.min(dim, v.numElements())
+      def argmin(flat: Array[Double], from: Int, count: Int): Int = {
+        var best = 0
+        var bestDist = Double.MaxValue
+        var c = 0
+        while (c < count) {
+          val off = (from + c) * dim
+          var dist = 0.0
+          var j = 0
+          while (j < n) {
+            val d = v.getFloat(j).toDouble - flat(off + j)
+            dist += d * d; j += 1
+          }
+          if (dist < bestDist) { bestDist = dist; best = c }
+          c += 1
+        }
+        best
+      }
+      val s = argmin(superFlat, 0, k1)
+      s * k2 + argmin(subFlat, s * k2, k2)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val supRef = ctx.addReferenceObj("superCentroids", superFlat, "double[]")
+      val subRef = ctx.addReferenceObj("subCentroids", subFlat, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val (n, c, j, off, d, dist, best, bestDist, s) = (ctx.freshName("n"),
+          ctx.freshName("c"), ctx.freshName("j"), ctx.freshName("off"),
+          ctx.freshName("d"), ctx.freshName("dist"), ctx.freshName("best"),
+          ctx.freshName("bestDist"), ctx.freshName("s"))
+        s"""
+           |int $n = Math.min($dim, $a.numElements());
+           |int $best = 0;
+           |double $bestDist = Double.MAX_VALUE;
+           |for (int $c = 0; $c < $k1; $c++) {
+           |  int $off = $c * $dim;
+           |  double $dist = 0.0;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    double $d = (double) $a.getFloat($j) - $supRef[$off + $j];
+           |    $dist += $d * $d;
+           |  }
+           |  if ($dist < $bestDist) { $bestDist = $dist; $best = $c; }
+           |}
+           |int $s = $best;
+           |$best = 0;
+           |$bestDist = Double.MAX_VALUE;
+           |for (int $c = 0; $c < $k2; $c++) {
+           |  int $off = ($s * $k2 + $c) * $dim;
+           |  double $dist = 0.0;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    double $d = (double) $a.getFloat($j) - $subRef[$off + $j];
+           |    $dist += $d * $d;
+           |  }
+           |  if ($dist < $bestDist) { $bestDist = $dist; $best = $c; }
+           |}
+           |${ev.value} = $s * $k2 + $best;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** IVF coarse-quantizer assignment: index (argmin) of the nearest
     * centroid by squared L2 distance, over an `array<float>` embedding.
     * The centroid table (k × dim doubles, flat row-major) is a plan-time
@@ -575,6 +670,9 @@ object VectorFunctions {
     asColumn(NearestCentroidF32(expression(v), centroidsFlat, dim))
   def centroidMinSqDistF32(v: Column, centroidsFlat: Array[Double], dim: Int): Column =
     asColumn(CentroidMinSqDistF32(expression(v), centroidsFlat, dim))
+  def hierCellF32(v: Column, superFlat: Array[Double], subFlat: Array[Double],
+      k2: Int, dim: Int): Column =
+    asColumn(HierCellF32(expression(v), superFlat, subFlat, k2, dim))
   def quantizeAuditInt8F32(v: Column): Column =
     asColumn(QuantizeAuditInt8F32(expression(v)))
   def pqResidualCodesF32(v: Column, centroidId: Column,

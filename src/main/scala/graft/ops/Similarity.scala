@@ -269,6 +269,28 @@ object Similarity {
         graft.functions.VectorFunctions.nearestCentroidF32(
           col(vecCol), index.centroidsFlat, index.dim))
 
+  /** Two-level coarse assignment (the scaled-k answer from SCALING.md's
+    * next-decade caveat): argmin over k1 super centroids, then over the
+    * winning cell's k2 sub centroids — k1 + k2 distance evaluations per
+    * vector instead of k1 × k2, so growing the cell count with the corpus
+    * costs O(√k · dim), not O(k · dim). One narrow codegen'd projection
+    * (fused [[graft.functions.VectorExpressions.HierCellF32]] kernel).
+    * Train the tables with [[trainIvfCentroids]]: super on the corpus,
+    * then one sub fit per super cell on its members (`subFlat` row-major
+    * (k1 · k2) × dim, cell c's block at [c·k2, (c+1)·k2)).
+    */
+  def hierarchicalAssign(vecs: DataFrame, idCol: String, vecCol: String,
+      superFlat: Array[Double], subFlat: Array[Double], k2: Int,
+      dim: Int): DataFrame = {
+    val cell = graft.functions.VectorFunctions.hierCellF32(
+      col(vecCol), superFlat, subFlat, k2, dim)
+    vecs.select(col(idCol), col(vecCol))
+      .withColumn("cell_id", cell.cast(LongType))
+      .withColumn("super_id", (col("cell_id") / k2).cast(LongType))
+      .drop(vecCol)
+      .select(col(idCol), col("super_id"), col("cell_id"))
+  }
+
   /** Prototypicality scores (Sorscher et al. 2022, "Beyond neural scaling
     * laws: beating power law scaling via data pruning"): each vector's
     * assigned prototype and its squared L2 distance to it. Distance far

@@ -109,4 +109,29 @@ class VectorExpressionsSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().sorted
     assert(kept === Array(1L, 2L))
   }
+
+  test("hierarchical cell kernel: matches a driver-side two-level argmin on real vectors") {
+    val sup = Similarity.fixedCentroids(4, 64, seed = 7L)
+    val sub = Similarity.fixedCentroids(16, 64, seed = 13L)
+    val rows = emb.where($"embedding".isNotNull && size($"embedding") === 64 &&
+        !exists($"embedding", _.isNull))
+      .select($"vec_id",
+        VectorFunctions.hierCellF32($"embedding", sup, sub, 4, 64).as("cell"),
+        $"embedding")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](2).map(_.toDouble).toArray
+      def argmin(flat: Array[Double], from: Int, n: Int): Int =
+        (0 until n).minBy { c =>
+          val off = (from + c) * 64
+          var d = 0.0; var j = 0
+          while (j < 64) { val x = v(j) - flat(off + j); d += x * x; j += 1 }
+          d
+        }
+      val s = argmin(sup, 0, 4)
+      val expect = s * 4 + argmin(sub, s * 4, 4)
+      assert(r.getInt(1) === expect, s"vec ${r.getLong(0)}")
+    }
+  }
 }
