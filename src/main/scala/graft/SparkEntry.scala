@@ -2877,14 +2877,16 @@ object SparkEntry {
         }.mkString(" + ")
         s"($d) AS $prefix$c"
       }.mkString(",\n    ")
-    def argminCase(prefix: String, from: Int, count: Int): String = {
-      val cases = (0 until count - 1).map { c =>
-        val conds = (c + 1 until count)
-          .map(o => s"$prefix${from + c} <= $prefix${from + o}").mkString(" AND ")
-        s"WHEN $conds THEN $c"
-      }.mkString("\n      ")
-      s"CASE $cases ELSE ${count - 1} END"
-    }
+    def argminCase(prefix: String, from: Int, count: Int): String =
+      if (count == 1) "0" // a WHEN-less CASE is a parse error
+      else {
+        val cases = (0 until count - 1).map { c =>
+          val conds = (c + 1 until count)
+            .map(o => s"$prefix${from + c} <= $prefix${from + o}").mkString(" AND ")
+          s"WHEN $conds THEN $c"
+        }.mkString("\n      ")
+        s"CASE $cases ELSE ${count - 1} END"
+      }
     val subSelect = (0 until k1).map { s =>
       s"WHEN ss = $s THEN $s * $k2 + (${argminCase("du", s * k2, k2)})"
     }.mkString("\n    ")
@@ -2906,6 +2908,7 @@ object SparkEntry {
     * the earliest-minimum CASE chain and the distance via `least`.
     */
   private def prototypicalityOracleSql(k: Int, dim: Int): String = {
+    require(k >= 2, "k = 1 would emit a WHEN-less CASE (a parse error)")
     val cents = Similarity.fixedCentroids(k, dim)
     val dcols = (0 until k).map { c =>
       val d = (0 until dim).map { j =>

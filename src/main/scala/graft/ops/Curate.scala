@@ -137,8 +137,9 @@ object Curate {
       bucketSalt = Some(col("split")))
       .drop("__n_tokens", "__toks")
     // the final stage is now counted/materialized through the cached
-    // parents; earlier intermediates are no longer needed (kept's blocks
-    // back the returned frame)
+    // parents; earlier intermediates are no longer needed (the LAST cached
+    // stage — `mixed` when the mixture stage ran, else `kept` — backs the
+    // returned frame)
     if (report) intermediates.dropRight(1).foreach(_.unpersist(false))
     Curated(packed,
       CurationReport(input, nExact, nNear, nSpan, nClean, nKept, nMixed))

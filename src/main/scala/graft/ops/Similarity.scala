@@ -287,7 +287,6 @@ object Similarity {
     vecs.select(col(idCol), col(vecCol))
       .withColumn("cell_id", cell.cast(LongType))
       .withColumn("super_id", (col("cell_id") / k2).cast(LongType))
-      .drop(vecCol)
       .select(col(idCol), col("super_id"), col("cell_id"))
   }
 
@@ -298,7 +297,12 @@ object Similarity {
     * zero flags prototype-redundant points (the "easy" examples the paper
     * drops first when data is abundant). One narrow codegen'd projection —
     * both kernels share the centroid table and accumulation order, so
-    * (centroid_id, sq_dist) are always mutually consistent.
+    * (centroid_id, sq_dist) are always mutually consistent. The argmin
+    * and min-dist kernels each scan the table (2·k·dim per row); a fused
+    * struct-returning kernel would halve that, but at coarse-quantizer k
+    * the projection is dominated by per-row overhead, and two scalar
+    * kernels keep every expression independently usable in filters and
+    * SQL registration — the split is deliberate.
     */
   def prototypicality(vecs: DataFrame, idCol: String, vecCol: String,
       index: IvfIndex): DataFrame =
@@ -312,9 +316,10 @@ object Similarity {
       .drop(vecCol)
 
   /** Keep only vectors within `maxSqDist` of their prototype — the
-    * outlier-pruning filter. Narrow, shuffle-free, pushdown-friendly.
+    * outlier-pruning filter. Narrow, shuffle-free, pushdown-friendly;
+    * all input columns pass through unchanged.
     */
-  def pruneOutliers(vecs: DataFrame, idCol: String, vecCol: String,
+  def pruneOutliers(vecs: DataFrame, vecCol: String,
       index: IvfIndex, maxSqDist: Double): DataFrame =
     vecs.where(
       graft.functions.VectorFunctions.centroidMinSqDistF32(

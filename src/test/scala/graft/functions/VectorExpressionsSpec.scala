@@ -105,7 +105,7 @@ class VectorExpressionsSpec extends SparkSpec {
       (2L, Seq(0.9f, 0.1f, 0f, 0f)),   // dist 0.02
       (3L, Seq(-1f, 2f, 2f, 0f))       // dist 12 -> outlier
     ).toDF("vec_id", "v")
-    val kept = Similarity.pruneOutliers(df, "vec_id", "v", index, maxSqDist = 1.0)
+    val kept = Similarity.pruneOutliers(df, "v", index, maxSqDist = 1.0)
       .select("vec_id").as[Long].collect().sorted
     assert(kept === Array(1L, 2L))
   }
