@@ -83,9 +83,13 @@ object Bench {
     //    off the bench path per SURVEY §7.5-4;
     //  - q_minhash_est_error: a sketch-parameter AUDIT that by definition
     //    runs two dedup pipelines (sketched + exact) to compare them — it
-    //    measures the sketch's error, not an operator a user would time.
-    // Every distributed operator both exercise is timed by other queries.
-    val skip = Set("q_pipeline_verify", "q_minhash_est_error")
+    //    measures the sketch's error, not an operator a user would time;
+    //  - q_curate: the end-to-end composition audit — its six stages
+    //    (exact dedup, Jaccard near-dedup, decontamination, quality,
+    //    split, packing) are each timed as their OWN query; timing the
+    //    composition would double-count every one of them.
+    // Every distributed operator these exercise is timed by other queries.
+    val skip = Set("q_pipeline_verify", "q_minhash_est_error", "q_curate")
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query filter for local
     // iteration on one hot spot (full set when unset — the driver's mode)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

@@ -1038,6 +1038,21 @@ object SparkEntry {
         n = 3, minJaccard = 0.5, maxDocFreq = 20L)
     },
 
+    // The COMPOSED curation pipeline end-to-end (exact dedup → Jaccard-CC
+    // near dedup → eval decontamination → quality gate → split → salted
+    // packing), previously spec-verified only — now oracle-verified: the
+    // DuckDB twin replays every stage (curateOracleSql), so a regression
+    // in stage ORDER or inter-stage plumbing hash-fails, not just a
+    // regression inside one operator. report=false = the pure lazy plan.
+    "q_curate" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val evalSet = docs.where(col("doc_id").isin(5L, 17L, 42L))
+      graft.ops.Curate.run(docs, "doc_id", "text", evalSet, report = false)
+        .docs
+        .select(col("doc_id"), col("quality_score"), col("split"),
+          col("pack_bucket"), col("pack_bin"), col("bin_offset"))
+    },
+
     // Substring-level duplicated spans (Lee et al. 2022 at k-token window
     // granularity): per-doc duplicated-token coverage from corpus-wide
     // repeated 8-token windows, interval-union merged. Bit-exact: window
@@ -2176,6 +2191,106 @@ object SparkEntry {
   private val lineitemCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
     "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
     "l_returnflag", "l_linestatus", "l_shipdate")
+
+  /** Oracle for `q_curate`: the ENTIRE composed curation pipeline
+    * replayed stage by stage — exact dedup (min-id per md5), the n-gram
+    * Jaccard pair chain (same text as [[jaccardPairsCtes]], re-prefixed
+    * to read the exact-dedup survivors), recursive-CTE connected
+    * components, 5-gram decontamination against the (5,17,42) eval set,
+    * the composite quality score (identical expression set to the
+    * q_text_analyze oracle), the 9000/500/500 portable-hash split, and
+    * split-salted running-sum packing.
+    */
+  private val curateOracleSql: String =
+    """WITH RECURSIVE
+      |base AS (SELECT doc_id, text FROM documents),
+      |ex AS (SELECT b.doc_id, b.text FROM base b
+      |       JOIN (SELECT min(doc_id) AS keep FROM base GROUP BY md5(text)) k
+      |         ON b.doc_id = k.keep),
+      |jt AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM ex),
+      |jsh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |        FROM jt WHERE len(t) >= 3),
+      |je AS (SELECT doc_id, unnest(s) AS shingle FROM jsh),
+      |jrare AS (SELECT shingle FROM je GROUP BY shingle HAVING count(*) <= 20),
+      |jidx AS (SELECT je.doc_id, je.shingle FROM je JOIN jrare USING (shingle)),
+      |jcommon AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      |            FROM jidx a JOIN jidx b
+      |              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |            GROUP BY 1, 2),
+      |jsizes AS (SELECT doc_id, count(*) AS n_sh FROM jidx GROUP BY 1),
+      |pairs AS (SELECT id_a, id_b FROM jcommon
+      |          JOIN jsizes sa ON sa.doc_id = id_a
+      |          JOIN jsizes sb ON sb.doc_id = id_b
+      |          WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+      |labels AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id),
+      |near AS (SELECT * FROM ex
+      |         WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label)),
+      |dt AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM near),
+      |dsh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |               || ' ' || t[i+4])) AS s
+      |        FROM dt WHERE len(t) >= 5),
+      |de AS (SELECT doc_id, unnest(s) AS shingle FROM dsh),
+      |et AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM base
+      |       WHERE doc_id IN (5, 17, 42)),
+      |esh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 3),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |               || ' ' || t[i+4])) AS s
+      |        FROM et WHERE len(t) >= 5),
+      |ee AS (SELECT doc_id AS eval_id, unnest(s) AS shingle FROM esh),
+      |erare AS (SELECT shingle FROM ee GROUP BY shingle HAVING count(*) <= 10),
+      |evi AS (SELECT eval_id, shingle FROM ee JOIN erare USING (shingle)),
+      |contaminated AS (
+      |  SELECT de.doc_id FROM de JOIN evi USING (shingle)
+      |  GROUP BY 1 HAVING count(DISTINCT de.shingle) >= 3),
+      |clean AS (SELECT * FROM near
+      |          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |qt AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+      |       FROM clean),
+      |q AS (SELECT doc_id,
+      |        CAST(len(t) AS BIGINT) AS n_tokens,
+      |        round(4e-1 * least(CAST(len(t) AS DOUBLE) / 100e0, 1e0)
+      |          + 3e-1 * least(coalesce(CAST(len(list_filter(t, x -> x IN
+      |              ('the','a','an','of','and','to','in','is','it','for')))
+      |              AS DOUBLE)
+      |              / CAST(nullif(len(t), 0) AS DOUBLE), 0e0) * 5e0, 1e0)
+      |          + 3e-1 * (CASE WHEN
+      |              coalesce(CAST(list_sum(list_transform(t, x -> length(x)))
+      |                AS DOUBLE)
+      |                / CAST(nullif(len(t), 0) AS DOUBLE), 0e0) >= 3e0
+      |              AND
+      |              coalesce(CAST(list_sum(list_transform(t, x -> length(x)))
+      |                AS DOUBLE)
+      |                / CAST(nullif(len(t), 0) AS DOUBLE), 0e0) <= 10e0
+      |              THEN 1e0 ELSE 5e-1 END), 4) AS quality_score
+      |      FROM qt),
+      |kept AS (SELECT * FROM q WHERE quality_score >= 0.3),
+      |spl AS (SELECT *,
+      |         CASE WHEN (doc_id * 2654435761 + 104729) % 4294967296 % 10000
+      |                < 9000 THEN 'train'
+      |              WHEN (doc_id * 2654435761 + 104729) % 4294967296 % 10000
+      |                < 9500 THEN 'val'
+      |              ELSE 'test' END AS split,
+      |         doc_id % 32 AS pack_bucket
+      |       FROM kept),
+      |packed AS (
+      |  SELECT doc_id, quality_score, split, pack_bucket,
+      |    CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_bin,
+      |    CAST((cum - n_tokens) - ((cum - n_tokens) // 2048) * 2048 AS BIGINT)
+      |      AS bin_offset
+      |  FROM (SELECT *, sum(n_tokens) OVER (PARTITION BY split, pack_bucket
+      |          ORDER BY n_tokens DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |        FROM spl))
+      |SELECT doc_id, quality_score, split,
+      |  CAST(pack_bucket AS BIGINT) AS pack_bucket, pack_bin, bin_offset
+      |FROM packed""".stripMargin
 
   /** Shared CTE chain for the duplicated-span stats (DuckDB mirror of
     * [[graft.ops.Dedup.duplicatedSpans]]): same `\w+` token stream, same
@@ -4070,6 +4185,8 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" ->
       s"""WITH $jaccardPairsCtes
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs""".stripMargin,
+
+    "q_curate" -> curateOracleSql,
 
     "q_dedup_spans" ->
       s"""WITH ${duplicatedSpansCtes(8)}
