@@ -19,6 +19,35 @@ def norm(df):
     df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
     return df
 
+def canon_type(t):
+    """Canonical type label for the declared-type parity gate.
+
+    Both sides are read through DuckDB (the Spark result via its written
+    parquet, the oracle via DESCRIBE <sql>), so both arrive in DuckDB's
+    type vocabulary; the only aliasing needed is the timestamp precision
+    parquet round-trips introduce. Everything else — decimal precision/
+    scale included — must match EXACTLY: the driver hashes serialized
+    values, and a DECIMAL(28,7)-vs-DOUBLE or HUGEINT-vs-BIGINT drift that
+    is value-equal still hash-fails (shipped 3 fails in r2, 2 in r4).
+    """
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return canon_type(t[:-2]) + "[]"
+    if t.startswith("TIMESTAMP"):           # TIMESTAMP_NS / TIMESTAMP(6) / INT96
+        return "TIMESTAMP"
+    return t
+
+def type_mismatches(con, files, sql):
+    got = {r[0]: canon_type(r[1]) for r in
+           con.execute(f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()}
+    exp = {r[0]: canon_type(r[1]) for r in
+           con.execute(f"DESCRIBE {sql}").fetchall()}
+    bad = []
+    for c in sorted(set(got) | set(exp)):
+        if got.get(c) != exp.get(c):
+            bad.append(f"{c}: spark={got.get(c)} duck={exp.get(c)}")
+    return bad
+
 def cmp_cell(a, b):
     if a is None and b is None:
         return True
@@ -57,6 +86,12 @@ def main():
             exp = con.sql(oracle[name]).df()
         except Exception as ex:
             failures.append((name, f"oracle SQL error: {ex}")); continue
+        # declared-type parity BEFORE the cell compare: value-equal type
+        # drift is invisible to cells but fails the driver's hash
+        drift = type_mismatches(con, files, oracle[name])
+        if drift:
+            failures.append((name, "type drift: " + "; ".join(drift)))
+            continue
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             failures.append((name, f"schema: spark={list(g.columns)} duck={list(e.columns)}"))

@@ -1807,7 +1807,8 @@ object SparkEntry {
           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
           GROUP BY l_suppkey)
-        SELECT s_suppkey, s_name, total_rev_fp / 10000.0 AS total_revenue
+        SELECT s_suppkey, s_name,
+          CAST(total_rev_fp AS DOUBLE) / 10000.0 AS total_revenue
         FROM v_supplier
         JOIN revenue ON s_suppkey = supplier_no
         WHERE total_rev_fp = (SELECT max(total_rev_fp) FROM revenue)
@@ -2427,8 +2428,8 @@ object SparkEntry {
        |    FROM cand) WHERE rnk <= 1)
        |SELECT e.probe_id,
        |  count(*) AS n_exact,
-       |  sum(coalesce(a.hit, 0)) AS n_found,
-       |  (sum(coalesce(a.hit, 0)) / count(*)) AS recall_at_k,
+       |  CAST(sum(coalesce(a.hit, 0)) AS BIGINT) AS n_found,
+       |  (CAST(sum(coalesce(a.hit, 0)) AS BIGINT) / count(*)) AS recall_at_k,
        |  max(coalesce(a.n_candidates, 0)) AS n_candidates
        |FROM exact e LEFT JOIN ann a
        |  ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
@@ -3494,7 +3495,8 @@ object SparkEntry {
 
     "q_range_join" ->
       """SELECT s.l_suppkey, s.qtr, count(*) AS n_orders
-        |FROM (SELECT l_suppkey, date_trunc('quarter', l_shipdate) AS qtr,
+        |FROM (SELECT l_suppkey,
+        |        CAST(date_trunc('quarter', l_shipdate) AS TIMESTAMP) AS qtr,
         |        min(l_shipdate) AS st, max(l_shipdate) AS en
         |      FROM lineitem WHERE l_suppkey % 20 = 0 GROUP BY 1, 2) s
         |JOIN (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey % 50 = 0) p
@@ -3776,7 +3778,7 @@ object SparkEntry {
         |  SELECT CAST(count(DISTINCT u0) AS BIGINT) AS n_nodes
         |  FROM (SELECT u AS u0 FROM pe UNION ALL SELECT v FROM pe))
         |SELECT nd.n_nodes, st.n_edges, tri.n_triangles,
-        |       tri.n_triangles * 1000.0 AS est_total
+        |       CAST(tri.n_triangles AS DOUBLE) * 1000.0 AS est_total
         |FROM st, nd, tri""".stripMargin,
 
     "q_bloom_prune" ->
@@ -4472,7 +4474,8 @@ object SparkEntry {
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, total_rev_fp / 10000.0 AS total_revenue
+        |SELECT s_suppkey, s_name,
+        |  CAST(total_rev_fp AS DOUBLE) / 10000.0 AS total_revenue
         |FROM supplier
         |JOIN revenue ON s_suppkey = supplier_no
         |WHERE total_rev_fp = (SELECT max(total_rev_fp) FROM revenue)

@@ -890,9 +890,16 @@ object Dedup {
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
       index: graft.ops.Similarity.IvfIndex, minCosine: Double = 0.95): DataFrame = {
     import graft.functions.VectorFunctions
+    // The assignment (a k·dim argmin kernel over EVERY vector) is the
+    // dominant per-vector cost and feeds three consumers (both self-join
+    // sides and the final select) — lazily localCheckpoint so it computes
+    // once per action instead of three times. Blocks belong to the first
+    // materializing action; partitioning preservation doesn't matter here
+    // (the pair join re-shuffles on centroid_id regardless).
     val assigned = Similarity.ivfAssign(vecs, idCol, vecCol, index)
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
         col("centroid_id").cast(LongType).as("centroid_id"))
+      .localCheckpoint(false)
     val dropped = assigned.as("x")
       .join(assigned.as("y"),
         col("x.centroid_id") === col("y.centroid_id") &&

@@ -194,6 +194,16 @@ object Sampling {
       "target weights must be positive permyriad summing to at most 10000")
     require(budget > 0 && budget < 900000000000L,
       "budget must be positive and below 9e11 (exact-arithmetic bound)")
+    // quota floor(pm·budget/10000) = 0 would give the domain ring
+    // threshold 0 — TOTAL silent dropout of a domain the mixture names,
+    // the exact cliff the ring design exists to avoid, just triggered by
+    // a small budget instead of a large domain. Fail loudly instead.
+    targets.foreach { case (dom, pm) =>
+      require(pm.toLong * budget >= 10000L,
+        s"mixture target '$dom' (weight $pm permyriad of budget $budget) " +
+          "rounds to a zero-row quota — raise the budget or the weight so " +
+          "every named domain keeps at least one row")
+    }
     val session = df.sparkSession
     import session.implicits._
     val tdf = targets.toDF("__dom", "__target_pm")

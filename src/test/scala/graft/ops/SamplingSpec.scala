@@ -152,6 +152,16 @@ class SamplingSpec extends SparkSpec {
     assert(byLang("fr") === 1200L)
   }
 
+  test("mixtureSelect: a zero-row quota fails loudly instead of silently emptying the domain") {
+    // en at 1 permyriad of a 5000-row budget → quota floor(1*5000/10000)=0:
+    // before the guard this SELECTED NOTHING for a domain the mixture names
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.mixtureSelect(docs, "doc_id", "lang",
+        targets = Seq("en" -> 1, "de" -> 9999), budget = 5000L)
+    }
+    assert(ex.getMessage.contains("zero-row quota"))
+  }
+
   test("mixtureSelect: selection is key-stable under repartitioning") {
     val a = Sampling.mixtureSelect(docs, "doc_id", "lang",
       targets = Seq("en" -> 3000, "de" -> 7000), budget = 300L)
