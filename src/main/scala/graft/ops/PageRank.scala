@@ -10,12 +10,20 @@ import org.apache.spark.sql.functions._
   * Scale shape (same discipline as
   * [[Dedup.connectedComponents]]): each iteration is one shuffled
   * equi-join (ranks ⋈ edges on src) plus one partial-aggregatable sum to
-  * dst grain — no driver-side per-row work; the two driver-visible
-  * scalars per iteration (dangling mass, for mass conservation) are
-  * 1-row aggregates, the iterative-algorithm analogue of a convergence
-  * check. Every round is `localCheckpoint`ed lazily so lineage stays
-  * constant-depth and the materializing action is the round's own
-  * aggregate.
+  * dst grain — no driver-side per-row work. Two per-iteration floor
+  * cuts (the r4 verdict's finding):
+  *  - the dangling mass (rank parked on nodes with no out-edges,
+  *    teleported uniformly) is FUSED into the contribution aggregation
+  *    as a sentinel dst key and re-enters the next round through a
+  *    broadcast 1-row scalar carrier — no separate dangling job, no
+  *    driver round-trip inside the loop;
+  *  - each node's out-degree is CARRIED on the rank frame itself
+  *    (static per graph), so rounds never re-join the degree table.
+  * The contribution aggregate is lazily `localCheckpoint`ed every 2nd
+  * round (every round was measured slower — each forced materialization
+  * adds AQE job-scheduling gaps); exchange reuse dedups the shared
+  * subtrees of the uncheckpointed rounds, and the final action cascades
+  * the materializations.
   *
   * Float caveat: rank sums are double aggregations whose low bits depend
   * on partition merge order — PageRank is therefore NOT cross-engine
@@ -24,6 +32,40 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Sentinel dst key carrying the round's dangling mass through the
+    * SAME shuffle/aggregation as the real contributions. Reserved: an
+    * input node with this id would collide (both `run`s fail fast). */
+  private val DanglingKey = Long.MinValue
+
+  /** Static graph frames, one materialization pass each:
+    * (edges, nodes-with-degree (id, out_deg nullable), node count).
+    * The sentinel-collision check shares the node-count aggregate —
+    * no extra job. */
+  private def graphFrames(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame, Long) = {
+    // LAZY checkpoints: the node-count aggregate below is the single
+    // setup job that materializes e AND nodesDeg (blocks cache on first
+    // compute) — eager checkpoints here cost two extra full-scan jobs
+    // null endpoints are dropped (they are not nodes; an unfiltered null
+    // dst would misroute its contribution to the dangling sentinel)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(false)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val nodesDeg = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .join(outDeg, col("id") === col("src"), "left_outer")
+      .select(col("id"), col("out_deg"))
+      .localCheckpoint(false)
+    val row = nodesDeg.agg(count(lit(1)),
+      count(when(col("id") === DanglingKey, lit(1)))).head()
+    require(row.getLong(1) == 0L,
+      s"node id $DanglingKey is reserved as the dangling-mass sentinel")
+    (e, nodesDeg, row.getLong(0))
+  }
+
   /** @param edges   directed edge list (duplicate edges count as weight)
     * @param iters   fixed iteration count (10–20 suffices at damping 0.85)
     * @param damping probability of following an edge vs teleporting
@@ -31,37 +73,44 @@ object PageRank {
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 10, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint(true)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-      .localCheckpoint(true)
-    val n = nodes.count().toDouble
-
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
-      .localCheckpoint(true)
-    (0 until iters).foreach { _ =>
-      val withDeg = ranks.join(outDeg, ranks("id") === outDeg("src"), "left_outer")
-      // mass parked on dangling nodes (no out-edges) teleports uniformly
-      val danglingMass = withDeg.where(col("out_deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-      val contribs = withDeg.where(col("out_deg").isNotNull)
-        .select(col("id"), (col("rank") / col("out_deg")).as("contrib"))
-        .join(e, col("id") === col("src"))
+    val (e, nodesDeg, n0) = graphFrames(edges, srcCol, dstCol)
+    val n = n0.toDouble
+    var ranks = nodesDeg.withColumn("rank", lit(1.0 / n))
+    (0 until iters).foreach { i =>
+      // ONE left join routes BOTH streams: a node with out-edges fans out
+      // one contribution row per edge; a dangling node survives the left
+      // join unmatched and its full rank lands on the sentinel key — no
+      // where-split, no union, one aggregation serves both
+      var inMass = ranks
+        .join(e, col("id") === col("src"), "left_outer")
+        .select(coalesce(col("dst"), lit(DanglingKey)).as("dst"),
+          when(col("out_deg").isNotNull, col("rank") / col("out_deg"))
+            .otherwise(col("rank")).as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))
-      val base = (1.0 - damping) / n + damping * danglingMass / n
-      ranks = nodes
-        .join(contribs.select(col("dst").as("id"), col("in_mass")), Seq("id"), "left_outer")
-        .select(col("id"),
-          (lit(base) + lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
-        .localCheckpoint(false) // materialized by next round's aggregates
+      // alternate rounds rely on exchange reuse to dedup the shared
+      // subtree; a lazy checkpoint every 2nd round caps lineage depth
+      // (checkpointing every round was measured SLOWER — each forced
+      // materialization adds AQE job-scheduling gaps)
+      if (i % 2 == 0) inMass = inMass.localCheckpoint(false)
+      // the dangling scalar stays DISTRIBUTED: a broadcast 1-row carrier
+      // (agg over the ≤1 sentinel row, so exactly one row always exists)
+      val dangling = inMass.where(col("dst") === DanglingKey)
+        .agg(coalesce(sum(col("in_mass")), lit(0.0)).as("__dm"))
+      // same IEEE op order as the former driver-side base:
+      // (1-d)/n + (d·dm)/n, then + d·in_mass
+      ranks = nodesDeg
+        .join(inMass.where(col("dst") =!= DanglingKey)
+          .select(col("dst").as("id"), col("in_mass")), Seq("id"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"), col("out_deg"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("__dm") / lit(n) +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+      // no rank checkpoint: the frame is one join+projection over the
+      // (periodically checkpointed) inMass and the cached nodesDeg —
+      // exchange reuse carries the uncheckpointed rounds
     }
-    ranks
+    ranks.select(col("id"), col("rank"))
   }
 
   /** Fixed-point PageRank: ranks are BIGINT multiples of 1/`scale`, and
@@ -83,47 +132,42 @@ object PageRank {
     * CAST normalizes.)
     *
     * Same iteration shape as [[run]]: per round one shuffled equi-join
-    * plus a partial-aggregatable integer sum to dst grain, constant-depth
-    * lineage via lazy localCheckpoint, and a 1-row dangling-mass
-    * aggregate as the driver-visible scalar.
+    * plus a partial-aggregatable integer sum to dst grain (the dangling
+    * mass fused in as the sentinel key, re-entering via a broadcast
+    * 1-row carrier; out-degree carried on the rank frame — zero
+    * per-iteration driver jobs, no degree re-join), constant-depth
+    * lineage via lazy localCheckpoint.
     */
   def runFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 10, dampingNum: Long = 85L, dampingDen: Long = 100L,
       scale: Long = 1000000000000000L): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint(true)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-      .localCheckpoint(true)
-    val n = nodes.count()
-
-    var ranks = nodes.select(col("id"), lit(scale / n).as("rank_fp"))
-      .localCheckpoint(true)
-    (0 until iters).foreach { _ =>
-      val withDeg = ranks.join(outDeg, ranks("id") === outDeg("src"), "left_outer")
-      val danglingMass = withDeg.where(col("out_deg").isNull)
-        .agg(coalesce(sum(col("rank_fp")), lit(0L))).head().getLong(0)
-      val contribs = withDeg.where(col("out_deg").isNotNull)
-        .select(col("id"), expr("rank_fp div out_deg").as("contrib"))
-        .join(e, col("id") === col("src"))
+    val (e, nodesDeg, n) = graphFrames(edges, srcCol, dstCol)
+    var ranks = nodesDeg.withColumn("rank_fp", lit(scale / n))
+    (0 until iters).foreach { i =>
+      // same one-left-join routing as [[run]] (see comment there)
+      var inMass = ranks
+        .join(e, col("id") === col("src"), "left_outer")
+        .select(coalesce(col("dst"), lit(DanglingKey)).as("dst"),
+          when(col("out_deg").isNotNull, expr("rank_fp div out_deg"))
+            .otherwise(col("rank_fp")).as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))
-      // teleport + redistributed dangling mass, one integer expression;
-      // evaluated in Scala Long arithmetic == the oracle's BIGINT `//`
-      // (both operands nonnegative, so floor == truncate)
-      val base = ((dampingDen - dampingNum) * scale + dampingNum * danglingMass) /
-        (dampingDen * n)
-      ranks = nodes
-        .join(contribs.select(col("dst").as("id"), col("in_mass")), Seq("id"), "left_outer")
-        .select(col("id"),
-          (lit(base) +
+      if (i % 2 == 0) inMass = inMass.localCheckpoint(false) // see run()
+      val dangling = inMass.where(col("dst") === DanglingKey)
+        .agg(coalesce(sum(col("in_mass")), lit(0L)).as("__dm"))
+      // teleport + redistributed dangling mass: BIGINT `div` of
+      // nonnegative operands == the oracle's `//` == the former Scala
+      // Long `/`; products bounded by dampingNum·scale ≈ 1e17 < 2^63
+      ranks = nodesDeg
+        .join(inMass.where(col("dst") =!= DanglingKey)
+          .select(col("dst").as("id"), col("in_mass")), Seq("id"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"), col("out_deg"),
+          (expr(s"((${dampingDen - dampingNum} * ${scale}L + $dampingNum * __dm)" +
+            s" div (${dampingDen * n}L)) ") +
             expr(s"($dampingNum * coalesce(in_mass, 0L)) div $dampingDen")).as("rank_fp"))
-        .localCheckpoint(false) // materialized by next round's aggregates
+      // no rank checkpoint — see run()
     }
-    ranks
+    ranks.select(col("id"), col("rank_fp"))
   }
 }

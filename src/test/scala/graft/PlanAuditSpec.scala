@@ -274,9 +274,12 @@ class PlanSweepSpec extends SparkSpec {
   //    (n_nodes, n_edges, n_triangles) into the single stats row
   //  - q_unigram_logprob cross-joins the 1-ROW broadcast corpus token
   //    total onto the (doc, token) frame
+  //  - q_pagerank cross-joins the 1-ROW broadcast dangling-mass carrier
+  //    into each round's rank projection (the fusion that removed the
+  //    per-iteration driver scalar job — r4 verdict item 4)
   private val cartesianOk =
     Set("q_ann_recall", "q_bm25_search", "q_ann_quantized", "q_triangle_count",
-      "q_unigram_logprob")
+      "q_unigram_logprob", "q_pagerank")
 
   test("no accidental cartesian or nested-loop joins in any driver query") {
     val problems = scala.collection.mutable.ListBuffer.empty[String]
