@@ -595,14 +595,17 @@ object SparkEntry {
         minCount = 3L)
     },
 
-    // BPE tokenizer training (Sennrich et al. 2016): the first 12 learned
-    // merges over the corpus word table — max-frequency pair per round,
-    // lexicographic tie-break, greedy-left overlap. The oracle replays all
-    // 12 rounds as unrolled DuckDB CTEs (argmax included) and must land on
-    // the identical merge table — the same replay pattern that oracled the
-    // Lloyd quantizer training.
+    // BPE tokenizer training (Sennrich et al. 2016), BATCHED schedule
+    // (r5): 12 learned merges over the corpus word table, up to 6
+    // mutually symbol-disjoint pairs accepted per frequency snapshot and
+    // applied in one window pass — the scalable-BPE trick that cuts 12
+    // sequential driver rounds to ~2-4. The oracle replays every round
+    // as unrolled DuckDB CTEs INCLUDING the greedy acceptance scan and
+    // must land on the identical merge table — the same replay pattern
+    // that oracled the Lloyd quantizer training.
     "q_bpe_merges" -> q { (s, dir) =>
-      Bpe.trainMerges(Tables.documents(s, dir), "text", numMerges = 12)
+      Bpe.trainMergesBatched(Tables.documents(s, dir), "text",
+        numMerges = 12, maxBatch = 6, scanDepth = 12)
     },
 
     // Applying a FIXED merge table: per-document word and BPE-subtoken
@@ -2908,8 +2911,11 @@ object SparkEntry {
   /** One unrolled BPE merge round as DuckDB CTEs (mirror of
     * [[graft.ops.Bpe]]'s round: pair marking with `lead`, greedy-left
     * overlap resolution by match-run parity, ordered list rebuild).
-    * `top` supplies the round's merge pair CTE `t<i>` — either the argmax
-    * of this round's pair frequencies (training) or a literal (apply).
+    * `top` supplies the round's merge-pair CTE `t<i>` — the batched
+    * acceptance scan (training), or a literal pair (apply). `t<i>` may
+    * hold several mutually symbol-disjoint pairs or none (LEFT JOIN pair
+    * marking: distinct (l,r) rows can't fan out, an empty table marks
+    * nothing and the round is a no-op).
     */
   private def bpeRoundCtes(i: Int, top: String): String =
     s"""e$i AS MATERIALIZED (SELECT word, wcount, unnest(syms) AS sym,
@@ -2918,8 +2924,8 @@ object SparkEntry {
        |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM e$i),
        |$top,
        |mm$i AS MATERIALIZED (SELECT p.word, p.wcount, p.pos, p.sym, p.nxt,
-       |          (p.nxt IS NOT NULL AND p.sym = t.l AND p.nxt = t.r) AS m
-       |        FROM p$i p CROSS JOIN t$i t),
+       |          (t.l IS NOT NULL) AS m
+       |        FROM p$i p LEFT JOIN t$i t ON p.sym = t.l AND p.nxt = t.r),
        |g$i AS MATERIALIZED (SELECT *, sum(CASE WHEN m THEN 1 ELSE 0 END)
        |          OVER (PARTITION BY word ORDER BY pos) AS cm FROM mm$i),
        |k$i AS MATERIALIZED (SELECT *, CASE WHEN m THEN pos - cm END AS grp FROM g$i),
@@ -2941,20 +2947,62 @@ object SparkEntry {
       |  (SELECT unnest(regexp_extract_all(text, '\w+')) AS word FROM documents)
       |  GROUP BY 1))""".stripMargin
 
-  /** Oracle for `q_bpe_merges`: replay all `m` training rounds — each
-    * round's winning pair is the max-frequency (lexicographic tie-break)
-    * argmax over the CURRENT segmentation, exactly the engine's loop.
+  /** Oracle for `q_bpe_merges`: replay all BATCHED training rounds
+    * ([[graft.ops.Bpe.trainMergesBatched]]) — each round takes one
+    * pair-frequency snapshot of the CURRENT segmentation, ranks it
+    * (freq desc, lexicographic tie-break), and accepts up to
+    * least(maxBatch, merges remaining) mutually symbol-disjoint pairs
+    * from the top `scanDepth` rows via an unrolled acceptance-chain CTE
+    * (`a<i>_<j>` decides ranked row j against the rows already accepted —
+    * the same greedy scan as the engine's `selectBatch`, conflict =
+    * shared lhs/rhs/concat symbol). Rounds are unrolled to the worst
+    * case (`m` rounds of batch size 1); once the merge budget is spent
+    * the cap predicate accepts nothing and later rounds replay as
+    * no-ops. `AS MATERIALIZED` throughout — the acceptance chain
+    * references each predecessor three times, which DuckDB would
+    * otherwise inline exponentially.
     */
-  private def bpeMergesOracleSql(m: Int): String = {
-    def top(i: Int) =
+  private def bpeMergesBatchedOracleSql(m: Int, maxBatch: Int,
+      scanDepth: Int): String = {
+    def top(i: Int): String = {
+      val accept = (1 to scanDepth).map { j =>
+        s"""a${i}_$j AS MATERIALIZED (
+           |  SELECT * FROM a${i}_${j - 1}
+           |  UNION ALL
+           |  SELECT c.l, c.r, c.freq,
+           |    (SELECT count(*) FROM a${i}_${j - 1}) + 1 AS ord
+           |  FROM rk$i c
+           |  WHERE c.rk = $j
+           |    AND (SELECT count(*) FROM a${i}_${j - 1})
+           |        < least($maxBatch, $m - (SELECT count(*) FROM tot${i - 1}))
+           |    AND NOT EXISTS (SELECT 1 FROM a${i}_${j - 1} a
+           |      WHERE c.l IN (a.l, a.r, a.l || a.r)
+           |         OR c.r IN (a.l, a.r, a.l || a.r)
+           |         OR (c.l || c.r) IN (a.l, a.r, a.l || a.r)))""".stripMargin
+      }.mkString(",\n")
       s"""f$i AS MATERIALIZED (SELECT sym AS l, nxt AS r, CAST(sum(wcount) AS BIGINT) AS freq
          |        FROM p$i WHERE nxt IS NOT NULL GROUP BY 1, 2),
-         |t$i AS MATERIALIZED (SELECT l, r, freq FROM f$i ORDER BY freq DESC, l, r LIMIT 1)""".stripMargin
-    val ctes = bpeWordCte +: (1 to m).map(i => bpeRoundCtes(i, top(i)))
-    val sel = (1 to m)
-      .map(i => s"SELECT CAST($i AS INT) AS merge_rank, l AS lhs, r AS rhs, freq FROM t$i")
-      .mkString("\nUNION ALL ")
-    s"WITH ${ctes.mkString(",\n")}\n$sel"
+         |rk$i AS MATERIALIZED (SELECT l, r, freq, rk FROM (
+         |        SELECT l, r, freq,
+         |          row_number() OVER (ORDER BY freq DESC, l, r) AS rk FROM f$i)
+         |        WHERE rk <= $scanDepth),
+         |a${i}_0 AS MATERIALIZED (SELECT '' AS l, '' AS r, CAST(0 AS BIGINT) AS freq,
+         |        CAST(0 AS BIGINT) AS ord WHERE FALSE),
+         |$accept,
+         |t$i AS MATERIALIZED (SELECT l, r, freq, ord FROM a${i}_$scanDepth)""".stripMargin
+    }
+    def tot(i: Int): String =
+      s"""tot$i AS MATERIALIZED (SELECT * FROM tot${i - 1}
+         |  UNION ALL SELECT l, r, freq, $i AS rnd, ord FROM t$i)""".stripMargin
+    val tot0 =
+      """tot0 AS MATERIALIZED (SELECT '' AS l, '' AS r, CAST(0 AS BIGINT) AS freq,
+        |  0 AS rnd, CAST(0 AS BIGINT) AS ord WHERE FALSE)""".stripMargin
+    val rounds = (1 to m).map(i => s"${bpeRoundCtes(i, top(i))},\n${tot(i)}")
+    val ctes = (bpeWordCte +: tot0 +: rounds).mkString(",\n")
+    s"""WITH $ctes
+       |SELECT CAST(row_number() OVER (ORDER BY rnd, ord) AS INT) AS merge_rank,
+       |  l AS lhs, r AS rhs, freq
+       |FROM tot$m""".stripMargin
   }
 
   /** Oracle for `q_bpe_segment`: replay a FIXED merge list (literal pair
@@ -3705,7 +3753,8 @@ object SparkEntry {
 
     "q_unigram_logprob" -> unigramLogProbOracleSql(minCount = 3L),
 
-    "q_bpe_merges" -> bpeMergesOracleSql(m = 12),
+    "q_bpe_merges" -> bpeMergesBatchedOracleSql(m = 12, maxBatch = 6,
+      scanDepth = 12),
 
     "q_bpe_segment" -> bpeSegmentOracleSql(
       Seq(("a", "b"), ("l", "e"), ("ab", "le"))),

@@ -50,21 +50,36 @@ object Bpe {
       .agg(sum(col("wcount")).as("freq"))
   }
 
-  /** Apply ONE merge (l, r) to every word's symbol sequence, greedy
-    * left-to-right non-overlapping. One window stage over the word
-    * partition; the rebuilt array comes from an order-independent
-    * sorted-struct aggregation.
+  /** Apply ONE merge (l, r): the single-pair case of [[applyMergeBatch]]. */
+  private[graft] def applyMerge(words: DataFrame, l: String, r: String): DataFrame =
+    applyMergeBatch(words, Seq((l, r)))
+
+  /** Apply a BATCH of mutually non-interacting merges in one window pass,
+    * greedy left-to-right non-overlapping per pair. The batch contract
+    * (enforced by [[trainMergesBatched]]'s selection rule): no two pairs
+    * share a symbol, including each pair's produced symbol — so matches
+    * of different pairs can never occupy adjacent positions (adjacency
+    * would mean a shared symbol at the junction), every maximal run of
+    * consecutive match positions belongs to ONE pair, and the
+    * single-pair parity rule applies to each run unchanged.
+    *
+    * One window stage over the word partition; the rebuilt array comes
+    * from an order-independent sorted-struct aggregation.
     */
-  private def applyMerge(words: DataFrame, l: String, r: String): DataFrame = {
+  private[graft] def applyMergeBatch(words: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "applyMergeBatch needs at least one pair")
     val w = Window.partitionBy(col("word")).orderBy(col("pos"))
     val wRun = Window.partitionBy(col("word")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wGrp = Window.partitionBy(col("word"), col("grp"))
+    val matchAny = pairs
+      .map { case (l, r) => col("sym") === lit(l) && col("nxt") === lit(r) }
+      .reduce(_ || _)
     val exploded = words
       .select(col("word"), col("wcount"), posexplode(col("syms")).as(Seq("pos", "sym")))
       .withColumn("nxt", lead(col("sym"), 1).over(w))
-      .withColumn("m",
-        col("sym") === lit(l) && col("nxt") === lit(r))
+      .withColumn("m", matchAny)
       // greedy-left overlap resolution: among consecutive match runs,
       // keep even offsets (grp = pos - running match count is constant
       // within a run; gmin anchors the run's first position)
@@ -120,6 +135,78 @@ object Bpe {
         parent = Some(words)
         words = applyMerge(words, l, r).localCheckpoint(false)
         step += 1
+      }
+    }
+    parent.foreach(_.unpersist(false))
+    words.unpersist(false)
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
+  /** Pick the round's batch from one ranked frequency snapshot: scan the
+    * top `scanDepth` pairs in (freq desc, lhs, rhs) order and greedily
+    * accept every pair whose symbols — lhs, rhs AND the produced
+    * concatenation — are disjoint from every already-accepted pair's,
+    * stopping at `cap`. Disjointness is what makes the batch well-defined:
+    * no accepted pair's count, match positions, or output can be affected
+    * by applying the others, so one window pass applies them all
+    * ([[applyMergeBatch]]). Deterministic and snapshot-pure, hence
+    * replayable as unrolled SQL. Shared by engine and oracle semantics —
+    * the DuckDB twin unrolls this exact scan as an acceptance-chain CTE.
+    */
+  private[graft] def selectBatch(ranked: Seq[(String, String, Long)],
+      cap: Int): Seq[(String, String, Long)] = {
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val used = scala.collection.mutable.HashSet.empty[String]
+    ranked.foreach { case p @ (l, r, _) =>
+      val syms = Seq(l, r, l + r)
+      if (accepted.size < cap && syms.forall(!used.contains(_))) {
+        accepted += p
+        used ++= syms
+      }
+    }
+    accepted.toSeq
+  }
+
+  /** Batched BPE training (the standard scalable-BPE schedule): each
+    * round takes ONE pair-frequency snapshot, accepts up to `maxBatch`
+    * mutually non-interacting pairs from its top `scanDepth` rows
+    * ([[selectBatch]]), and applies the whole batch in one window pass —
+    * cutting the driver round-trips and per-round job floors from
+    * `numMerges` to ~`numMerges / batch`. Where the sequential greedy
+    * order happens to be non-interacting, the learned table EQUALS
+    * [[trainMerges]]'s (spec-asserted); where pairs interact, the batched
+    * schedule is the DEFINED semantics of this operator and the oracle
+    * replays it exactly (acceptance scan included).
+    *
+    * Scale design: identical to [[trainMerges]] — rounds iterate the
+    * distinct word-count table, never the corpus; the snapshot fetch is a
+    * `scanDepth`-row parameter collect.
+    */
+  def trainMergesBatched(docs: DataFrame, textCol: String, numMerges: Int,
+      maxBatch: Int = 6, scanDepth: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(maxBatch >= 1 && scanDepth >= maxBatch,
+      s"need scanDepth >= maxBatch >= 1, got maxBatch=$maxBatch scanDepth=$scanDepth")
+    var words = wordTable(docs, textCol).localCheckpoint(false)
+    var parent: Option[DataFrame] = None
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      // scanDepth-row parameter fetch: the round's ranked snapshot (this
+      // action materializes `words`, making its parent safe to release)
+      val top = pairFrequencies(words)
+        .orderBy(desc("freq"), col("left"), col("right"))
+        .limit(scanDepth).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      parent.foreach(_.unpersist(false))
+      val batch = selectBatch(top, math.min(maxBatch, numMerges - merges.size))
+      if (batch.isEmpty) exhausted = true
+      else {
+        batch.foreach { case (l, r, f) => merges += ((merges.size + 1, l, r, f)) }
+        parent = Some(words)
+        words = applyMergeBatch(words, batch.map(p => (p._1, p._2)))
+          .localCheckpoint(false)
       }
     }
     parent.foreach(_.unpersist(false))

@@ -61,4 +61,51 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.trainMerges(corpus.repartition(7), "text", 4).collect().toSeq
     assert(a === b)
   }
+
+  test("batched == sequential where the greedy top pairs are symbol-disjoint") {
+    // (a,b)=3, (c,d)=2, (e,f)=1 share no symbols: the sequential greedy
+    // order is non-interacting, so one batch must learn the same table
+    // with the same snapshot frequencies
+    val disjoint = Seq((1L, "ab ab ab"), (2L, "cd cd"), (3L, "ef"))
+      .toDF("doc_id", "text")
+    val seq = Bpe.trainMerges(disjoint, "text", 3).collect().toSeq
+    val bat = Bpe.trainMergesBatched(disjoint, "text", 3,
+      maxBatch = 3, scanDepth = 6).collect().toSeq
+    assert(bat === seq)
+    assert(bat.size === 3)
+  }
+
+  test("batched schedule on interacting pairs: hand-derived acceptance scan") {
+    // round-1 snapshot ranking: (e,s,9), (s,t,9), (l,o,7), (o,w,7) —
+    // (s,t) conflicts with (e,s) on s, (o,w) with (l,o) on o, so the
+    // maxBatch=2 batch is [(e,s), (l,o)]; after applying both, round 2
+    // ranks (es,t,9) first and (lo,w,7) second (disjoint) — cap stops at
+    // numMerges=4
+    val merges = Bpe.trainMergesBatched(corpus, "text", numMerges = 4,
+        maxBatch = 2, scanDepth = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq(
+      (1, "e", "s", 9L),
+      (2, "l", "o", 7L),
+      (3, "es", "t", 9L),
+      (4, "lo", "w", 7L)))
+  }
+
+  test("batched: produced-symbol conflicts are excluded from a batch") {
+    // "abab baba": pairs (a,b)=4? — derive: tokens "abab"(1), "baba"(1).
+    // abab: (a,b),(b,a),(a,b); baba: (b,a),(a,b),(b,a) → (a,b)=3, (b,a)=3.
+    // (a,b) accepted; (b,a) shares both symbols — excluded. The batch is
+    // size 1 even with maxBatch=4.
+    val df = Seq((1L, "abab baba")).toDF("doc_id", "text")
+    val merges = Bpe.trainMergesBatched(df, "text", numMerges = 1,
+        maxBatch = 4, scanDepth = 4)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq(("a", "b", 3L)))
+  }
+
+  test("batched merge table is invariant under corpus repartitioning") {
+    val a = Bpe.trainMergesBatched(corpus, "text", 5).collect().toSeq
+    val b = Bpe.trainMergesBatched(corpus.repartition(7), "text", 5).collect().toSeq
+    assert(a === b)
+  }
 }
