@@ -1056,6 +1056,48 @@ object SparkEntry {
           col("pack_bucket"), col("pack_bin"), col("bin_offset"))
     },
 
+    // APPEND-MODE curation (r5): two daily-cadence batches ingested
+    // against a maintained dedup index (digests + banded k=16 MinHash),
+    // composed from ingestExactIncremental + ingestNearIncremental +
+    // quality gate + split + salted packing (Curate.ingest). The index
+    // grows between batches (batch-2 probes see batch-1 admissions), and
+    // the fixture plants cross-index, in-batch, and cross-BATCH exact
+    // duplicates; near-dup rejections come from the corpus's natural
+    // near-dup clusters. The DuckDB twin replays everything — xxhash64
+    // signatures, band-slice probe, recursive-CTE in-batch components,
+    // the index union, and both batches' quality/split/pack tails.
+    // Constant-size by construction (ids < 500 at every sf): the
+    // incremental contract is O(|batch|), so the query measures the
+    // composition, not the corpus.
+    "q_curate_incremental" -> q { (s, dir) =>
+      import graft.ops.Curate
+      val (bands, rowsPerBand) = (8, 2)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val hist = docs.where(col("doc_id") < 300)
+      val index0 = Curate.DedupIndex(
+        hist.select(md5(col("text")).as("digest")).distinct(),
+        Dedup.buildNearDupIndex(hist, "doc_id", "text", n = 3, bands, rowsPerBand))
+      val batch1 = docs.where(col("doc_id").between(300, 399))
+        .unionByName(docs.where(col("doc_id") === 5)
+          .select(lit(90005L).as("doc_id"), col("text")))   // exact dup of history
+        .unionByName(docs.where(col("doc_id") === 310)
+          .select(lit(91000L).as("doc_id"), col("text")))   // in-batch exact dup
+      val r1 = Curate.ingest(batch1, "doc_id", "text", index0,
+        n = 3, bands = bands, rowsPerBand = rowsPerBand, report = false)
+      val index1 = Curate.DedupIndex(
+        index0.digests.unionByName(r1.newDigests),
+        index0.banded.unionByName(r1.newBandedRows))
+      val batch2 = docs.where(col("doc_id").between(400, 499))
+        .unionByName(docs.where(col("doc_id") === 310)
+          .select(lit(92000L).as("doc_id"), col("text")))   // cross-BATCH exact dup
+      val r2 = Curate.ingest(batch2, "doc_id", "text", index1,
+        n = 3, bands = bands, rowsPerBand = rowsPerBand, report = false)
+      r1.docs.withColumn("batch", lit(1))
+        .unionByName(r2.docs.withColumn("batch", lit(2)))
+        .select(col("batch"), col("doc_id"), col("quality_score"), col("split"),
+          col("pack_bucket"), col("pack_bin"), col("bin_offset"))
+    },
+
     // Substring-level duplicated spans (Lee et al. 2022 at k-token window
     // granularity): per-doc duplicated-token coverage from corpus-wide
     // repeated 8-token windows, interval-union merged. Bit-exact: window
@@ -1185,6 +1227,23 @@ object SparkEntry {
           !exists(col("embedding"), _.isNull))
       Dedup.semanticDedup(emb, "vec_id", "embedding",
         Similarity.IvfIndex(Similarity.fixedCentroids(k = 8, dim = 64), 64),
+        minCosine = 0.95)
+    },
+
+    // SemDeDup with TWO-LEVEL assignment (r5, the SCALING.md next-decade
+    // composition): the cluster key is the k1·k2 sub-cell found in
+    // O(k1+k2)=O(√k) distance evaluations by the fused hier kernel, then
+    // the same cell-bounded pair join + greedy lowest-id keep. Bit-exact:
+    // both seeded centroid tables embed as oracle literals (same geometry
+    // as q_ivf_assign_hier), nested earliest-minimum CASE argmin, DuckDB
+    // native cosine on the within-cell pairs.
+    "q_semantic_dedup_hier" -> q { (s, dir) =>
+      val emb = doubledEmbeddings(s, dir)
+        .where(col("embedding").isNotNull && size(col("embedding")) === 64 &&
+          !exists(col("embedding"), _.isNull))
+      Dedup.semanticDedupHier(emb, "vec_id", "embedding",
+        Similarity.fixedCentroids(4, 64, seed = 7L),
+        Similarity.fixedCentroids(16, 64, seed = 13L), k2 = 4, dim = 64,
         minCosine = 0.95)
     },
 
@@ -2296,6 +2355,156 @@ object SparkEntry {
       |  CAST(pack_bucket AS BIGINT) AS pack_bucket, pack_bin, bin_offset
       |FROM packed""".stripMargin
 
+  /** Oracle for `q_curate_incremental`: the append-mode composition
+    * replayed end-to-end in DuckDB — history index build (distinct md5
+    * digests + k=16 xxhash64 MinHash signatures with the whole-text
+    * fallback for unshingleable docs), then for EACH batch: the exact
+    * stage (digest anti-join against the CURRENT index, min-id per digest
+    * within batch), the near stage (band-slice signature probe against
+    * the index at est ≥ minEst, then in-batch banding pairs → recursive-
+    * CTE connected components keeping lowest id), the index union
+    * feeding batch 2, and the quality/split/pack tail (same expressions
+    * as `curateOracleSql`). Signatures re-derive Spark's xxhash64 via
+    * [[XxHash64Sql]] with the engine's `permSeeds` affine family folded
+    * in the sign-rotated unsigned domain.
+    */
+  private def curateIncrementalOracleSql(bands: Int, rowsPerBand: Int,
+      minEst: Double): String = {
+    val k = bands * rowsPerBand
+    val seeds = graft.ops.Dedup.permSeeds(k)
+    val minCols = seeds.zipWithIndex.map { case ((a, b), i) =>
+      s"min(${XxHash64Sql.affineOrderable("h", a, b)}) AS __mu$i"
+    }.mkString(",\n      ")
+    val signedCols = (0 until k)
+      .map(i => s"${XxHash64Sql.fromOrderable(s"__mu$i")} AS m$i")
+      .mkString(",\n      ")
+    val sigCols = (0 until k).map(i => s"m$i").mkString(", ")
+    val fallbackCols = (0 until k)
+      .map(i => s"coalesce(s.m$i, t.th) AS m$i").mkString(", ")
+    def bandEq(a: String, b: String) = (0 until bands).map { bd =>
+      (0 until rowsPerBand)
+        .map(r => s"$a.m${bd * rowsPerBand + r} = $b.m${bd * rowsPerBand + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n        OR ")
+    def nMatch(a: String, b: String) =
+      (0 until k).map(i => s"($a.m$i = $b.m$i)::INT").mkString(" + ")
+    // signature chain over a (doc_id, text) CTE: real MinHash where
+    // shingles exist, xxhash64(text) repeated otherwise (sigsWithFallback).
+    // Boundary CTEs are AS MATERIALIZED: the src CTE is consumed twice
+    // (shingle chain + whole-text fallback chain) and each batch's sig
+    // table is probed by the NEXT batch — without materialization DuckDB
+    // re-inlines the whole upstream xxhash chain per reference and the
+    // two-batch composition goes combinatorial (see bpeRoundCtes).
+    def sigChain(set: String, src: String): String =
+      s"""${set}_t AS MATERIALIZED (SELECT doc_id, regexp_extract_all(text, '\\w+') AS ts FROM $src),
+         |${set}_shl AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+         |    i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))) AS sl
+         |  FROM ${set}_t WHERE len(ts) >= 3),
+         |${set}_sh AS MATERIALIZED (SELECT doc_id, unnest(sl) AS s FROM ${set}_shl),
+         |${XxHash64Sql.hashCtes(s"${set}_sh", "s", s"${set}_hs", prefix = s"xs$set")},
+         |${set}_mins AS MATERIALIZED (SELECT doc_id,
+         |      $minCols
+         |  FROM ${set}_hs GROUP BY doc_id),
+         |${set}_sig0 AS MATERIALIZED (SELECT doc_id,
+         |      $signedCols
+         |  FROM ${set}_mins),
+         |${XxHash64Sql.hashCtes(src, "text", s"${set}_th", prefix = s"xt$set")},
+         |${set}_thv AS MATERIALIZED (SELECT doc_id, ${XxHash64Sql.toSignedBigint("h")} AS th
+         |  FROM ${set}_th),
+         |${set}_sig AS MATERIALIZED (SELECT t.doc_id, $fallbackCols
+         |  FROM ${set}_thv t LEFT JOIN ${set}_sig0 s USING (doc_id))""".stripMargin
+    // one ingest round: exact stage vs digest index `idx`, near stage vs
+    // signature index `hsig`, accepted rows + quality/split/pack tail
+    def batchRound(b: String, src: String, idx: String, hsig: String): String =
+      s"""${b}_d AS MATERIALIZED (SELECT doc_id, text, md5(text) AS digest FROM $src),
+         |${b}_ex AS MATERIALIZED (SELECT doc_id, text, digest FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rk
+         |    FROM ${b}_d WHERE digest NOT IN (SELECT digest FROM $idx))
+         |  WHERE rk = 1),
+         |${sigChain(b, s"${b}_ex")},
+         |${b}_probe AS MATERIALIZED (SELECT DISTINCT n.doc_id
+         |  FROM ${b}_sig n JOIN $hsig i
+         |    ON (${bandEq("n", "i")})
+         |  WHERE (${nMatch("n", "i")}) / $k.0 >= $minEst),
+         |${b}_pairs AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ${b}_sig a JOIN ${b}_sig b
+         |    ON a.doc_id < b.doc_id AND (${bandEq("a", "b")})
+         |  WHERE (${nMatch("a", "b")}) / $k.0 >= $minEst
+         |    AND a.doc_id NOT IN (SELECT doc_id FROM ${b}_probe)
+         |    AND b.doc_id NOT IN (SELECT doc_id FROM ${b}_probe)),
+         |${b}_edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ${b}_pairs
+         |  UNION SELECT id_b, id_a FROM ${b}_pairs),
+         |${b}_reach(id, r) AS (
+         |  SELECT src, dst FROM ${b}_edges
+         |  UNION
+         |  SELECT ${b}_reach.id, e.dst FROM ${b}_reach
+         |    JOIN ${b}_edges e ON ${b}_reach.r = e.src),
+         |${b}_labels AS MATERIALIZED (SELECT id, least(id, min(r)) AS label
+         |  FROM ${b}_reach GROUP BY id),
+         |${b}_acc AS MATERIALIZED (SELECT doc_id, text, digest FROM ${b}_ex
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM ${b}_probe)
+         |    AND doc_id NOT IN (SELECT id FROM ${b}_labels WHERE id <> label)),
+         |${b}_qt AS MATERIALIZED (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+         |  FROM ${b}_acc),
+         |${b}_q AS (SELECT doc_id,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    round(4e-1 * least(CAST(len(t) AS DOUBLE) / 100e0, 1e0)
+         |      + 3e-1 * least(coalesce(CAST(len(list_filter(t, x -> x IN
+         |          ('the','a','an','of','and','to','in','is','it','for')))
+         |          AS DOUBLE)
+         |          / CAST(nullif(len(t), 0) AS DOUBLE), 0e0) * 5e0, 1e0)
+         |      + 3e-1 * (CASE WHEN
+         |          coalesce(CAST(list_sum(list_transform(t, x -> length(x)))
+         |            AS DOUBLE)
+         |            / CAST(nullif(len(t), 0) AS DOUBLE), 0e0) >= 3e0
+         |          AND
+         |          coalesce(CAST(list_sum(list_transform(t, x -> length(x)))
+         |            AS DOUBLE)
+         |            / CAST(nullif(len(t), 0) AS DOUBLE), 0e0) <= 10e0
+         |          THEN 1e0 ELSE 5e-1 END), 4) AS quality_score
+         |  FROM ${b}_qt),
+         |${b}_kept AS MATERIALIZED (SELECT * FROM ${b}_q WHERE quality_score >= 0.3),
+         |${b}_spl AS MATERIALIZED (SELECT *,
+         |    CASE WHEN (doc_id * 2654435761 + 104729) % 4294967296 % 10000
+         |           < 9000 THEN 'train'
+         |         WHEN (doc_id * 2654435761 + 104729) % 4294967296 % 10000
+         |           < 9500 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    doc_id % 32 AS pack_bucket
+         |  FROM ${b}_kept),
+         |${b}_packed AS (
+         |  SELECT doc_id, quality_score, split, pack_bucket,
+         |    CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_bin,
+         |    CAST((cum - n_tokens) - ((cum - n_tokens) // 2048) * 2048 AS BIGINT)
+         |      AS bin_offset
+         |  FROM (SELECT *, sum(n_tokens) OVER (PARTITION BY split, pack_bucket
+         |          ORDER BY n_tokens DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM ${b}_spl))""".stripMargin
+    val outCols = "doc_id, quality_score, split, " +
+      "CAST(pack_bucket AS BIGINT) AS pack_bucket, pack_bin, bin_offset"
+    s"""WITH RECURSIVE
+       |hist AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+       |idx1 AS MATERIALIZED (SELECT DISTINCT md5(text) AS digest FROM hist),
+       |${sigChain("hh", "hist")},
+       |b1src AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id BETWEEN 300 AND 399
+       |  UNION ALL SELECT 90005 AS doc_id, text FROM documents WHERE doc_id = 5
+       |  UNION ALL SELECT 91000 AS doc_id, text FROM documents WHERE doc_id = 310),
+       |${batchRound("b1", "b1src", "idx1", "hh_sig")},
+       |idx2 AS MATERIALIZED (SELECT digest FROM idx1
+       |  UNION ALL SELECT digest FROM b1_acc),
+       |h2_sig AS MATERIALIZED (SELECT doc_id, $sigCols FROM hh_sig
+       |  UNION ALL SELECT doc_id, $sigCols FROM b1_sig
+       |    WHERE doc_id IN (SELECT doc_id FROM b1_acc)),
+       |b2src AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents WHERE doc_id BETWEEN 400 AND 499
+       |  UNION ALL SELECT 92000 AS doc_id, text FROM documents WHERE doc_id = 310),
+       |${batchRound("b2", "b2src", "idx2", "h2_sig")}
+       |SELECT CAST(1 AS INT) AS batch, $outCols FROM b1_packed
+       |UNION ALL
+       |SELECT CAST(2 AS INT) AS batch, $outCols FROM b2_packed""".stripMargin
+  }
+
   /** Shared CTE chain for the duplicated-span stats (DuckDB mirror of
     * [[graft.ops.Dedup.duplicatedSpans]]): same `\w+` token stream, same
     * md5 window digests, same interval-union running-max sweep, integer
@@ -3142,6 +3351,64 @@ object SparkEntry {
        |FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id""".stripMargin
   }
 
+  /** Oracle for `q_semantic_dedup_hier`: the two-level assignment of
+    * [[hierAssignOracleSql]] (both seeded centroid tables as literals,
+    * distances in kernel accumulation order, nested earliest-minimum
+    * CASE argmin) over the DOUBLED fixture, then the same within-cell
+    * pair join + greedy lowest-id keep as [[semanticDedupOracleSql]].
+    */
+  private def semanticDedupHierOracleSql(k1: Int, k2: Int, dim: Int,
+      minCosine: Double): String = {
+    val sup = Similarity.fixedCentroids(k1, dim, seed = 7L)
+    val sub = Similarity.fixedCentroids(k1 * k2, dim, seed = 13L)
+    def dists(flat: Array[Double], count: Int, prefix: String): String =
+      (0 until count).map { c =>
+        val d = (0 until dim).map { j =>
+          val e = s"(v[${j + 1}] - (${flat(c * dim + j)}))"
+          s"$e * $e"
+        }.mkString(" + ")
+        s"($d) AS $prefix$c"
+      }.mkString(",\n    ")
+    def argminCase(prefix: String, from: Int, count: Int): String =
+      if (count == 1) "0" // a WHEN-less CASE is a parse error
+      else {
+        val cases = (0 until count - 1).map { c =>
+          val conds = (c + 1 until count)
+            .map(o => s"$prefix${from + c} <= $prefix${from + o}").mkString(" AND ")
+          s"WHEN $conds THEN $c"
+        }.mkString("\n      ")
+        s"CASE $cases ELSE ${count - 1} END"
+      }
+    val subSelect = (0 until k1).map { s =>
+      s"WHEN ss = $s THEN $s * $k2 + (${argminCase("du", s * k2, k2)})"
+    }.mkString("\n    ")
+    s"""WITH u AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+       |f AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM u
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |dd AS (
+       |  SELECT vec_id, v,
+       |    ${dists(sup, k1, "ds")},
+       |    ${dists(sub, k1 * k2, "du")}
+       |  FROM f),
+       |sel AS (SELECT *, ${argminCase("ds", 0, k1)} AS ss FROM dd),
+       |asg AS (
+       |  SELECT vec_id, v,
+       |    CAST(CASE $subSelect END AS BIGINT) AS centroid_id
+       |  FROM sel),
+       |drp AS (
+       |  SELECT DISTINCT y.vec_id, TRUE AS is_dropped
+       |  FROM asg x JOIN asg y
+       |    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+       |  WHERE list_cosine_similarity(x.v, y.v) >= $minCosine)
+       |SELECT a.vec_id, a.centroid_id,
+       |  coalesce(d.is_dropped, FALSE) AS is_dropped
+       |FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id""".stripMargin
+  }
+
   /** Oracle for `q_minhash_signatures`: the "engine-internal xxhash"
     * declared-necessity is retired by re-deriving Spark's xxhash64 inside
     * DuckDB ([[XxHash64Sql]]). Tokens → n-gram shingles mirror
@@ -3353,6 +3620,9 @@ object SparkEntry {
     "q_ann_lsh_buckets" -> lshBucketOracleSql(planes = 12, dim = 64),
 
     "q_ivf_assign" -> ivfAssignOracleSql(k = 8, dim = 64),
+
+    "q_semantic_dedup_hier" -> semanticDedupHierOracleSql(k1 = 4, k2 = 4,
+      dim = 64, minCosine = 0.95),
 
     "q_semantic_dedup" -> semanticDedupOracleSql(k = 8, dim = 64,
       minCosine = 0.95),
@@ -4238,6 +4508,9 @@ object SparkEntry {
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs""".stripMargin,
 
     "q_curate" -> curateOracleSql,
+
+    "q_curate_incremental" -> curateIncrementalOracleSql(bands = 8,
+      rowsPerBand = 2, minEst = 0.7),
 
     "q_dedup_spans" ->
       s"""WITH ${duplicatedSpansCtes(8)}

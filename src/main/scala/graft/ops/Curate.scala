@@ -144,4 +144,86 @@ object Curate {
     Curated(packed,
       CurationReport(input, nExact, nNear, nSpan, nClean, nKept, nMixed))
   }
+
+  /** The persisted dedup state an append-mode corpus maintains between
+    * ingest rounds: one 16-byte content digest per admitted doc (exact
+    * stage) and the banded MinHash rows (near stage,
+    * [[Dedup.buildNearDupIndex]] layout). Bodies are never stored. */
+  final case class DedupIndex(digests: DataFrame, banded: DataFrame)
+
+  /** Per-stage surviving-row counts for one ingest round. */
+  final case class IngestReport(batch: Long, afterExactDedup: Long,
+      afterNearDedup: Long, afterQualityFilter: Long, afterMixture: Long)
+
+  /** One ingested batch: the curated rows plus the index DELTA the caller
+    * appends before the next round ([[DedupIndex]] union). */
+  final case class IngestedBatch(docs: DataFrame, newDigests: DataFrame,
+      newBandedRows: DataFrame, report: IngestReport)
+
+  /** Append-mode curation (the reference's daily cadence applied to the
+    * LLM surface): curate ONE new batch against the already-curated
+    * corpus without ever re-reading it — the corpus is represented by
+    * its [[DedupIndex]] (digests + banded signatures), so per-round cost
+    * is O(|batch|) plus two index equi-joins regardless of corpus age.
+    *
+    * Stage order mirrors [[run]]: exact dedup (digest anti-join against
+    * the index, min-id within batch), near dedup
+    * ([[Dedup.ingestNearIncremental]]: index probe, then in-batch
+    * connected components keeping lowest id), quality gate, optional
+    * mixture selection, deterministic hash split, split-salted packing.
+    *
+    * Index-delta contract: a doc enters `newDigests`/`newBandedRows` iff
+    * it survived BOTH dedup stages — the index tracks dedup state, not
+    * the quality/mixture filters (orthogonal concerns: a quality-dropped
+    * doc is still the canonical of its duplicate group, and re-ingesting
+    * it must drop it as a duplicate, not re-admit it). Re-ingesting an
+    * already-ingested batch therefore drops every row (spec-asserted
+    * idempotence).
+    */
+  def ingest(batch: DataFrame, idCol: String, textCol: String,
+      index: DedupIndex,
+      n: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.7,
+      minQuality: Double = 0.3,
+      mixture: Option[MixtureSpec] = None,
+      splits: Seq[(String, Int)] =
+        Seq(("train", 9000), ("val", 500), ("test", 500)),
+      packBudget: Long = 2048L, packBuckets: Int = 32,
+      report: Boolean = true): IngestedBatch = {
+    val intermediates = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cnt(df: DataFrame): (DataFrame, Long) =
+      if (!report) (df, -1L)
+      else {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        intermediates += p
+        (p, p.count())
+      }
+    val input = if (report) batch.count() else -1L
+    // exact stage attaches the digest column the index delta reuses
+    val (exact, nExact) =
+      cnt(Dedup.ingestExactIncremental(batch, index.digests, idCol, textCol))
+    val nearRes = Dedup.ingestNearIncremental(exact, index.banded, idCol,
+      textCol, n, bands, rowsPerBand, minEstJaccard)
+    val (accepted, nNear) = cnt(nearRes.accepted)
+    val newDigests = accepted.select(col("digest"))
+    val scored = accepted
+      .withColumn("__toks", TextAnalysis.tokens(lower(col(textCol))))
+      .withColumn("quality_score",
+        TextAnalysis.qualityScoreFromTokens(col("__toks")))
+    val (kept, nKept) = cnt(scored.where(col("quality_score") >= minQuality))
+    val (mixed, nMixed) = mixture match {
+      case None => (kept, nKept)
+      case Some(m) => cnt(Sampling.mixtureSelect(kept, idCol, m.domainCol,
+        m.targets, m.budget))
+    }
+    val split = Sampling.splitAssign(mixed, idCol, splits)
+    val packed = Sampling.packSequences(
+      split.withColumn("__n_tokens", size(col("__toks")).cast(LongType)),
+      idCol, "__n_tokens", budget = packBudget, buckets = packBuckets,
+      bucketSalt = Some(col("split")))
+      .drop("__n_tokens", "__toks", "digest")
+    if (report) intermediates.dropRight(1).foreach(_.unpersist(false))
+    IngestedBatch(packed, newDigests, nearRes.newIndexRows,
+      IngestReport(input, nExact, nNear, nKept, nMixed))
+  }
 }

@@ -900,6 +900,39 @@ object Dedup {
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
         col("centroid_id").cast(LongType).as("centroid_id"))
       .localCheckpoint(false)
+    dropLowestIdNeighbors(assigned, minCosine)
+  }
+
+  /** SemDeDup at the scaled-k operating point with TWO-LEVEL assignment
+    * ([[Similarity.hierarchicalAssign]]'s fused kernel): the cluster key
+    * is the sub-cell id, found in O(k1 + k2) = O(√k) distance
+    * evaluations per vector instead of O(k) — the SCALING.md next-decade
+    * answer for growing k with the corpus. Same pair-bound contract as
+    * [[semanticDedup]] with k = k1·k2 cells; same greedy lowest-id keep.
+    *
+    * `subFlat` is row-major (k1·k2)×dim with super cell c's sub table at
+    * rows [c·k2, (c+1)·k2) — train one sub fit per super cell
+    * ([[Similarity.trainIvfCentroids]] on the cell's members).
+    */
+  def semanticDedupHier(vecs: DataFrame, idCol: String, vecCol: String,
+      superFlat: Array[Double], subFlat: Array[Double], k2: Int, dim: Int,
+      minCosine: Double = 0.95): DataFrame = {
+    import graft.functions.VectorFunctions
+    val assigned = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .withColumn("centroid_id",
+        VectorFunctions.hierCellF32(col("v"), superFlat, subFlat, k2, dim)
+          .cast(LongType))
+      .localCheckpoint(false) // the √k argmin kernel runs once per action
+    dropLowestIdNeighbors(assigned, minCosine)
+  }
+
+  /** Shared SemDeDup core over a pre-assigned (vec_id, v, centroid_id)
+    * frame: within-cluster pair join (cost Σ cluster², the operator's
+    * scale contract), exact cosine on candidates, drop every vector with
+    * a lower-id neighbor at ≥ `minCosine`. */
+  private def dropLowestIdNeighbors(assigned: DataFrame,
+      minCosine: Double): DataFrame = {
+    import graft.functions.VectorFunctions
     val dropped = assigned.as("x")
       .join(assigned.as("y"),
         col("x.centroid_id") === col("y.centroid_id") &&

@@ -153,17 +153,33 @@ object Similarity {
     */
   def trainIvfCentroids(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, sampleSize: Int = 2048, iters: Int = 10): IvfIndex = {
-    val sample = vecs
-      .where(col(vecCol).isNotNull) // null embeddings cannot train a quantizer
-      .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(sampleSize)
-      .select(col(vecCol))
-      .collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sample = fetchSample(vecs, idCol, vecCol, sampleSize)
     require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
     val dim = sample.head.length
+    IvfIndex(lloyd(sample, k, iters, dim).flatten, dim)
+  }
+
+  /** The `sampleSize` lowest-`xxhash64(id)` vectors — a deterministic,
+    * partitioning-stable TakeOrdered parameter fetch (~1 MB). */
+  private def fetchSample(vecs: DataFrame, idCol: String, vecCol: String,
+      sampleSize: Int): Array[Array[Double]] = vecs
+    .where(col(vecCol).isNotNull) // null embeddings cannot train a quantizer
+    .orderBy(xxhash64(col(idCol)), col(idCol))
+    .limit(sampleSize)
+    .select(col(vecCol))
+    .collect()
+    .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+
+  /** Driver-side Lloyd fit on an in-memory sample: init = first k sample
+    * vectors, strict-`<` squared-L2 argmin with lowest-id tie-break
+    * (kernel contract), empty clusters keep their previous centroid.
+    * Returns min(k, sample.length) centroids of length `dim`.
+    */
+  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int,
+      dim: Int): Array[Array[Double]] = {
     val kk = math.min(k, sample.length)
-    var centroids = Array.tabulate(kk)(i => sample(i).clone())
+    var centroids = Array.tabulate(kk)(i =>
+      java.util.Arrays.copyOf(sample(i), dim)) // short vectors pad with 0.0
     (0 until iters).foreach { _ =>
       val sums = Array.fill(kk)(new Array[Double](dim))
       val counts = new Array[Long](kk)
@@ -186,7 +202,50 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }
     }
-    IvfIndex(centroids.flatten, dim)
+    centroids
+  }
+
+  /** Train the two-level quantizer [[hierarchicalAssign]] consumes, from
+    * ONE bounded sample job: super fit (k1 cells) on the sample, then one
+    * sub fit (k2 cells) per super cell on the sample members that land
+    * there — all driver-side, so the cost of growing k = k1·k2 with the
+    * corpus never adds Spark jobs (vs k1 separate [[trainIvfCentroids]]
+    * calls = k1 sample scans). Returns (superFlat k1×dim, subFlat
+    * row-major (k1·k2)×dim with cell c's block at [c·k2, (c+1)·k2)).
+    *
+    * Degenerate cells stay deterministic and harmless: a super cell with
+    * fewer than k2 sample members pads its sub block by repeating the
+    * super centroid (corpus vectors landing there argmin to the lowest
+    * padded id); sample assignment uses the same strict-`<` lowest-id
+    * tie-break as the distributed kernel.
+    */
+  def trainHierCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      k1: Int, k2: Int, sampleSize: Int = 4096,
+      iters: Int = 10): (Array[Double], Array[Double]) = {
+    val sample = fetchSample(vecs, idCol, vecCol, sampleSize)
+    require(sample.nonEmpty, "cannot train hier centroids on an empty corpus")
+    val dim = sample.head.length
+    val sup = lloyd(sample, k1, iters, dim)
+    val kk1 = sup.length
+    val members = Array.fill(kk1)(scala.collection.mutable.ArrayBuffer
+      .empty[Array[Double]])
+    sample.foreach { v =>
+      var best = 0; var bestDist = Double.MaxValue
+      var c = 0
+      val vd = math.min(dim, v.length)
+      while (c < kk1) {
+        var dist = 0.0; var j = 0
+        while (j < vd) { val d = v(j) - sup(c)(j); dist += d * d; j += 1 }
+        if (dist < bestDist) { bestDist = dist; best = c }
+        c += 1
+      }
+      members(best) += v
+    }
+    val sub = (0 until kk1).flatMap { c =>
+      val fit = lloyd(members(c).toArray, k2, iters, dim)
+      fit ++ Array.fill(k2 - fit.length)(sup(c).clone()) // pad short cells
+    }
+    (sup.flatten, sub.toArray.flatten)
   }
 
   /** Full-corpus Lloyd training where each iteration is ONE distributed

@@ -121,4 +121,44 @@ class CurateSpec extends SparkSpec {
     assert(splitsSeen.subsetOf(Set("train", "val", "test")))
     assert(splitsSeen.contains("train"))
   }
+
+  test("ingest: append-mode composition, index delta, and re-ingest idempotence") {
+    val hist = docs.where($"doc_id" < 300)
+    val (bands, rowsPerBand) = (8, 2)
+    val index0 = Curate.DedupIndex(
+      hist.select(md5($"text").as("digest")).distinct(),
+      Dedup.buildNearDupIndex(hist, "doc_id", "text", n = 3, bands, rowsPerBand))
+    val batch = docs.where($"doc_id".between(300, 399))
+      // exact dup of an indexed doc and an in-batch exact dup pair
+      .unionByName(docs.where($"doc_id" === 5)
+        .select(lit(90005L).as("doc_id"), $"text"))
+      .unionByName(docs.where($"doc_id" === 310)
+        .select(lit(91000L).as("doc_id"), $"text"))
+    val r1 = Curate.ingest(batch, "doc_id", "text", index0,
+      bands = bands, rowsPerBand = rowsPerBand)
+    // the planted exact dups never survive
+    val ids = r1.docs.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(90005L) && !ids.contains(91000L))
+    // stage counts monotone
+    assert(r1.report.afterExactDedup <= r1.report.batch)
+    assert(r1.report.afterNearDedup <= r1.report.afterExactDedup)
+    assert(r1.report.afterQualityFilter <= r1.report.afterNearDedup)
+    // index delta covers exactly the dedup survivors (quality-dropped
+    // docs INCLUDED: the index tracks dedup state, not quality)
+    assert(r1.newDigests.count() === r1.report.afterNearDedup)
+    assert(r1.newBandedRows.select("doc_id").distinct().count()
+      === r1.report.afterNearDedup)
+    // quality gate holds on the output
+    assert(r1.docs.where($"quality_score" < 0.3).count() === 0)
+    // re-ingest the SAME batch against the grown index: everything drops
+    // at the exact stage (idempotence)
+    val index1 = Curate.DedupIndex(
+      index0.digests.unionByName(r1.newDigests),
+      index0.banded.unionByName(r1.newBandedRows))
+    val r2 = Curate.ingest(batch, "doc_id", "text", index1,
+      bands = bands, rowsPerBand = rowsPerBand)
+    assert(r2.report.afterNearDedup === 0L,
+      s"re-ingest admitted ${r2.report.afterNearDedup} docs")
+    assert(r2.docs.count() === 0L)
+  }
 }

@@ -55,4 +55,55 @@ class SemanticDedupSpec extends SparkSpec {
       .orderBy("vec_id").collect().toSeq
     assert(a === b)
   }
+
+  test("hier variant: same drops as flat when every super cell holds one sub cell") {
+    // k2 = 1 with sub == super makes the two-level argmin degenerate to
+    // the flat one — the hier composition must then agree cell-for-cell
+    val df = vecs(
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (3L, Seq(0.1f, 0.9f, 0f, 0f)),
+      (4L, Seq(0.1f, 0.9f, 0.001f, 0f))
+    )
+    val flat = Dedup.semanticDedup(df, "vec_id", "v", index, minCosine = 0.95)
+      .orderBy("vec_id").collect().toSeq
+    val hier = Dedup.semanticDedupHier(df, "vec_id", "v",
+      index.centroidsFlat, index.centroidsFlat, k2 = 1, dim = 4,
+      minCosine = 0.95).orderBy("vec_id").collect().toSeq
+    assert(hier === flat)
+  }
+
+  test("trainHierCentroids: shapes, sub-block locality, empty-cell padding") {
+    // 3 tight natural clusters; k1 = 4 forces at least one empty/short
+    // super cell whose sub block must pad with the super centroid
+    val pts = (0 until 30).map { i =>
+      val c = i % 3
+      (i.toLong, Seq(
+        (if (c == 0) 10f else 0f) + i * 0.001f,
+        (if (c == 1) 10f else 0f),
+        (if (c == 2) 10f else 0f), 0f))
+    }
+    val df = vecs(pts: _*)
+    val (sup, sub) = Similarity.trainHierCentroids(df, "vec_id", "v",
+      k1 = 4, k2 = 2, sampleSize = 30, iters = 5)
+    assert(sup.length === 4 * 4)           // k1 × dim
+    assert(sub.length === 4 * 2 * 4)       // (k1·k2) × dim
+    // determinism: identical tables from a repartitioned input
+    val (sup2, sub2) = Similarity.trainHierCentroids(df.repartition(5),
+      "vec_id", "v", k1 = 4, k2 = 2, sampleSize = 30, iters = 5)
+    assert(sup.toSeq === sup2.toSeq && sub.toSeq === sub2.toSeq)
+    // each sub centroid lies nearer its own super centroid than any other
+    // (block locality), except padded blocks which equal the super exactly
+    (0 until 4).foreach { c =>
+      (0 until 2).foreach { s =>
+        val subC = sub.slice((c * 2 + s) * 4, (c * 2 + s) * 4 + 4)
+        val dists = (0 until 4).map { o =>
+          val supO = sup.slice(o * 4, o * 4 + 4)
+          subC.zip(supO).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+        assert(dists(c) <= dists.min + 1e-9,
+          s"sub cell ($c,$s) strays from its super block")
+      }
+    }
+  }
 }
