@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# Multi-executor evidence run (SCALING.md): launch graft.Bench under
+# spark-submit with a local-cluster master — N REAL executor JVMs, so
+# exchanges serialize, broadcasts cross process boundaries, and each
+# executor has its own memory. The packaged app jar (sbt package) ships
+# the graft classes to the executors.
+#
+# Usage:
+#   sbt package
+#   SPARK_GRAFT_SCALE_DIRS="/tmp/graft_scale/x1;/tmp/graft_scale/x10" \
+#     scripts/local_cluster_bench.sh [master]
+# Default master: local-cluster[4,8,8192] (4 workers x 8 cores x 8 GiB).
+# All SPARK_GRAFT_* envs pass through to graft.Bench unchanged.
+set -euo pipefail
+MASTER="${1:-local-cluster[4,8,8192]}"
+JAR=$(ls "$(dirname "$0")"/../target/scala-2.13/sp500stocketlspark_2.13-*.jar | head -1)
+export SPARK_GRAFT_MASTER="$MASTER"
+export SPARK_GRAFT_EXECUTOR_MEM="${SPARK_GRAFT_EXECUTOR_MEM:-7g}"
+exec /opt/spark/bin/spark-submit \
+  --master "$MASTER" \
+  --driver-memory 8g \
+  --class graft.Bench \
+  "$JAR"

@@ -25,9 +25,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER: override for multi-executor evidence runs —
+    // e.g. local-cluster[4,8,8192] (4 executor JVMs × 8 cores): real
+    // serialized exchanges, broadcast transport, per-executor memory.
+    // Launch via spark-submit with the packaged jar so executor JVMs get
+    // the app classes (scripts/local_cluster_bench.sh). Default stays
+    // the driver's local[N].
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    val spark = sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
+      .fold(builder0)(m => builder0.config("spark.executor.memory", m))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -98,6 +107,12 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
       .sorted
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // per-query raw runs, emitted alongside the min: a loaded box shows up
+    // as BOTH runs shifted (a floor change), while a genuine plan
+    // regression shifts the min — so a reader can tell fake per-query
+    // regressions from real ones (r4 verdict: a loaded driver box
+    // fabricated a 5x dedup "regression" that idle re-runs refuted)
+    val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = names.map { name =>
       val ok = try { runOnce(name); true } catch {
         case e: Throwable =>
@@ -117,6 +132,7 @@ object Bench {
             (System.nanoTime() - t0) / 1e9
           }
           isolate()
+          rawRuns(name) = times
           name -> times.min
         } catch {
           case e: Throwable =>
@@ -150,11 +166,14 @@ object Bench {
         .write.format("noop").mode("overwrite").save())
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val runsJson = rawRuns.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val skipJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"calibration":{"job_floor":${f"$jobFloor%.3f"},"shuffle_floor":${f"$shuffleFloor%.3f"}},"errors":$errJson,"skipped":$skipJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$runsJson,"calibration":{"job_floor":${f"$jobFloor%.3f"},"shuffle_floor":${f"$shuffleFloor%.3f"}},"errors":$errJson,"skipped":$skipJson,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
@@ -176,7 +195,7 @@ object Bench {
     // shuffles / cluster-bounded pairs / vocabulary-not-corpus iteration /
     // map-side-only selection) that the growth column must back
     "q_dedup_spans", "q_semantic_dedup", "q_semantic_dedup_scaledk",
-    "q_bpe_merges", "q_mixture_select")
+    "q_semantic_dedup_hierk", "q_bpe_merges", "q_mixture_select")
 
   /** Study-only query: SemDeDup at its documented OPERATING POINT — the
     * cluster count grows with the corpus so mean cluster size (and with
@@ -207,9 +226,36 @@ object Bench {
     Dedup.semanticDedup(doubled, "vec_id", "embedding", index, minCosine = 0.95)
   }
 
+  /** Study-only query: the scaled-k operating point with TWO-LEVEL
+    * assignment (`Dedup.semanticDedupHier`) — k grows with the corpus as
+    * in [[semanticDedupScaledK]], but the per-vector assignment cost is
+    * O(k1 + k2) = O(√k) instead of O(k), the SCALING.md next-decade
+    * composition. One bounded-sample training job regardless of k
+    * (`Similarity.trainHierCentroids`).
+    */
+  private def semanticDedupHierK(spark: SparkSession, dir: String) = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, Similarity}
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val doubled = emb.unionByName(
+      emb.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+      .where(col("embedding").isNotNull && size(col("embedding")) === 64 &&
+        !exists(col("embedding"), _.isNull))
+    val n = doubled.count()
+    val k = math.max(8, (n / 500L).toInt) // same operating point as scaledk
+    val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val k2 = math.max(2, math.ceil(k.toDouble / k1).toInt)
+    val (sup, sub) = Similarity.trainHierCentroids(doubled, "vec_id",
+      "embedding", k1 = k1, k2 = k2, sampleSize = 4096, iters = 10)
+    Dedup.semanticDedupHier(doubled, "vec_id", "embedding", sup, sub,
+      k2 = k2, dim = 64, minCosine = 0.95)
+  }
+
   private def runScaleStudy(spark: SparkSession, dirs: Seq[String]): Unit = {
     def resolve(name: String, dir: String) = name match {
       case "q_semantic_dedup_scaledk" => semanticDedupScaledK(spark, dir)
+      case "q_semantic_dedup_hierk" => semanticDedupHierK(spark, dir)
       case _ => SparkEntry.queries(name)(spark, dir)
     }
     def timeOnce(name: String, dir: String): Double = {
