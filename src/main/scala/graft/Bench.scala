@@ -189,7 +189,7 @@ object Bench {
     // show that is growth ≤ linear at 10x with stable plans — measured
     // here rather than asserted
     "q_vwap", "q_stats_moments", "q_triangle_count",
-    "q_text_ngram_repetition",
+    "q_text_ngram_repetition", "q_pagerank",
     // round-4 additions: substring-span dedup, SemDeDup, BPE training,
     // mixture selection — each claims a specific scale shape (narrow-key
     // shuffles / cluster-bounded pairs / vocabulary-not-corpus iteration /

@@ -10,15 +10,23 @@ import org.apache.spark.sql.functions._
   * Scale shape (same discipline as
   * [[Dedup.connectedComponents]]): each iteration is one shuffled
   * equi-join (ranks ⋈ edges on src) plus one partial-aggregatable sum to
-  * dst grain — no driver-side per-row work. Two per-iteration floor
-  * cuts (the r4 verdict's finding):
+  * dst grain and a small AQE-broadcast node join — no driver-side
+  * per-row work. Per-iteration floor cuts (the r4 verdict's finding,
+  * tightened in r5):
   *  - the dangling mass (rank parked on nodes with no out-edges,
   *    teleported uniformly) is FUSED into the contribution aggregation
   *    as a sentinel dst key and re-enters the next round through a
   *    broadcast 1-row scalar carrier — no separate dangling job, no
   *    driver round-trip inside the loop;
   *  - each node's out-degree is CARRIED on the rank frame itself
-  *    (static per graph), so rounds never re-join the degree table.
+  *    (static per graph), so rounds never re-join the degree table;
+  *  - the degree table builds in ONE shuffle (union-tagged endpoints,
+  *    not distinct + agg + re-join), and short loops (≤4 rounds) skip
+  *    lineage checkpointing entirely — at that depth the forced
+  *    materializations cost more than the lineage they cap.
+  * (A union-leg rebuild folding the node table into the contribution
+  * aggregation was tried and measured SLOWER — it trades the small
+  * AQE-broadcast node join for a full node-table shuffle per round.)
   * The contribution aggregate is lazily `localCheckpoint`ed every 2nd
   * round (every round was measured slower — each forced materialization
   * adds AQE job-scheduling gaps); exchange reuse dedups the shared
@@ -39,8 +47,11 @@ object PageRank {
 
   /** Static graph frames, one materialization pass each:
     * (edges, nodes-with-degree (id, out_deg nullable), node count).
-    * The sentinel-collision check shares the node-count aggregate —
-    * no extra job. */
+    * The degree table needs ONE shuffle (union-tagged endpoints →
+    * groupBy, out_deg = count of src-tagged rows, 0 → null marks
+    * dangling) instead of distinct + degree-agg + re-join. The
+    * sentinel-collision check shares the node-count aggregate — no
+    * extra job. */
   private def graphFrames(edges: DataFrame, srcCol: String,
       dstCol: String): (DataFrame, DataFrame, Long) = {
     // LAZY checkpoints: the node-count aggregate below is the single
@@ -52,12 +63,10 @@ object PageRank {
       col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(false)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    val nodesDeg = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
-      .distinct()
-      .join(outDeg, col("id") === col("src"), "left_outer")
-      .select(col("id"), col("out_deg"))
+    val nodesDeg = e.select(col("src").as("id"), lit(1L).as("d"))
+      .unionByName(e.select(col("dst").as("id"), lit(0L).as("d")))
+      .groupBy(col("id"))
+      .agg(when(sum(col("d")) > 0L, sum(col("d"))).as("out_deg"))
       .localCheckpoint(false)
     val row = nodesDeg.agg(count(lit(1)),
       count(when(col("id") === DanglingKey, lit(1)))).head()
@@ -90,15 +99,19 @@ object PageRank {
         .agg(sum(col("contrib")).as("in_mass"))
       // alternate rounds rely on exchange reuse to dedup the shared
       // subtree; a lazy checkpoint every 2nd round caps lineage depth
-      // (checkpointing every round was measured SLOWER — each forced
-      // materialization adds AQE job-scheduling gaps)
-      if (i % 2 == 0) inMass = inMass.localCheckpoint(false)
+      // once the loop is deep enough to need it (checkpointing every
+      // round — or a ≤4-round loop at all — was measured SLOWER: each
+      // forced materialization adds AQE job-scheduling gaps)
+      if (iters > 4 && i % 2 == 0) inMass = inMass.localCheckpoint(false)
       // the dangling scalar stays DISTRIBUTED: a broadcast 1-row carrier
       // (agg over the ≤1 sentinel row, so exactly one row always exists)
       val dangling = inMass.where(col("dst") === DanglingKey)
         .agg(coalesce(sum(col("in_mass")), lit(0.0)).as("__dm"))
       // same IEEE op order as the former driver-side base:
-      // (1-d)/n + (d·dm)/n, then + d·in_mass
+      // (1-d)/n + (d·dm)/n, then + d·in_mass; the nodesDeg side is
+      // small and AQE plans this as a broadcast join — a union-leg
+      // rebuild through the aggregation was tried and measured SLOWER
+      // (it forces a full node-table shuffle every round)
       ranks = nodesDeg
         .join(inMass.where(col("dst") =!= DanglingKey)
           .select(col("dst").as("id"), col("in_mass")), Seq("id"), "left_outer")
@@ -152,7 +165,7 @@ object PageRank {
             .otherwise(col("rank_fp")).as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))
-      if (i % 2 == 0) inMass = inMass.localCheckpoint(false) // see run()
+      if (iters > 4 && i % 2 == 0) inMass = inMass.localCheckpoint(false) // see run()
       val dangling = inMass.where(col("dst") === DanglingKey)
         .agg(coalesce(sum(col("in_mass")), lit(0L)).as("__dm"))
       // teleport + redistributed dangling mass: BIGINT `div` of
