@@ -33,7 +33,10 @@ def canon_type(t):
     t = t.strip().upper()
     if t.endswith("[]"):
         return canon_type(t[:-2]) + "[]"
-    if t.startswith("TIMESTAMP"):           # TIMESTAMP_NS / TIMESTAMP(6) / INT96
+    # TIMESTAMP_NS / TIMESTAMP(6) / INT96 → TIMESTAMP, but tz-ness is a
+    # REAL declared-type difference (naive vs WITH TIME ZONE serializes
+    # differently) and must not be aliased away
+    if t.startswith("TIMESTAMP") and "WITH" not in t:
         return "TIMESTAMP"
     return t
 

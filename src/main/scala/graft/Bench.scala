@@ -83,6 +83,12 @@ object Bench {
     // the measurement.
     def isolate(): Unit = {
       spark.sqlContext.clearCache()
+      // clearCache only drops SQL-plan caches; lazy localCheckpoint
+      // blocks (semanticDedup*'s assignment, PageRank's inMass) live as
+      // persisted RDDs outside the CacheManager and would otherwise sit
+      // in executor storage across runs until the ContextCleaner happens
+      // to reap them
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
     }
 
@@ -96,9 +102,14 @@ object Bench {
     //  - q_curate: the end-to-end composition audit — its six stages
     //    (exact dedup, Jaccard near-dedup, decontamination, quality,
     //    split, packing) are each timed as their OWN query; timing the
-    //    composition would double-count every one of them.
+    //    composition would double-count every one of them;
+    //  - q_curate_incremental: same composition argument (exact/near
+    //    incremental ingest, quality, split, pack — each timed on its
+    //    own), compounded: its TWO chained ingest rounds pay ~30 job
+    //    floors on constant-size fixture data.
     // Every distributed operator these exercise is timed by other queries.
-    val skip = Set("q_pipeline_verify", "q_minhash_est_error", "q_curate")
+    val skip = Set("q_pipeline_verify", "q_minhash_est_error", "q_curate",
+      "q_curate_incremental")
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query filter for local
     // iteration on one hot spot (full set when unset — the driver's mode)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -206,16 +217,8 @@ object Bench {
     * k is derived from a corpus count — a 1-value parameter fetch.
     */
   private def semanticDedupScaledK(spark: SparkSession, dir: String) = {
-    import org.apache.spark.sql.functions._
     import graft.ops.{Dedup, Similarity}
-    val emb = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val doubled = emb.unionByName(
-      emb.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
-      .where(col("embedding").isNotNull && size(col("embedding")) === 64 &&
-        !exists(col("embedding"), _.isNull))
-    val n = doubled.count()
-    val k = math.max(8, (n / 500L).toInt) // ~500 vectors per cluster
+    val (doubled, k) = semDedupOperatingPoint(spark, dir)
     // TRAINED centroids, not the oracled query's fixed random ones: the
     // fixture's embeddings live in ~10 natural clusters, and random
     // centroids leave most vectors in one hot cell — quadratic in the hot
@@ -234,22 +237,32 @@ object Bench {
     * (`Similarity.trainHierCentroids`).
     */
   private def semanticDedupHierK(spark: SparkSession, dir: String) = {
-    import org.apache.spark.sql.functions._
     import graft.ops.{Dedup, Similarity}
-    val emb = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val doubled = emb.unionByName(
-      emb.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
-      .where(col("embedding").isNotNull && size(col("embedding")) === 64 &&
-        !exists(col("embedding"), _.isNull))
-    val n = doubled.count()
-    val k = math.max(8, (n / 500L).toInt) // same operating point as scaledk
+    val (doubled, k) = semDedupOperatingPoint(spark, dir)
     val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
     val k2 = math.max(2, math.ceil(k.toDouble / k1).toInt)
     val (sup, sub) = Similarity.trainHierCentroids(doubled, "vec_id",
       "embedding", k1 = k1, k2 = k2, sampleSize = 4096, iters = 10)
     Dedup.semanticDedupHier(doubled, "vec_id", "embedding", sup, sub,
       k2 = k2, dim = 64, minCosine = 0.95)
+  }
+
+  /** Shared fixture for the two SemDeDup study rows — the flat and hier
+    * entries MUST measure the identical corpus and cell count, so the
+    * doubled/cleaned frame and the k = max(8, n/500) operating point
+    * (~500 vectors per cluster; the count is a 1-value parameter fetch)
+    * live in one place.
+    */
+  private def semDedupOperatingPoint(spark: SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Int) = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val doubled = emb.unionByName(
+      emb.select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+      .where(col("embedding").isNotNull && size(col("embedding")) === 64 &&
+        !exists(col("embedding"), _.isNull))
+    (doubled, math.max(8, (doubled.count() / 500L).toInt))
   }
 
   private def runScaleStudy(spark: SparkSession, dirs: Seq[String]): Unit = {
@@ -285,7 +298,10 @@ object Bench {
       val rows = suite.map { name =>
         timeOnce(name, dir) // warmup (JIT/codegen), untimed
         val secs = (1 to 2).map { _ =>
-          spark.sqlContext.clearCache(); System.gc()
+          spark.sqlContext.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(false)) // checkpoint blocks — see isolate()
+          System.gc()
           timeOnce(name, dir)
         }.min
         // plan-stability metrics on the result plan (pre-execution AQE

@@ -156,9 +156,15 @@ object Curate {
       afterNearDedup: Long, afterQualityFilter: Long, afterMixture: Long)
 
   /** One ingested batch: the curated rows plus the index DELTA the caller
-    * appends before the next round ([[DedupIndex]] union). */
+    * appends before the next round ([[DedupIndex]] union). `caches` are
+    * the frames persisted on the caller's behalf (the batch and its
+    * signature pipeline feed several consumers each) — release them with
+    * `unpersist(false)` once the outputs are consumed, as
+    * [[graft.streaming.CurateStreaming.ingestBatch]] does per
+    * micro-batch. */
   final case class IngestedBatch(docs: DataFrame, newDigests: DataFrame,
-      newBandedRows: DataFrame, report: IngestReport)
+      newBandedRows: DataFrame, report: IngestReport,
+      caches: Seq[DataFrame] = Nil)
 
   /** Append-mode curation (the reference's daily cadence applied to the
     * LLM surface): curate ONE new batch against the already-curated
@@ -190,14 +196,17 @@ object Curate {
         Seq(("train", 9000), ("val", 500), ("test", 500)),
       packBudget: Long = 2048L, packBuckets: Int = 32,
       report: Boolean = true): IngestedBatch = {
+    // stages persist in BOTH modes (each feeds more than one consumer —
+    // exact feeds the near-dup pipeline twice, accepted feeds the digest
+    // delta and the quality tail); report=true additionally counts them.
+    // Lazy persists cost nothing until an action runs; the handles go out
+    // in IngestedBatch.caches for the caller to release.
     val intermediates = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    def cnt(df: DataFrame): (DataFrame, Long) =
-      if (!report) (df, -1L)
-      else {
-        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        intermediates += p
-        (p, p.count())
-      }
+    def cnt(df: DataFrame): (DataFrame, Long) = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      intermediates += p
+      (p, if (report) p.count() else -1L)
+    }
     val input = if (report) batch.count() else -1L
     // exact stage attaches the digest column the index delta reuses
     val (exact, nExact) =
@@ -222,8 +231,16 @@ object Curate {
       idCol, "__n_tokens", budget = packBudget, buckets = packBuckets,
       bucketSalt = Some(col("split")))
       .drop("__n_tokens", "__toks", "digest")
-    if (report) intermediates.dropRight(1).foreach(_.unpersist(false))
+    // report mode already materialized every stage (the counts), so the
+    // upstream intermediates can release now; the last stage stays cached
+    // for the caller's consumption of `docs`. In report=false mode no
+    // action has run yet — every handle passes to the caller.
+    val caches =
+      if (report) {
+        intermediates.dropRight(1).foreach(_.unpersist(false))
+        intermediates.takeRight(1).toSeq ++ nearRes.caches
+      } else intermediates.toSeq ++ nearRes.caches
     IngestedBatch(packed, newDigests, nearRes.newIndexRows,
-      IngestReport(input, nExact, nNear, nKept, nMixed))
+      IngestReport(input, nExact, nNear, nKept, nMixed), caches)
   }
 }

@@ -640,9 +640,15 @@ object Dedup {
     *                     duplicate group
     * @param newIndexRows banded signature rows for the accepted docs; the
     *                     caller appends them to the persisted index
+    * @param caches       frames persisted on the caller's behalf (the
+    *                     documented "callers own the cache lifetime"
+    *                     contract made concrete): call
+    *                     `unpersist(false)` on each once the outputs
+    *                     are consumed, or a long-running caller — a
+    *                     daily-ingest stream — accumulates blocks
     */
   final case class IngestResult(accepted: DataFrame, dropped: DataFrame,
-      newIndexRows: DataFrame)
+      newIndexRows: DataFrame, caches: Seq[DataFrame] = Nil)
 
   /** Signatures for EVERY document: the real MinHash where shingles exist,
     * and a degenerate whole-text signature (`xxhash64(text)` repeated k
@@ -702,8 +708,12 @@ object Dedup {
     }
     // the signature/banding pipeline feeds FOUR consumers (index probe,
     // in-batch pairs, accepted rows, new index rows) — persist once, as in
-    // jaccardPairs; callers own the cache lifetime
-    def cached(df: DataFrame): DataFrame = persistLevel.fold(df)(df.persist)
+    // jaccardPairs; callers own the cache lifetime (handles returned in
+    // IngestResult.caches)
+    val cachedFrames = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def cached(df: DataFrame): DataFrame = persistLevel.fold(df) { lvl =>
+      val p = df.persist(lvl); cachedFrames += p; p
+    }
     val sigs = cached(sigsWithFallback(batch, idCol, textCol, n, k))
     val banded = cached(bandedFromSigs(sigs, bands, rowsPerBand))
     // probe the persisted index: band-bucket equi-join, est-Jaccard filter,
@@ -736,7 +746,8 @@ object Dedup {
       droppedInBatch.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
     val newIndexRows = banded
       .join(accepted.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
-    IngestResult(accepted, vsIndex.unionByName(droppedInBatch), newIndexRows)
+    IngestResult(accepted, vsIndex.unionByName(droppedInBatch), newIndexRows,
+      cachedFrames.toSeq)
   }
 
   /** Exact incremental ingest: admit batch docs whose content digest

@@ -61,7 +61,12 @@ object CurateStreaming {
     if (!fs.exists(p) || fs.listStatus(p).isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else
-      spark.read.parquet(path) // batch_id surfaces as a partition column
+      // EXPLICIT schema (batch_id filled from the partition paths): a
+      // crash can leave the newest batch directory with zero readable
+      // data files, and a schema-inferring read would then throw on
+      // every recovery replay instead of pruning the partition away
+      spark.read.schema(schema.add(StructField("batch_id", LongType)))
+        .parquet(path)
         .where(col("batch_id") < before)
         .drop("batch_id")
   }
@@ -86,6 +91,9 @@ object CurateStreaming {
       .parquet(s"$indexPath/digests/batch_id=$batchId")
     r.newBandedRows.write.mode("overwrite")
       .parquet(s"$indexPath/banded/batch_id=$batchId")
+    // all three outputs are on disk — release the per-batch caches, or a
+    // long-running stream accumulates persisted blocks forever
+    r.caches.foreach(_.unpersist(false))
   }
 
   /** Start the curation stream over `docs` (a streaming frame with
