@@ -986,6 +986,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     },
 
+    // Temperature mixing (r5): α=0.5 rebalancing over the source domains
+    // — quotas derive from count^0.5, damping dominant sources and
+    // upweighting the tail, with every present domain guaranteed ≥ 1
+    // expected row. Bit-exact: sqrt is the one fractional power IEEE
+    // specifies exactly, and every other step is the mixtureSelect
+    // integer/one-double-division ring pattern.
+    "q_mixture_temperature" -> q { (s, dir) =>
+      graft.ops.Sampling.temperatureMixture(Tables.documents(s, dir),
+        "doc_id", "source", alpha = 0.5, budget = 300L)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    },
+
     // Per-domain quota: keep the 15 longest documents per source (unique
     // ordering via doc_id tiebreak; 15 < the ~25 docs/source at sf0.01 so
     // the cut binds at the correctness-gate scale). Plans with
@@ -4164,6 +4176,29 @@ object SparkEntry {
         |      FROM cnt JOIN t ON lang = dom)
         |SELECT d.doc_id, d.lang, d.source, d.n_chars
         |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE ((doc_id * 2654435761 + 104729) % 4294967296) < ring_thr""".stripMargin,
+
+    // Mirrors Sampling.temperatureMixture step for step: BIGINT weights
+    // floor(sqrt(n)·1e6) (sqrt correctly rounded in both engines), the
+    // quota as ONE double division w/Σw·budget floored then clamped to
+    // [1, n], and the same full-ring threshold as q_mixture_select.
+    // sum(w) is HUGEINT in DuckDB — cast back to BIGINT (the r4
+    // q_ann_recall drift class), though here it only feeds a DOUBLE cast.
+    "q_mixture_temperature" ->
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT source, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+        |      FROM cnt),
+        |s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+        |r AS (SELECT source,
+        |        CAST(least(4294967296, floor(
+        |          greatest(1, least(n,
+        |            CAST(floor(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) * 300.0)
+        |                 AS BIGINT)))
+        |          * 4294967296.0 / n)) AS BIGINT) AS ring_thr
+        |      FROM w, s)
+        |SELECT d.doc_id, d.source, d.lang, d.n_chars
+        |FROM documents d JOIN r ON d.source = r.source
         |WHERE ((doc_id * 2654435761 + 104729) % 4294967296) < ring_thr""".stripMargin,
 
     "q_domain_quota" ->

@@ -220,4 +220,56 @@ object Sampling {
         < col("__ring_thr"))
       .drop("__dom", "__ring_thr")
   }
+
+  /** Temperature-based domain rebalancing (the T5/mT5/LLaMA data-mixing
+    * recipe): sample each domain in proportion to `count^alpha`, so
+    * α < 1 damps dominant domains and upweights the tail without naming
+    * any domain explicitly — the quotas DERIVE from the corpus, where
+    * [[mixtureSelect]] takes them as targets.
+    *
+    * Determinism contract: only α = 0.5 (square root) and α = 1
+    * (proportional) are accepted, because `sqrt` is the one fractional
+    * power IEEE 754 specifies exactly (correctly rounded in both Spark's
+    * `Math.sqrt` and DuckDB's `sqrt`) — a general `pow` is libm-defined
+    * and engines disagree in the last ulp, which a ring threshold then
+    * amplifies into a different row set. Weights are
+    * `floor(sqrt(n)·10^6)` (α=0.5) or `n·10^6` (α=1) as BIGINT; the
+    * quota is one double division `w/Σw · budget` floored (identical
+    * IEEE op sequence on both engines), clamped to [1, n] — the lower
+    * clamp matters: a data-derived quota CAN legitimately floor to zero
+    * on a tail domain, and silently emptying a domain is the
+    * [[mixtureSelect]] dropout cliff all over again, so every domain
+    * present keeps at least an expected one row.
+    *
+    * Scale shape: identical to [[mixtureSelect]] — a tiny per-domain
+    * count aggregate, a 1-row total carried by broadcast, and a
+    * map-side ring filter; the corpus never shuffles.
+    */
+  def temperatureMixture(df: DataFrame, keyCol: String, domainCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha == 0.5 || alpha == 1.0,
+      "determinism contract: only alpha = 0.5 (sqrt, IEEE-exact) and " +
+        "alpha = 1.0 (proportional) are cross-engine reproducible")
+    require(budget > 0 && budget < 900000000000L,
+      "budget must be positive and below 9e11 (exact-arithmetic bound)")
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+    val weighted = counts.withColumn("__w",
+      if (alpha == 0.5)
+        floor(sqrt(col("__n").cast("double")) * lit(1000000.0)).cast("long")
+      else col("__n") * lit(1000000L))
+    val total = weighted.agg(sum(col("__w")).as("__sw"))
+    val rates = weighted.crossJoin(broadcast(total))
+      .select(col("__dom"),
+        least(lit(HashRing), floor(
+          greatest(lit(1L), least(col("__n"),
+            floor(col("__w").cast("double") / col("__sw").cast("double")
+              * lit(budget.toDouble)).cast("long")))
+            * lit(4294967296.0) / col("__n")))
+          .cast("long").as("__ring_thr"))
+    df.join(broadcast(rates), df(domainCol) === rates("__dom"))
+      .where(pmod(col(keyCol) * lit(2654435761L) + lit(104729L), lit(HashRing))
+        < col("__ring_thr"))
+      .drop("__dom", "__ring_thr")
+  }
 }

@@ -171,4 +171,49 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(a.sameElements(b))
   }
+
+  test("temperatureMixture: alpha=0.5 upweights the tail relative to proportional") {
+    // corpus: en 400, de 400, fr 1200 — under sqrt weights fr's share
+    // drops from 1200/2000 = 60% to sqrt(1200)/(2*sqrt(400)+sqrt(1200))
+    // ≈ 46%, and the en/de tail rises accordingly
+    val prop = Sampling.temperatureMixture(docs, "doc_id", "lang",
+      alpha = 1.0, budget = 600L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val damp = Sampling.temperatureMixture(docs, "doc_id", "lang",
+      alpha = 0.5, budget = 600L)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every domain present under both (the >= 1-row guarantee at work)
+    assert(prop.keySet === Set("en", "de", "fr") && damp.keySet === prop.keySet)
+    val frShareProp = prop("fr").toDouble / prop.values.sum
+    val frShareDamp = damp("fr").toDouble / damp.values.sum
+    assert(frShareDamp < frShareProp,
+      s"sqrt damping did not shrink the dominant share: $frShareDamp vs $frShareProp")
+    // binomial sanity on the damped expectation (~46% of ~600 ± 4σ)
+    assert(damp("fr") > 200 && damp("fr") < 360, s"fr: ${damp("fr")}")
+  }
+
+  test("temperatureMixture: tail domain never empties; selection key-stable; bad alpha rejected") {
+    // a 3-row micro-domain against a 2000-row giant: its derived quota
+    // floors to zero and the [1, n] clamp must keep an expected row
+    val skewed = docs.withColumn("lang", lit("big"))
+      .unionByName(Seq((90001L, "tiny", "srcx", 60L), (90002L, "tiny", "srcx", 61L),
+        (90003L, "tiny", "srcx", 62L)).toDF("doc_id", "lang", "source", "n_chars"))
+    val rates = Sampling.temperatureMixture(skewed, "doc_id", "lang",
+      alpha = 0.5, budget = 100L)
+    // can't assert a specific tiny row survives (expectation 1/3 of the
+    // ring), but the threshold clamp is deterministic: re-run equality
+    // under repartitioning IS the contract
+    val a = rates.select("doc_id").as[Long].collect().sorted
+    val b = Sampling.temperatureMixture(skewed.repartition(7), "doc_id",
+      "lang", alpha = 0.5, budget = 100L)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(docs, "doc_id", "lang", alpha = 0.3,
+        budget = 100L)
+    }
+    assert(ex.getMessage.contains("determinism contract"))
+  }
 }
