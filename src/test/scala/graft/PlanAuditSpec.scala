@@ -277,9 +277,12 @@ class PlanSweepSpec extends SparkSpec {
   //  - q_pagerank cross-joins the 1-ROW broadcast dangling-mass carrier
   //    into each round's rank projection (the fusion that removed the
   //    per-iteration driver scalar job — r4 verdict item 4)
+  //  - q_mixture_temperature cross-joins the 1-ROW broadcast Σ-weight
+  //    total onto the per-domain counts frame (rows = #domains, tiny)
+  //    before the map-side ring filter
   private val cartesianOk =
     Set("q_ann_recall", "q_bm25_search", "q_ann_quantized", "q_triangle_count",
-      "q_unigram_logprob", "q_pagerank")
+      "q_unigram_logprob", "q_pagerank", "q_mixture_temperature")
 
   test("no accidental cartesian or nested-loop joins in any driver query") {
     val problems = scala.collection.mutable.ListBuffer.empty[String]
