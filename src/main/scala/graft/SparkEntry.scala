@@ -777,6 +777,29 @@ object SparkEntry {
         "doc_id", "text", n = 5, minShared = 3L, maxEvalDf = 10L)
     },
 
+    // Contamination SCORING (r5): per-doc n-gram overlap fraction against
+    // the same held-out eval slice q_decontaminate drops on — the
+    // measuring twin (report/threshold is caller policy). Bit-exact:
+    // integer gram counts and a permyriad floor of one double division.
+    "q_contamination_score" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationScore(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0),
+        "doc_id", "text", n = 5)
+    },
+
+    // Winnowing fingerprints (r5, Schleimer et al. 2003): every window of
+    // 4 consecutive 3-gram xxhash64 values selects its (hash, pos)
+    // minimum; shared token runs of >= w+n-1 = 6 tokens are guaranteed a
+    // shared localized fingerprint. Bit-exact: the oracle re-derives
+    // xxhash64 (XxHash64Sql) and replays the same windowed struct-min
+    // with the identical signed-(h, pos) tie-break.
+    "q_winnow_fingerprints" -> q { (s, dir) =>
+      Dedup.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, w = 4)
+    },
+
     // Time-series regularization: per-symbol daily spine + LOCF gap-fill
     // over the derived bars (the market-data forward-fill; the spine is
     // generated per key from its own range — no driver-side calendar).
@@ -3421,6 +3444,31 @@ object SparkEntry {
        |FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id""".stripMargin
   }
 
+  /** Oracle for `q_winnow_fingerprints`: gram strings with 0-based
+    * positions via parallel `generate_series` (this DuckDB has no WITH
+    * ORDINALITY), xxhash64 re-derived in SQL ([[XxHash64Sql]]), then the
+    * SAME windowed struct-min selection as the engine — lexicographic
+    * (signed h, pos) minimum over each complete window of `w` gram
+    * hashes, truncated-window fallback for docs shorter than `w` grams.
+    */
+  private def winnowOracleSql(n: Int, w: Int): String = {
+    val gram = (0 until n).map(i => s"t[p1 + $i]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\w+') AS t FROM documents),
+       |gl AS (SELECT doc_id, t, len(t) AS nt FROM toks WHERE len(t) >= $n),
+       |g AS (SELECT doc_id, t, unnest(generate_series(1, nt - ${n - 1})) AS p1 FROM gl),
+       |gs AS (SELECT doc_id, CAST(p1 - 1 AS INT) AS pos, $gram AS s FROM g),
+       |${XxHash64Sql.hashCtes("gs", "s", "gh", prefix = "xw")},
+       |hh AS (SELECT doc_id, pos, ${XxHash64Sql.toSignedBigint("h")} AS h FROM gh),
+       |win AS (SELECT doc_id, pos, h,
+       |    min({'h': h, 'pos': pos}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel,
+       |    count(*) OVER (PARTITION BY doc_id) AS ng FROM hh)
+       |SELECT DISTINCT doc_id,
+       |  struct_extract(sel, 'pos') AS pos,
+       |  struct_extract(sel, 'h') AS fingerprint
+       |FROM win WHERE pos <= greatest(0, ng - $w)""".stripMargin
+  }
+
   /** Oracle for `q_minhash_signatures`: the "engine-internal xxhash"
     * declared-necessity is retired by re-deriving Spark's xxhash64 inside
     * DuckDB ([[XxHash64Sql]]). Tokens → n-gram shingles mirror
@@ -4513,6 +4561,30 @@ object SparkEntry {
         |FROM co JOIN evi USING (shingle)
         |GROUP BY 1
         |HAVING count(DISTINCT co.shingle) >= 3""".stripMargin,
+
+    // mirrors Dedup.contaminationScore: distinct 5-gram shingles per
+    // corpus doc, hit-flag against the eval slice's distinct shingle set,
+    // permyriad = floor(10000.0 * shared / total) (one double division)
+    "q_contamination_score" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(t) - 3),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS s
+        |       FROM toks WHERE len(t) >= 5),
+        |e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |ev AS (SELECT DISTINCT shingle FROM e WHERE doc_id % 20 = 0),
+        |co AS (SELECT doc_id, shingle FROM e WHERE doc_id % 20 <> 0)
+        |SELECT doc_id,
+        |  count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_contaminated,
+        |  CAST(floor(1e4 * CAST(sum(CASE WHEN ev.shingle IS NOT NULL
+        |                              THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE)) AS BIGINT) AS contamination_pm
+        |FROM co LEFT JOIN ev USING (shingle)
+        |GROUP BY 1""".stripMargin,
+
+    "q_winnow_fingerprints" -> winnowOracleSql(n = 3, w = 4),
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups

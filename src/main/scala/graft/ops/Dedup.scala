@@ -630,6 +630,81 @@ object Dedup {
       .where(col("n_shared_shingles") >= minShared)
   }
 
+  /** Per-document contamination SCORE against an eval/benchmark set — the
+    * measuring twin of [[decontaminate]] (which drops): for each corpus
+    * doc with at least `n` tokens, the count of its distinct word
+    * n-grams, how many of those appear anywhere in the eval set, and the
+    * integer-permyriad overlap fraction. Thresholding on the score is
+    * the caller's policy (report, quarantine, or drop); the permyriad is
+    * `floor(10000·shared/total)` — one exact integer product under 2^53
+    * and one double division, identical IEEE ops cross-engine.
+    *
+    * Scale shape: eval suites are small and fixed — their distinct
+    * shingle set BROADCASTS; the corpus is tokenized once and the flag
+    * join is map-side, so the corpus never shuffles except for the
+    * per-doc aggregation on `doc_id` (narrow rows). Docs with fewer than
+    * `n` tokens have no complete gram and are absent (score undefined).
+    */
+  def contaminationScore(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val corpusSh = explodedShingles(corpus, idCol, textCol, n)
+    val evalSh = explodedShingles(evalSet, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+      .withColumn("__hit", lit(1))
+    corpusSh
+      .join(broadcast(evalSh), Seq("shingle"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), // corpusSh is distinct per doc
+        sum(coalesce(col("__hit"), lit(0))).cast(LongType)
+          .as("n_contaminated"))
+      .withColumn("contamination_pm",
+        floor(lit(10000.0) * col("n_contaminated") / col("n_grams"))
+          .cast(LongType))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003 —
+    * the MOSS local-fingerprinting algorithm), over word n-gram hashes:
+    * every window of `w` consecutive gram hashes contributes its
+    * (hash, position)-minimum, and the union of selected (position,
+    * hash) pairs is the document's fingerprint set. The winnowing
+    * guarantee follows: any token run shared between two documents
+    * spanning at least w + n − 1 tokens shares at least one selected
+    * fingerprint — unlike a global MinHash, matches LOCALIZE (the
+    * position says where), which is what plagiarism/overlap attribution
+    * needs. The (hash, position) tie-break makes selection a pure
+    * function of the token stream — deterministic and cross-engine
+    * reproducible (the oracle replays xxhash64 and the same windowed
+    * struct-min).
+    *
+    * Scale shape: gram assembly reuses the one-shuffle window of
+    * [[Dedup.decontaminate]]'s pipeline (`completeGrams`); selection is
+    * two window functions over the same (doc_id, pos) ordering — no
+    * additional shuffle — and the final distinct shuffles only the
+    * selected ~2N/(w+1) fingerprint rows, never the corpus. Docs
+    * shorter than w grams winnow their single truncated window (the
+    * whole doc), so every doc with ≥ n tokens yields ≥ 1 fingerprint.
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4): DataFrame = {
+    require(n >= 1 && w >= 1, "gram size and winnow window must be positive")
+    val grams = completeGrams(docs, idCol, textCol, n)
+    val gramCols = col("tok") +: (1 until n).map(i => col(s"__t$i"))
+    val hashed = grams.select(col("doc_id"), col("pos"),
+      xxhash64(concat_ws(" ", gramCols: _*)).as("h"))
+    val sel = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val whole = Window.partitionBy(col("doc_id"))
+    hashed
+      .withColumn("__sel", min(struct(col("h"), col("pos"))).over(sel))
+      .withColumn("__n", count(lit(1)).over(whole))
+      // only COMPLETE windows select (starts 0..N-w); a doc with fewer
+      // than w grams keeps its single truncated window at start 0
+      .where(col("pos") <= greatest(lit(0), col("__n") - lit(w)))
+      .select(col("doc_id"), col("__sel.pos").as("pos"),
+        col("__sel.h").as("fingerprint"))
+      .distinct()
+  }
+
   // --------------------------------------------------- incremental ingest
 
   /** Result of one incremental-ingest round.

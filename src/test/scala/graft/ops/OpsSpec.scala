@@ -605,6 +605,72 @@ class DecontaminateSpec extends SparkSpec {
       n = 5, minShared = 1L, maxEvalDf = 10L)
     assert(uncapped.count() == 1)
   }
+
+  test("contaminationScore: exact gram counts, permyriad fraction, clean doc scores zero") {
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // 6 tokens -> 2 distinct 5-grams, 1 shared ("jumps over the lazy dog")
+      (1L, "it jumps over the lazy dog"),
+      (2L, "completely unrelated content about distributed query engines"),
+      (3L, "shorty")) // < 5 tokens: no complete gram, absent from output
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationScore(corpus, evalDocs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((2L, 1L, 5000L))) // floor(10000 * 1/2)
+    assert(out(2L)._2 === 0L && out(2L)._3 === 0L)
+    assert(!out.contains(3L))
+  }
+}
+
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val doc = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    .toDF("doc_id", "text")
+
+  test("winnowing guarantee: shared run of >= w+n-1 tokens shares a fingerprint") {
+    val pair = Seq(
+      (1L, "xx yy alpha beta gamma delta epsilon zeta qq"),
+      (2L, "alpha beta gamma delta epsilon zeta some other tail here"))
+      .toDF("doc_id", "text") // shared run of 6 tokens = w+n-1 for n=3,w=4
+    val fp = Dedup.winnowFingerprints(pair, "doc_id", "text", n = 3, w = 4)
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "documents sharing a 6-token run must share a winnowed fingerprint")
+  }
+
+  test("every selected position is the (h, pos)-min of a complete window containing it") {
+    val fp = Dedup.winnowFingerprints(doc, "doc_id", "text", n = 3, w = 4)
+      .orderBy("pos").collect().map(r => (r.getInt(1), r.getLong(2)))
+    // 10 tokens -> 8 grams -> 5 complete windows; selections are sparse
+    assert(fp.nonEmpty && fp.length <= 5)
+    // density bound: consecutive selected positions at most w apart
+    fp.map(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(b - a <= 4, s"gap $a -> $b exceeds w")
+      case _ =>
+    }
+  }
+
+  test("doc shorter than w grams still yields its truncated-window minimum") {
+    val tiny = Seq((7L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // 4 tokens -> 2 grams < w=4 -> exactly one fingerprint (the doc min)
+    val fp = Dedup.winnowFingerprints(tiny, "doc_id", "text", n = 3, w = 4)
+    assert(fp.count() === 1L)
+  }
+
+  test("selection is invariant under repartitioning") {
+    val many = Seq.tabulate(30)(i =>
+      (i.toLong, s"w${i % 7} common base tokens w${i % 5} w${i % 3} trail end here now")).toDF("doc_id", "text")
+    val a = Dedup.winnowFingerprints(many, "doc_id", "text")
+      .orderBy("doc_id", "pos").collect().toSeq
+    val b = Dedup.winnowFingerprints(many.repartition(9), "doc_id", "text")
+      .orderBy("doc_id", "pos").collect().toSeq
+    assert(a === b)
+  }
 }
 
 class SessionizeSpec extends SparkSpec {
