@@ -2002,6 +2002,112 @@ object SparkEntry {
         GROUP BY c_count""")
     },
 
+    // TPC-H Q1 (pricing summary report): the canonical full-scan
+    // aggregate — nine aggregates over two grouping columns, every input
+    // column consumed. Money sums use the exact fixed-point pattern
+    // (2/4/6-decimal products rounded to integers before summing, so the
+    // double sums are order-independent and bit-identical cross-engine);
+    // averages divide one exact integer by another exactly once.
+    "q_sql_tpch_q1" -> q { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          sum(round(l_extendedprice * 100)) / 100.0 AS sum_base_price,
+          sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0
+            AS sum_disc_price,
+          sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    * 1000000)) / 1000000.0 AS sum_charge,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*)
+            AS avg_qty,
+          sum(round(l_extendedprice * 100)) / (count(*) * 100.0)
+            AS avg_price,
+          sum(round(l_discount * 100)) / (count(*) * 100.0) AS avg_disc,
+          count(*) AS count_order
+        FROM v_lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    },
+
+    // TPC-H Q12 shape (shipping-priority line counts): the synthetic
+    // schema carries no l_shipmode/l_commitdate/l_receiptdate, so the
+    // adapted shape keeps Q12's essence — a fact-fact join feeding two
+    // complementary CASE-conditional counts per group — splitting on
+    // order priority and grouping by line status.
+    "q_sql_tpch_q12" -> q { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT l_linestatus,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM v_orders
+        JOIN v_lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus""")
+    },
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // scalar-AVG subquery the optimizer must decorrelate into an
+    // aggregate + join. The avg comparison is cross-multiplied into
+    // exact integer arithmetic (qty * 5 * n < 2 * sum ⇔ qty < 0.4·avg —
+    // the threshold factor is widened from TPC-H's 0.2 so the synthetic
+    // uniform quantities select a non-trivial row set), so no engine's
+    // division order can perturb the filter. p_container does not exist
+    // in the synthetic schema; brand + size bound the part set instead.
+    "q_sql_tpch_q17" -> q { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("v_part")
+      s.sql("""
+        SELECT sum(round(l_extendedprice * 100)) / 700.0 AS avg_yearly
+        FROM v_lineitem l
+        JOIN v_part p ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#12' AND p_size <= 15
+          AND CAST(l_quantity AS BIGINT) * 5 *
+              (SELECT count(*) FROM v_lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
+            < 2 * (SELECT sum(CAST(l_quantity AS BIGINT)) FROM v_lineitem l3
+                   WHERE l3.l_partkey = l.l_partkey)""")
+    },
+
+    // TPC-H Q22 shape (global sales opportunity): an UNCORRELATED scalar
+    // aggregate subquery (population average over positive balances)
+    // gating the outer scan, plus a NOT EXISTS anti-join. The synthetic
+    // schema has no c_phone, so nationkey plays the country code; the
+    // foreign keys are dense (every customer has orders), so the
+    // anti-join leg is "never placed an URGENT order" to keep it
+    // selective rather than vacuous. The average comparison is
+    // cross-multiplied into exact integer-cents arithmetic.
+    "q_sql_tpch_q22" -> q { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT cntrycode, count(*) AS numcust,
+          sum(round(c_acctbal * 100)) / 100.0 AS totacctbal
+        FROM (
+          SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, c_acctbal
+          FROM v_customer c
+          WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+            AND CAST(round(c_acctbal * 100) AS BIGINT) *
+                (SELECT count(*) FROM v_customer c2
+                 WHERE c2.c_acctbal > 0.0
+                   AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+              > (SELECT sum(CAST(round(c3.c_acctbal * 100) AS BIGINT))
+                 FROM v_customer c3
+                 WHERE c3.c_acctbal > 0.0
+                   AND c3.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+            AND NOT EXISTS (SELECT 1 FROM v_orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderpriority = '1-URGENT')) custsale
+        GROUP BY cntrycode
+        ORDER BY cntrycode""")
+    },
+
     // FULL OUTER join with unmatched keys on BOTH sides (deliberately
     // non-overlapping nation filters): the one outer-join shape the suite
     // didn't cover.
@@ -4932,6 +5038,69 @@ object SparkEntry {
         |      AND o.o_orderpriority <> '1-URGENT'
         |  GROUP BY c.c_custkey) c_orders
         |GROUP BY c_count""".stripMargin,
+
+    "q_sql_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  sum(round(l_extendedprice * 100)) / 100.0 AS sum_base_price,
+        |  sum(round(l_extendedprice * (1 - l_discount) * 10000)) / 10000.0
+        |    AS sum_disc_price,
+        |  sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |            * 1000000)) / 1000000.0 AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*)
+        |    AS avg_qty,
+        |  sum(round(l_extendedprice * 100)) / (count(*) * 100.0) AS avg_price,
+        |  sum(round(l_discount * 100)) / (count(*) * 100.0) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_sql_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q_sql_tpch_q17" ->
+      """SELECT sum(round(l_extendedprice * 100)) / 700.0 AS avg_yearly
+        |FROM lineitem l
+        |JOIN part p ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#12' AND p_size <= 15
+        |  AND CAST(l_quantity AS BIGINT) * 5 *
+        |      (SELECT count(*) FROM lineitem l2
+        |       WHERE l2.l_partkey = l.l_partkey)
+        |    < 2 * (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l3
+        |           WHERE l3.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q_sql_tpch_q22" ->
+      """SELECT cntrycode, count(*) AS numcust,
+        |  sum(round(c_acctbal * 100)) / 100.0 AS totacctbal
+        |FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS cntrycode, c_acctbal
+        |  FROM customer c
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        |    AND CAST(round(c_acctbal * 100) AS BIGINT) *
+        |        (SELECT count(*) FROM customer c2
+        |         WHERE c2.c_acctbal > 0.0
+        |           AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+        |      > (SELECT sum(CAST(round(c3.c_acctbal * 100) AS BIGINT))
+        |         FROM customer c3
+        |         WHERE c3.c_acctbal > 0.0
+        |           AND c3.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = c.c_custkey
+        |                      AND o.o_orderpriority = '1-URGENT')) custsale
+        |GROUP BY cntrycode
+        |ORDER BY cntrycode""".stripMargin,
 
     "q_join_full_outer" ->
       """SELECT nationkey, n_custs, n_supps FROM
