@@ -13,7 +13,15 @@
 # All SPARK_GRAFT_* envs pass through to graft.Bench unchanged.
 set -euo pipefail
 MASTER="${1:-local-cluster[4,8,8192]}"
-JAR=$(ls "$(dirname "$0")"/../target/scala-2.13/sp500stocketlspark_2.13-*.jar | head -1)
+# bash glob array, not ls|head: pipefail can kill ls via SIGPIPE, and a
+# silent first-sorted pick would bench a stale versioned jar unnoticed
+jars=("$(dirname "$0")"/../target/scala-2.13/sp500stocketlspark_2.13-*.jar)
+if [[ ${#jars[@]} -ne 1 || ! -f ${jars[0]} ]]; then
+  echo "expected exactly one packaged jar, found: ${jars[*]}" >&2
+  echo "run 'sbt package' (and clean stale versions) first" >&2
+  exit 1
+fi
+JAR=${jars[0]}
 export SPARK_GRAFT_MASTER="$MASTER"
 export SPARK_GRAFT_EXECUTOR_MEM="${SPARK_GRAFT_EXECUTOR_MEM:-7g}"
 exec /opt/spark/bin/spark-submit \

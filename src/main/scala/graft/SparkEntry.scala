@@ -4324,8 +4324,8 @@ object SparkEntry {
         |                           ('fr', 4000), ('zh', 1000)),
         |cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |r AS (SELECT lang,
-        |        CAST(least(4294967296, floor(floor(pm * 250 / 10000)
-        |                                     * 4294967296.0 / n))
+        |        CAST(least(4294967296, greatest(1,
+        |               floor(floor(pm * 250 / 10000) * 4294967296.0 / n)))
         |             AS BIGINT) AS ring_thr
         |      FROM cnt JOIN t ON lang = dom)
         |SELECT d.doc_id, d.lang, d.source, d.n_chars
@@ -4345,11 +4345,11 @@ object SparkEntry {
         |      FROM cnt),
         |s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
         |r AS (SELECT source,
-        |        CAST(least(4294967296, floor(
+        |        CAST(least(4294967296, greatest(1, floor(
         |          greatest(1, least(n,
         |            CAST(floor(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) * 300.0)
         |                 AS BIGINT)))
-        |          * 4294967296.0 / n)) AS BIGINT) AS ring_thr
+        |          * 4294967296.0 / n))) AS BIGINT) AS ring_thr
         |      FROM w, s)
         |SELECT d.doc_id, d.source, d.lang, d.n_chars
         |FROM documents d JOIN r ON d.source = r.source

@@ -107,6 +107,14 @@ object Bpe {
     * (merge_rank, lhs, rhs, freq), in learning order. Driver-side loop;
     * each round lazily localCheckpoints the re-segmented word table so
     * lineage stays constant-depth at one job per round.
+    *
+    * This is the CANONICAL Sennrich-sequential schedule — one merge per
+    * round, exactly subword-nmt's learning order — and stays the path for
+    * callers needing subword-nmt-compatible merge tables. The benched
+    * `q_bpe_merges` switched to [[trainMergesBatched]] in r5, whose merge
+    * order legitimately diverges when top-ranked pairs interact (see its
+    * scaladoc); cross-round bench rows for that query are therefore not
+    * like-for-like across the r4/r5 boundary.
     */
   def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -127,7 +135,7 @@ object Bpe {
       val top = pairFrequencies(words)
         .orderBy(desc("freq"), col("left"), col("right"))
         .limit(1).collect()
-      parent.foreach(_.unpersist(false))
+      parent.foreach(Checkpoints.release(_))
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
@@ -137,8 +145,8 @@ object Bpe {
         step += 1
       }
     }
-    parent.foreach(_.unpersist(false))
-    words.unpersist(false)
+    parent.foreach(Checkpoints.release(_))
+    Checkpoints.release(words)
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
   }
 
@@ -199,7 +207,7 @@ object Bpe {
         .orderBy(desc("freq"), col("left"), col("right"))
         .limit(scanDepth).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
-      parent.foreach(_.unpersist(false))
+      parent.foreach(Checkpoints.release(_))
       val batch = selectBatch(top, math.min(maxBatch, numMerges - merges.size))
       if (batch.isEmpty) exhausted = true
       else {
@@ -209,8 +217,8 @@ object Bpe {
           .localCheckpoint(false)
       }
     }
-    parent.foreach(_.unpersist(false))
-    words.unpersist(false)
+    parent.foreach(Checkpoints.release(_))
+    Checkpoints.release(words)
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
   }
 

@@ -277,10 +277,11 @@ object Dedup {
     // seed labels with round 1 folded in: label₀ = min(id, min neighbor) is
     // one aggregation (no join) and saves a full propagation round; lazy —
     // the first round's count materializes it
-    var labels = und.groupBy(col("src"))
+    var labelsCkpt = und.groupBy(col("src"))
       .agg(min(col("dst")).as("__mn"))
       .select(col("src").as("id"), least(col("src"), col("__mn")).as("label"))
       .localCheckpoint(false)
+    var labels = labelsCkpt
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -295,6 +296,12 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint(false)
       changed = next.where(col("label") =!= col("__prev")).count()
+      // the count materialized `next` (all partitions — the where filters
+      // rows, not partitions), so the PREVIOUS round's checkpoint blocks
+      // release here instead of leaking one label table per round
+      // (Dataset.unpersist would silently no-op on them — Checkpoints)
+      Checkpoints.release(labelsCkpt)
+      labelsCkpt = next
       labels = next.drop("__prev")
       iter += 1
     }
@@ -974,8 +981,17 @@ object Dedup {
     * scoring kernel is the fused codegen'd `cosine_f32`.
     */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
-      index: graft.ops.Similarity.IvfIndex, minCosine: Double = 0.95): DataFrame = {
-    import graft.functions.VectorFunctions
+      index: graft.ops.Similarity.IvfIndex, minCosine: Double = 0.95): DataFrame =
+    semanticDedupCached(vecs, idCol, vecCol, index, minCosine).df
+
+  /** [[semanticDedup]] with the internally-checkpointed assignment frame
+    * handed out for release ([[Checkpoints.CachedResult]]) — the variant a
+    * long-running caller (per-batch streaming invocation) must use, or
+    * executor storage accumulates one assignment table per call until
+    * ContextCleaner GC. Consume `df`, then `release()`. */
+  def semanticDedupCached(vecs: DataFrame, idCol: String, vecCol: String,
+      index: graft.ops.Similarity.IvfIndex,
+      minCosine: Double = 0.95): Checkpoints.CachedResult = {
     // The assignment (a k·dim argmin kernel over EVERY vector) is the
     // dominant per-vector cost and feeds three consumers (both self-join
     // sides and the final select) — lazily localCheckpoint so it computes
@@ -986,7 +1002,8 @@ object Dedup {
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
         col("centroid_id").cast(LongType).as("centroid_id"))
       .localCheckpoint(false)
-    dropLowestIdNeighbors(assigned, minCosine)
+    Checkpoints.CachedResult(dropLowestIdNeighbors(assigned, minCosine),
+      Seq(assigned))
   }
 
   /** SemDeDup at the scaled-k operating point with TWO-LEVEL assignment
@@ -1002,14 +1019,23 @@ object Dedup {
     */
   def semanticDedupHier(vecs: DataFrame, idCol: String, vecCol: String,
       superFlat: Array[Double], subFlat: Array[Double], k2: Int, dim: Int,
-      minCosine: Double = 0.95): DataFrame = {
+      minCosine: Double = 0.95): DataFrame =
+    semanticDedupHierCached(vecs, idCol, vecCol, superFlat, subFlat, k2, dim,
+      minCosine).df
+
+  /** [[semanticDedupHier]] with the checkpointed assignment handed out —
+    * see [[semanticDedupCached]] for the lifecycle contract. */
+  def semanticDedupHierCached(vecs: DataFrame, idCol: String, vecCol: String,
+      superFlat: Array[Double], subFlat: Array[Double], k2: Int, dim: Int,
+      minCosine: Double = 0.95): Checkpoints.CachedResult = {
     import graft.functions.VectorFunctions
     val assigned = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .withColumn("centroid_id",
         VectorFunctions.hierCellF32(col("v"), superFlat, subFlat, k2, dim)
           .cast(LongType))
       .localCheckpoint(false) // the √k argmin kernel runs once per action
-    dropLowestIdNeighbors(assigned, minCosine)
+    Checkpoints.CachedResult(dropLowestIdNeighbors(assigned, minCosine),
+      Seq(assigned))
   }
 
   /** Shared SemDeDup core over a pre-assigned (vec_id, v, centroid_id)

@@ -81,8 +81,17 @@ object PageRank {
     * @return (id, rank); ranks sum to ~1 (dangling mass redistributed)
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 10, damping: Double = 0.85): DataFrame = {
+      iters: Int = 10, damping: Double = 0.85): DataFrame =
+    runCached(edges, srcCol, dstCol, iters, damping).df
+
+  /** [[run]] with every internally-checkpointed frame (edges, degree
+    * table, periodic in-mass checkpoints) handed out for release
+    * ([[Checkpoints.CachedResult]]) — required for long-running callers;
+    * consume the ranks, then `release()`. */
+  def runCached(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10, damping: Double = 0.85): Checkpoints.CachedResult = {
     val (e, nodesDeg, n0) = graphFrames(edges, srcCol, dstCol)
+    val caches = scala.collection.mutable.ListBuffer[DataFrame](e, nodesDeg)
     val n = n0.toDouble
     var ranks = nodesDeg.withColumn("rank", lit(1.0 / n))
     (0 until iters).foreach { i =>
@@ -102,7 +111,10 @@ object PageRank {
       // once the loop is deep enough to need it (checkpointing every
       // round — or a ≤4-round loop at all — was measured SLOWER: each
       // forced materialization adds AQE job-scheduling gaps)
-      if (iters > 4 && i % 2 == 0) inMass = inMass.localCheckpoint(false)
+      if (iters > 4 && i % 2 == 0) {
+        inMass = inMass.localCheckpoint(false)
+        caches += inMass
+      }
       // the dangling scalar stays DISTRIBUTED: a broadcast 1-row carrier
       // (agg over the ≤1 sentinel row, so exactly one row always exists)
       val dangling = inMass.where(col("dst") === DanglingKey)
@@ -123,7 +135,8 @@ object PageRank {
       // (periodically checkpointed) inMass and the cached nodesDeg —
       // exchange reuse carries the uncheckpointed rounds
     }
-    ranks.select(col("id"), col("rank"))
+    Checkpoints.CachedResult(ranks.select(col("id"), col("rank")),
+      caches.toSeq)
   }
 
   /** Fixed-point PageRank: ranks are BIGINT multiples of 1/`scale`, and
@@ -153,8 +166,17 @@ object PageRank {
     */
   def runFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 10, dampingNum: Long = 85L, dampingDen: Long = 100L,
-      scale: Long = 1000000000000000L): DataFrame = {
+      scale: Long = 1000000000000000L): DataFrame =
+    runFixedPointCached(edges, srcCol, dstCol, iters, dampingNum, dampingDen,
+      scale).df
+
+  /** [[runFixedPoint]] with internal checkpoints handed out — see
+    * [[runCached]] for the lifecycle contract. */
+  def runFixedPointCached(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10, dampingNum: Long = 85L, dampingDen: Long = 100L,
+      scale: Long = 1000000000000000L): Checkpoints.CachedResult = {
     val (e, nodesDeg, n) = graphFrames(edges, srcCol, dstCol)
+    val caches = scala.collection.mutable.ListBuffer[DataFrame](e, nodesDeg)
     var ranks = nodesDeg.withColumn("rank_fp", lit(scale / n))
     (0 until iters).foreach { i =>
       // same one-left-join routing as [[run]] (see comment there)
@@ -165,7 +187,10 @@ object PageRank {
             .otherwise(col("rank_fp")).as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))
-      if (iters > 4 && i % 2 == 0) inMass = inMass.localCheckpoint(false) // see run()
+      if (iters > 4 && i % 2 == 0) { // see run()
+        inMass = inMass.localCheckpoint(false)
+        caches += inMass
+      }
       val dangling = inMass.where(col("dst") === DanglingKey)
         .agg(coalesce(sum(col("in_mass")), lit(0L)).as("__dm"))
       // teleport + redistributed dangling mass: BIGINT `div` of
@@ -181,6 +206,7 @@ object PageRank {
             expr(s"($dampingNum * coalesce(in_mass, 0L)) div $dampingDen")).as("rank_fp"))
       // no rank checkpoint — see run()
     }
-    ranks.select(col("id"), col("rank_fp"))
+    Checkpoints.CachedResult(ranks.select(col("id"), col("rank_fp")),
+      caches.toSeq)
   }
 }

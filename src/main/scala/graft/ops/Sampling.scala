@@ -28,6 +28,22 @@ object Sampling {
   /** Ring size of the portable hash: 2^32. */
   val HashRing: Long = 4294967296L
 
+  /** Full-ring selection threshold for an expected `quota` rows out of `n`:
+    * floor(quota · 2^32 / n), clamped to [1, 2^32]. The LOWER clamp is the
+    * load-bearing part: once n > quota · 2^32 (a multi-billion-row domain
+    * with a small quota) the floor alone is 0 — total silent dropout of a
+    * domain the caller asked to keep, the exact cliff the ring design
+    * exists to avoid, resurfacing one level down. Clamping to 1 keeps an
+    * expected n/2^32 rows (≥1 precisely when the floor would have lied).
+    * One double multiply-divide then integer ops — the same IEEE sequence
+    * on any engine, so oracles must mirror `greatest(1, least(2^32, ...))`
+    * verbatim.
+    */
+  def ringThreshold(quota: Column, n: Column): Column =
+    least(lit(HashRing),
+      greatest(lit(1L), floor(quota * lit(4294967296.0) / n)))
+      .cast("long")
+
   /** Deterministic bucket in [0, buckets) from an integer key: Knuth
     * multiplicative hash (A = 2654435761, the golden-ratio multiplier) with
     * an odd offset, reduced mod 2^32 then mod `buckets`. Identical integer
@@ -180,10 +196,11 @@ object Sampling {
     * ZERO — silent total dropout, not under-sampling — as soon as a
     * domain outgrows 10^4× its quota, which a dominant web domain does
     * long before 100 TB. Ring granularity defers that cliff to
-    * n > 2^32 × needed, beyond the hash's own key-space bound. The
-    * threshold is a floor of one double division — not exact integer
-    * math, but the SAME IEEE operation on both engines, which is what
-    * cross-engine parity actually requires.
+    * n > 2^32 × needed — and [[ringThreshold]]'s lower clamp closes even
+    * that residue (a >4.3e9-row domain keeps an expected ≥1 row instead of
+    * silently emptying). The threshold is a floor of one double division —
+    * not exact integer math, but the SAME IEEE operation on both engines,
+    * which is what cross-engine parity actually requires.
     */
   def mixtureSelect(df: DataFrame, keyCol: String, domainCol: String,
       targets: Seq[(String, Int)], budget: Long): DataFrame = {
@@ -211,10 +228,8 @@ object Sampling {
       .agg(count(lit(1)).as("__n"))
       .join(tdf, Seq("__dom"))
       .select(col("__dom"),
-        least(lit(HashRing),
-          floor(floor(col("__target_pm") * lit(budget) / lit(10000L))
-            * lit(4294967296.0) / col("__n")))
-          .cast("long").as("__ring_thr"))
+        ringThreshold(floor(col("__target_pm") * lit(budget) / lit(10000L)),
+          col("__n")).as("__ring_thr"))
     df.join(broadcast(rates), df(domainCol) === rates("__dom"))
       .where(pmod(col(keyCol) * lit(2654435761L) + lit(104729L), lit(HashRing))
         < col("__ring_thr"))
@@ -261,12 +276,11 @@ object Sampling {
     val total = weighted.agg(sum(col("__w")).as("__sw"))
     val rates = weighted.crossJoin(broadcast(total))
       .select(col("__dom"),
-        least(lit(HashRing), floor(
+        ringThreshold(
           greatest(lit(1L), least(col("__n"),
             floor(col("__w").cast("double") / col("__sw").cast("double")
-              * lit(budget.toDouble)).cast("long")))
-            * lit(4294967296.0) / col("__n")))
-          .cast("long").as("__ring_thr"))
+              * lit(budget.toDouble)).cast("long"))),
+          col("__n")).as("__ring_thr"))
     df.join(broadcast(rates), df(domainCol) === rates("__dom"))
       .where(pmod(col(keyCol) * lit(2654435761L) + lit(104729L), lit(HashRing))
         < col("__ring_thr"))

@@ -108,4 +108,16 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.trainMergesBatched(corpus.repartition(7), "text", 5).collect().toSeq
     assert(a === b)
   }
+  test("training releases its per-round checkpoints (bounded executor storage)") {
+    // trainMerges/trainMergesBatched checkpoint the word table every round;
+    // the rounds release in-loop via Checkpoints.release (Dataset.unpersist
+    // no-ops on checkpoint blocks), so a call leaves NOTHING persisted
+    val docs = Seq("low lower lowest", "new newer newest", "wide wider")
+      .toDF("text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    assert(Bpe.trainMerges(docs, "text", numMerges = 4).count() == 4)
+    assert(Bpe.trainMergesBatched(docs, "text", numMerges = 4).count() == 4)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"training left checkpoint blocks behind: $leaked")
+  }
 }

@@ -78,4 +78,18 @@ class PageRankSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(a == b)
   }
+  test("runCached/runFixedPointCached: checkpoint storage released after consume") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L), (4L, 1L), (2L, 4L))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = PageRank.runCached(edges.toDF("s", "d"), "s", "d", iters = 8)
+    assert(r.df.count() == 4)
+    r.release()
+    val fp = PageRank.runFixedPointCached(edges.toDF("s", "d"), "s", "d",
+      iters = 8)
+    assert(fp.df.count() == 4)
+    fp.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"checkpoint blocks left behind: $leaked")
+  }
 }

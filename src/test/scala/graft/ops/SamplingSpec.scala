@@ -21,6 +21,19 @@ class SamplingSpec extends SparkSpec {
     assert(buckets.sameElements(again))
   }
 
+  test("ringThreshold: clamps to 1 when n > quota * 2^32 (multi-billion-row domain)") {
+    // quota 1 against a 5e9-row domain: floor(1 * 2^32 / 5e9) = 0 — the
+    // unclamped threshold would silently empty the domain. The clamp keeps
+    // an expected n/2^32 >= 1 row.
+    val out = Seq((1L, 5000000000L), (1L, 100L), (5000000000L, 100L))
+      .toDF("quota", "n")
+      .select(Sampling.ringThreshold($"quota", $"n").as("thr"))
+      .collect().map(_.getLong(0))
+    assert(out(0) == 1L, s"dropout cliff: threshold ${out(0)} for n=5e9, quota=1")
+    assert(out(1) == 42949672L) // floor(2^32 / 100)
+    assert(out(2) == Sampling.HashRing) // upper clamp: quota >= n
+  }
+
   test("bernoulliSample: rate within binomial tolerance, stable membership") {
     val kept = Sampling.bernoulliSample(docs, "doc_id", perMyriad = 2000)
     val n = kept.count()

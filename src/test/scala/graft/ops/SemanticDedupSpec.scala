@@ -73,6 +73,28 @@ class SemanticDedupSpec extends SparkSpec {
     assert(hier === flat)
   }
 
+  test("Cached variants: executor storage released after consume+release (bounded across repeated calls)") {
+    // the property a long-running caller (per-batch streaming invocation)
+    // needs: Dataset.unpersist silently no-ops on localCheckpoint blocks,
+    // so only the CachedResult handles + Checkpoints.release bound storage
+    val df = vecs(
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (3L, Seq(0.1f, 0.9f, 0f, 0f)))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    (1 to 3).foreach { i =>
+      val flat = Dedup.semanticDedupCached(df, "vec_id", "v", index)
+      assert(flat.df.count() == 3)
+      flat.release()
+      val hier = Dedup.semanticDedupHierCached(df, "vec_id", "v",
+        index.centroidsFlat, index.centroidsFlat, k2 = 1, dim = 4)
+      assert(hier.df.count() == 3)
+      hier.release()
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"call $i left checkpoint blocks behind: $leaked")
+    }
+  }
+
   test("trainHierCentroids: shapes, sub-block locality, empty-cell padding") {
     // 3 tight natural clusters; k1 = 4 forces at least one empty/short
     // super cell whose sub block must pad with the super centroid
