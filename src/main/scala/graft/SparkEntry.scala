@@ -616,6 +616,35 @@ object SparkEntry {
         merges = Seq(("a", "b"), ("l", "e"), ("ab", "le")))
     },
 
+    // Tokenizer ENCODE to ids (the step q_bpe_segment's counts stop short
+    // of): per-doc token-ID sequences under a fixed 5-merge chained table
+    // and the standard vocab layout (base alphabet lexicographic, merge
+    // symbols at C+rank-1). Emitted exploded — (doc_id, pos, token_id) is
+    // scalar-exact; the oracle replays merges, vocab and reassembly.
+    "q_bpe_encode" -> q { (s, dir) =>
+      Bpe.encode(Tables.documents(s, dir), "doc_id", "text",
+          merges = encodeMerges)
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("token_id"))
+    },
+
+    // The TRAINING-BATCH TERMINAL composition: encode → packSequences on
+    // the REAL encoded lengths — each row is one token at its global
+    // offset inside its (pack_bucket, pack_bin) training sequence. The
+    // last step of an LLM data pipeline, end-to-end bit-exact.
+    "q_tokenize_pack" -> q { (s, dir) =>
+      graft.ops.Curate.tokenizePack(Tables.documents(s, dir), "doc_id",
+          "text", merges = encodeMerges, packBudget = 128L, packBuckets = 8)
+        .select(col("pack_bucket"), col("pack_bin"), col("doc_id"),
+          col("bin_offset"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("pack_bucket"), col("pack_bin"), col("doc_id"),
+          (col("bin_offset") + col("pos")).cast(LongType).as("bin_pos"),
+          col("token_id"))
+    },
+
     // Heavy hitters via a count-min sketch whose md5-derived bucket hashes
     // are engine-portable — the SKETCH ESTIMATES themselves are oracled
     // bit-exactly (unlike the xxhash-seeded MinHash/SimHash sketches,
@@ -3256,6 +3285,12 @@ object SparkEntry {
        |FROM dd""".stripMargin
   }
 
+  /** Fixed merge table for the encode/pack queries: five merges with two
+    * chains ((t,h)→(th,e) and standalone (s,t)/(e,r)/(a,n)) that all fire
+    * on the testdata's vocabulary. */
+  private val encodeMerges: Seq[(String, String)] =
+    Seq(("t", "h"), ("th", "e"), ("s", "t"), ("e", "r"), ("a", "n"))
+
   // -------------------------------------------------------------- BPE oracle
 
   /** One unrolled BPE merge round as DuckDB CTEs (mirror of
@@ -3375,6 +3410,84 @@ object SparkEntry {
        |JOIN seg USING (word)
        |GROUP BY doc_id""".stripMargin
   }
+
+  /** Shared CTE chain for the encode oracles (mirror of
+    * [[graft.ops.Bpe.vocab]] + [[graft.ops.Bpe.encode]]): replay a FIXED
+    * merge list, build the vocab (base alphabet by lexicographic
+    * row_number, merge symbols at C+rank-1 with the first-wins dup rule
+    * applied driver-side — the same Scala dedup the engine runs), then
+    * reassemble per-doc token-id lists in text order. Ends with CTE
+    * `docids(doc_id, token_ids)`. MATERIALIZED throughout (round N
+    * references round N-1 — the CTE-inlining blow-up rule). */
+  private def bpeEncodeCtes(merges: Seq[(String, String)]): String = {
+    require(merges.nonEmpty, "encode oracle needs at least one merge")
+    def top(i: Int, l: String, r: String) =
+      s"t$i AS MATERIALIZED (SELECT '$l' AS l, '$r' AS r)"
+    val rounds = merges.zipWithIndex.map { case ((l, r), ix) =>
+      bpeRoundCtes(ix + 1, top(ix + 1, l, r))
+    }
+    val last = merges.size
+    val mergeValues = merges.map { case (l, r) => l + r }.zipWithIndex
+      .groupBy(_._1).map { case (s, occ) => (s, occ.map(_._2).min) }
+      .toSeq.sortBy(_._2)
+      .map { case (s, o) => s"('$s', CAST($o AS BIGINT))" }.mkString(", ")
+    s"""${(bpeWordCte +: rounds).mkString(",\n")},
+       |chars AS MATERIALIZED (
+       |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS token_id
+       |  FROM (SELECT DISTINCT unnest(syms) AS sym FROM w0)),
+       |vocab AS MATERIALIZED (
+       |  SELECT sym, token_id FROM chars
+       |  UNION ALL
+       |  SELECT m.sym, (SELECT count(*) FROM chars) + m.ord
+       |  FROM (VALUES $mergeValues) AS m(sym, ord)),
+       |wseg AS MATERIALIZED (SELECT word, unnest(syms) AS sym,
+       |  unnest(generate_series(0, len(syms)-1)) AS spos FROM w$last),
+       |wids AS MATERIALIZED (
+       |  SELECT word, list(token_id ORDER BY spos) AS ids
+       |  FROM wseg JOIN vocab USING (sym) GROUP BY word),
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '\\w+')) AS word,
+       |    unnest(generate_series(0, len(regexp_extract_all(text, '\\w+'))-1)) AS wpos
+       |  FROM documents),
+       |docids AS MATERIALIZED (
+       |  SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS token_ids
+       |  FROM dw JOIN wids USING (word) GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Oracle for `q_bpe_encode`: per-token exploded id stream. */
+  private def bpeEncodeOracleSql(merges: Seq[(String, String)]): String =
+    s"""WITH ${bpeEncodeCtes(merges)}
+       |SELECT doc_id, CAST(pos AS BIGINT) AS pos, token_id FROM (
+       |  SELECT doc_id, unnest(token_ids) AS token_id,
+       |    unnest(generate_series(0, len(token_ids)-1)) AS pos
+       |  FROM docids)""".stripMargin
+
+  /** Oracle for `q_tokenize_pack`: [[bpeEncodeCtes]] composed with the
+    * packSequences arithmetic (the q_pack_sequences mirror, on ENCODED
+    * lengths), exploded to one row per token at its bin offset. */
+  private def tokenizePackOracleSql(merges: Seq[(String, String)],
+      budget: Long, buckets: Int): String =
+    s"""WITH ${bpeEncodeCtes(merges)},
+       |pk AS MATERIALIZED (
+       |  SELECT doc_id, token_ids, CAST(len(token_ids) AS BIGINT) AS n_tokens,
+       |    doc_id % $buckets AS pack_bucket
+       |  FROM docids),
+       |cm AS MATERIALIZED (
+       |  SELECT doc_id, token_ids, n_tokens, pack_bucket,
+       |    sum(n_tokens) OVER (PARTITION BY pack_bucket
+       |      ORDER BY n_tokens DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM pk),
+       |bins AS MATERIALIZED (
+       |  SELECT doc_id, token_ids, pack_bucket,
+       |    CAST((cum - n_tokens) // $budget AS BIGINT) AS pack_bin,
+       |    CAST((cum - n_tokens) - ((cum - n_tokens) // $budget) * $budget AS BIGINT) AS bin_offset
+       |  FROM cm)
+       |SELECT pack_bucket, pack_bin, doc_id,
+       |  CAST(bin_offset + pos AS BIGINT) AS bin_pos, token_id
+       |FROM (SELECT doc_id, pack_bucket, pack_bin, bin_offset,
+       |        unnest(token_ids) AS token_id,
+       |        unnest(generate_series(0, len(token_ids)-1)) AS pos
+       |      FROM bins)""".stripMargin
 
   /** Oracle for `q_ivf_assign_hier`: distances to all k1 super and
     * k1·k2 sub centroids in kernel accumulation order, argmin at each
@@ -4194,6 +4307,11 @@ object SparkEntry {
 
     "q_bpe_segment" -> bpeSegmentOracleSql(
       Seq(("a", "b"), ("l", "e"), ("ab", "le"))),
+
+    "q_bpe_encode" -> bpeEncodeOracleSql(encodeMerges),
+
+    "q_tokenize_pack" -> tokenizePackOracleSql(encodeMerges,
+      budget = 128L, buckets = 8),
 
     "q_heavy_hitters" ->
       """WITH toks AS (

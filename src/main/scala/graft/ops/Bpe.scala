@@ -245,6 +245,84 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
   }
 
+  /** BPE vocabulary (sym, token_id) for a learned merge table — the id
+    * table [[encode]] emits against. The standard tokenizer-file layout:
+    *  - the BASE ALPHABET (every distinct seed character of the corpus
+    *    word table — including characters later absorbed entirely into
+    *    merges) gets ids 0..C-1 in lexicographic order;
+    *  - merge k (1-based rank) contributes its produced symbol at id
+    *    C+k-1. A produced string can repeat across ranks ((a,bc) and
+    *    (ab,c) both yield "abc"): the first rank keeps the id and later
+    *    duplicates leave an unused id — the vocab-file convention, and
+    *    the dedup is driver-side (merges are a literal parameter).
+    * Merge symbols have length ≥ 2, so they never collide with the base
+    * alphabet. Base ids come from the distributed [[Ids.globalRank]] (no
+    * single-partition window); C rides a broadcast 1-row count.
+    */
+  def vocab(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    vocabFrom(docs.sparkSession, wordTable(docs, textCol), merges)
+
+  private def vocabFrom(spark: org.apache.spark.sql.SparkSession,
+      words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val chars = words.select(explode(col("syms")).as("sym")).distinct()
+    val base = Ids.globalRank(chars, Seq("sym"), "token_id")
+    val mergeSyms = merges.map { case (l, r) => l + r }.zipWithIndex
+      .groupBy(_._1).map { case (s, occ) => (s, occ.map(_._2).min.toLong) }
+      .toSeq.sortBy(_._2)
+    if (mergeSyms.isEmpty) base
+    else {
+      val cnt = base.agg(count(lit(1)).as("__c"))
+      base.unionByName(mergeSyms.toDF("sym", "__ord")
+        .crossJoin(broadcast(cnt))
+        .select(col("sym"), (col("__c") + col("__ord")).as("token_id")))
+    }
+  }
+
+  /** Tokenize to ID SEQUENCES — the terminal encode a training pipeline
+    * feeds to sequence packing: apply a learned merge table
+    * ([[segmentCounts]]'s replay) and emit each document's token ids in
+    * text order as (idCol, token_ids ARRAY<BIGINT>, n_tokens), ids per
+    * [[vocab]]. Documents with no `\w+` token are absent (same inner-join
+    * contract as [[segmentCounts]]).
+    *
+    * Scale shape: the corpus collapses to the distinct word table for the
+    * merge replay (one shuffle — and the vocab's base-alphabet pass reuses
+    * that exchange: identical subtree, deduped by ReuseExchange), the
+    * word→ids segment table joins back by broadcast, and the only
+    * corpus-sized shuffle is the per-document reassembly groupBy — the
+    * price of emitting actual sequences, paid once, partial-aggregated on
+    * (doc) grain. Every expensive expression is staged as a column, never
+    * inside a lambda.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    val wt = wordTable(docs, textCol)
+    var words = wt
+    merges.foreach { case (l, r) => words = applyMerge(words, l, r) }
+    val v = vocabFrom(spark, wt, merges)
+    // per-word id arrays: symbol join on the (tiny) vocab, order restored
+    // by pos — word-table-sized, then broadcast back to the corpus
+    val wordIds = words
+      .select(col("word"), posexplode(col("syms")).as(Seq("pos", "sym")))
+      .join(broadcast(v), Seq("sym"))
+      .groupBy(col("word"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("token_id")))),
+        s => s.getField("token_id")).as("__ids"))
+    docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("wpos", "word")))
+      .join(broadcast(wordIds), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wpos"), col("__ids")))),
+        s => s.getField("__ids"))).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast(LongType))
+  }
+
   /** Distinct words of the corpus with counts and their initial
     * character-level segmentation. Character split is explicit substring
     * indexing (identical semantics in any SQL engine — no regex-split

@@ -243,4 +243,42 @@ object Curate {
     IngestedBatch(packed, newDigests, nearRes.newIndexRows,
       IngestReport(input, nExact, nNear, nKept, nMixed), caches)
   }
+
+  /** The TRAINING-BATCH TERMINAL path: tokenizer encode → sequence
+    * packing — the step that turns a curated corpus into the dense
+    * fixed-budget token sequences a trainer consumes. Composes
+    * [[Bpe.encode]] (per-doc token-id arrays under a learned merge
+    * table) with [[Sampling.packSequences]] on the REAL encoded length
+    * (`n_tokens` = BPE tokens, not word counts — the budget a trainer
+    * actually bins by).
+    *
+    * @return (idCol, token_ids, n_tokens, pack_bucket, pack_bin,
+    *         bin_offset) — one row per surviving document; a training
+    *         sequence is the (pack_bucket, pack_bin) group's token_ids
+    *         laid end-to-end at their bin_offsets.
+    */
+  def tokenizePack(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], packBudget: Long,
+      packBuckets: Int = 32): DataFrame =
+    Sampling.packSequences(Bpe.encode(docs, idCol, textCol, merges),
+      idCol, "n_tokens", budget = packBudget, buckets = packBuckets)
+
+  /** [[tokenizePack]] shipped to disk: shard by TRAINING SEQUENCE (the
+    * (pack_bucket, pack_bin) bin, not the document — a shard holds whole
+    * training sequences, so a trainer reads each sequence from one file)
+    * through [[graft.sinks.ShardWriter.writeShards]]'s manifest-audited
+    * export. `seq_id` = pack_bucket·2^40 + pack_bin (exact below any
+    * realistic bin count; bin ordinals are corpus/budget-bounded).
+    * @return the shard manifest (shard, n_rows, checksum) —
+    *         `ShardWriter.verifyShards(outDir)` re-audits the bytes.
+    */
+  def writeTrainingShards(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], packBudget: Long, outDir: String,
+      packBuckets: Int = 32, nShards: Int = 8): DataFrame = {
+    val packed = tokenizePack(docs, idCol, textCol, merges, packBudget,
+      packBuckets)
+      .withColumn("seq_id",
+        col("pack_bucket") * lit(1099511627776L) + col("pack_bin"))
+    graft.sinks.ShardWriter.writeShards(packed, outDir, "seq_id", nShards)
+  }
 }

@@ -120,4 +120,43 @@ class BpeSpec extends SparkSpec {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"training left checkpoint blocks behind: $leaked")
   }
+
+  private def rep(xs: Seq[Long], n: Int): Seq[Long] =
+    Seq.fill(n)(xs).flatten
+
+  test("vocab: base alphabet lexicographic, merge symbols at C+rank-1, first-wins dup") {
+    // corpus chars sorted: d,e,i,l,n,o,r,s,t,w -> ids 0..9 (C = 10)
+    val v = Bpe.vocab(corpus, "text", Seq(("e", "s"), ("es", "t")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v === Map("d" -> 0L, "e" -> 1L, "i" -> 2L, "l" -> 3L, "n" -> 4L,
+      "o" -> 5L, "r" -> 6L, "s" -> 7L, "t" -> 8L, "w" -> 9L,
+      "es" -> 10L, "est" -> 11L))
+    // duplicate produced symbol: (ab,c) and (a,bc) both yield "abc" — the
+    // earlier rank keeps the id, the later one leaves an unused id
+    val dup = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    val v2 = Bpe.vocab(dup, "text", Seq(("a", "b"), ("ab", "c"), ("a", "bc")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v2 === Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "ab" -> 3L, "abc" -> 4L))
+  }
+
+  test("encode: hand-derived id sequences in text order") {
+    val out = Bpe.encode(corpus, "doc_id", "text",
+        merges = Seq(("e", "s"), ("es", "t")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    // vocab above: l=3 o=5 w=9 e=1 r=6 n=4 i=2 d=0, es=10, est=11
+    assert(out(1L) === ((rep(Seq(3L, 5L, 9L), 5), 15L)))
+    assert(out(2L) === ((rep(Seq(3L, 5L, 9L, 1L, 6L), 2), 10L)))
+    assert(out(3L) === ((rep(Seq(4L, 1L, 9L, 11L), 6), 24L)))
+    assert(out(4L) === ((rep(Seq(9L, 2L, 0L, 11L), 3), 12L)))
+  }
+
+  test("encode is invariant under corpus repartitioning") {
+    val m = Seq(("e", "s"), ("es", "t"))
+    val a = Bpe.encode(corpus, "doc_id", "text", m)
+      .orderBy("doc_id").collect().toSeq
+    val b = Bpe.encode(corpus.repartition(7), "doc_id", "text", m)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }

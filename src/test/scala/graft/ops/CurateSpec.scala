@@ -161,4 +161,45 @@ class CurateSpec extends SparkSpec {
       s"re-ingest admitted ${r2.report.afterNearDedup} docs")
     assert(r2.docs.count() === 0L)
   }
+  test("tokenizePack: hand-derived bins on encoded (BPE) lengths") {
+    // Sennrich corpus: encoded lengths 15/10/24/12 under (e,s)->(es,t)
+    val corpus = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")
+    ).toDF("doc_id", "text")
+    val out = Curate.tokenizePack(corpus, "doc_id", "text",
+        merges = Seq(("e", "s"), ("es", "t")),
+        packBudget = 16L, packBuckets = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("pack_bucket"),
+          r.getAs[Long]("pack_bin"), r.getAs[Long]("bin_offset")))).toMap
+    // bucket = doc_id % 2; within bucket (n_tokens desc, doc_id) cumsum:
+    //  bucket 0: d4 (12) start 0 -> bin 0 @ 0; d2 (10) start 12 -> bin 0 @ 12
+    //  bucket 1: d3 (24) start 0 -> bin 0 @ 0; d1 (15) start 24 -> bin 1 @ 8
+    assert(out(1L) === ((15L, 1L, 1L, 8L)))
+    assert(out(2L) === ((10L, 0L, 0L, 12L)))
+    assert(out(3L) === ((24L, 1L, 0L, 0L)))
+    assert(out(4L) === ((12L, 0L, 0L, 0L)))
+  }
+
+  test("writeTrainingShards: manifest verifies against the bytes on disk") {
+    val corpus = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("trainshards").toString
+    val manifest = Curate.writeTrainingShards(corpus, "doc_id", "text",
+      merges = Seq(("e", "s"), ("es", "t")), packBudget = 16L,
+      outDir = dir, packBuckets = 2, nShards = 3)
+    assert(manifest.agg(org.apache.spark.sql.functions.sum("n_rows"))
+      .head().getLong(0) == 4L)
+    val audit = graft.sinks.ShardWriter.verifyShards(spark, dir)
+    val rows = audit.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("ok")),
+      s"shard audit failed: ${rows.mkString("; ")}")
+  }
 }
