@@ -260,8 +260,21 @@ object Curate {
   def tokenizePack(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], packBudget: Long,
       packBuckets: Int = 32): DataFrame =
-    Sampling.packSequences(Bpe.encode(docs, idCol, textCol, merges),
-      idCol, "n_tokens", budget = packBudget, buckets = packBuckets)
+    tokenizePackCached(docs, idCol, textCol, merges, packBudget,
+      packBuckets).df
+
+  /** [[tokenizePack]] with the encode's internal word-table checkpoint
+    * handed out ([[Checkpoints.CachedResult]] lifecycle) — the variant
+    * for long-running callers. */
+  def tokenizePackCached(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], packBudget: Long,
+      packBuckets: Int = 32): Checkpoints.CachedResult = {
+    val enc = Bpe.encodeCached(docs, idCol, textCol, merges)
+    Checkpoints.CachedResult(
+      Sampling.packSequences(enc.df, idCol, "n_tokens",
+        budget = packBudget, buckets = packBuckets),
+      enc.caches)
+  }
 
   /** [[tokenizePack]] shipped to disk: shard by TRAINING SEQUENCE (the
     * (pack_bucket, pack_bin) bin, not the document — a shard holds whole
@@ -275,10 +288,16 @@ object Curate {
   def writeTrainingShards(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], packBudget: Long, outDir: String,
       packBuckets: Int = 32, nShards: Int = 8): DataFrame = {
-    val packed = tokenizePack(docs, idCol, textCol, merges, packBudget,
+    val packed = tokenizePackCached(docs, idCol, textCol, merges, packBudget,
       packBuckets)
-      .withColumn("seq_id",
-        col("pack_bucket") * lit(1099511627776L) + col("pack_bin"))
-    graft.sinks.ShardWriter.writeShards(packed, outDir, "seq_id", nShards)
+    graft.sinks.ShardWriter.writeShards(
+      packed.df.withColumn("seq_id",
+        col("pack_bucket") * lit(1099511627776L) + col("pack_bin")),
+      outDir, "seq_id", nShards)
+    // both writes have materialized — the encode checkpoint releases HERE
+    // (not on the caller), and the returned manifest reads from disk so
+    // it carries no lineage into the released blocks
+    packed.release()
+    docs.sparkSession.read.parquet(s"$outDir/_manifest")
   }
 }
