@@ -1558,6 +1558,19 @@ object SparkEntry {
           col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
     },
 
+    // Perceptual image near-dup: real PNG decode → integer 8x8 block-mean
+    // aHash (Multimodal.imagePHash) → Manku-style banded hamming pairing
+    // (Dedup.hammingNearDupPairs, 4x16-bit bands, dist<=3 guaranteed
+    // recall). The fixture plants a one-pixel-perturbed twin for every
+    // 97th document; the oracle replays raster, hash, banding and the
+    // bucket cap in closed form.
+    "q_image_neardup" -> q { (s, dir) =>
+      val media = Multimodal.encodePngFixture(Tables.documents(s, dir),
+        twinEvery = 97)
+      Dedup.hammingNearDupPairs(Multimodal.imagePHash(media).toDF(),
+        "media_id", "phash")
+    },
+
     // WAV (PCM16 mono) encode→decode roundtrip via javax.sound.sampled;
     // same exact-integer-stats oracle discipline as the PNG path.
     "q_audio_decode" -> q { (s, dir) =>
@@ -3894,7 +3907,78 @@ object SparkEntry {
        |FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id""".stripMargin
   }
 
+  /** Oracle for `q_image_neardup`: replays the PNG fixture raster in
+    * closed form (per-axis separable sums — gray(x,y) = f(x) + g(y), so an
+    * 8×8 block sum is nrows·colf(j) + ncols·rowg(i)), the planted twin's
+    * one-pixel blue perturbation as a delta on block (0,0), the integer
+    * cross-multiplied aHash bits, and the 4×16-bit banded hamming-≤3
+    * pairing with its bucket cap.
+    */
+  private def imageNearDupOracleSql: String = {
+    val sl = XxHash64Sql.toSignedBigint("l.hu")
+    val sr = XxHash64Sql.toSignedBigint("r.hu")
+    s"""WITH m AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS pid, CAST(doc_id AS BIGINT) AS media_id,
+       |    FALSE AS twin, CAST(doc_id % 32 + 8 AS BIGINT) AS w,
+       |    CAST(doc_id % 24 + 8 AS BIGINT) AS h
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT), CAST(doc_id + 1000000 AS BIGINT), TRUE,
+       |    CAST(doc_id % 32 + 8 AS BIGINT), CAST(doc_id % 24 + 8 AS BIGINT)
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |cf AS MATERIALIZED (
+       |  SELECT media_id, (x.range * 8) // w AS bj, count(*) AS ncols,
+       |    sum((pid + x.range) % 256 + (pid * 5 + 7 * x.range) % 256) AS colf
+       |  FROM m CROSS JOIN range(40) x WHERE x.range < w
+       |  GROUP BY media_id, (x.range * 8) // w),
+       |rg AS MATERIALIZED (
+       |  SELECT media_id, (y.range * 8) // h AS bi, count(*) AS nrows,
+       |    sum((pid * 3 + y.range) % 256) AS rowg
+       |  FROM m CROSS JOIN range(32) y WHERE y.range < h
+       |  GROUP BY media_id, (y.range * 8) // h),
+       |base AS (
+       |  SELECT media_id, w, h,
+       |    CASE WHEN twin THEN ((pid * 5) % 256 + 8) % 256 - (pid * 5) % 256
+       |         ELSE 0 END AS delta
+       |  FROM m),
+       |cfs AS (SELECT media_id, sum(colf) AS scf FROM cf GROUP BY media_id),
+       |rgs AS (SELECT media_id, sum(rowg) AS srg FROM rg GROUP BY media_id),
+       |tots AS (
+       |  SELECT b.media_id, b.w * b.h AS wh,
+       |    b.h * cfs.scf + b.w * rgs.srg + b.delta AS tsum
+       |  FROM base b JOIN cfs USING (media_id) JOIN rgs USING (media_id)),
+       |blocks AS (
+       |  SELECT c.media_id, r.bi, c.bj,
+       |    r.nrows * c.colf + c.ncols * r.rowg
+       |      + CASE WHEN r.bi = 0 AND c.bj = 0 THEN b.delta ELSE 0 END AS bsum,
+       |    c.ncols * r.nrows AS bpix
+       |  FROM cf c JOIN rg r USING (media_id) JOIN base b USING (media_id)),
+       |hashes AS MATERIALIZED (
+       |  SELECT b.media_id,
+       |    sum(CASE WHEN b.bsum * t.wh > t.tsum * b.bpix
+       |      THEN CAST(power(2, b.bi * 8 + b.bj) AS HUGEINT)
+       |      ELSE 0::HUGEINT END) AS hu
+       |  FROM blocks b JOIN tots t USING (media_id) GROUP BY b.media_id),
+       |bands AS MATERIALIZED (
+       |  SELECT media_id, hu, bb.range AS band,
+       |    CAST((hu // CAST(power(2, 16 * bb.range) AS HUGEINT)) % 65536
+       |      AS BIGINT) AS bv
+       |  FROM hashes CROSS JOIN range(4) bb),
+       |kept AS MATERIALIZED (
+       |  SELECT * FROM bands
+       |  QUALIFY count(*) OVER (PARTITION BY band, bv) <= 100000),
+       |pairs AS (
+       |  SELECT DISTINCT l.media_id AS a, r.media_id AS b,
+       |    bit_count(xor($sl, $sr)) AS d
+       |  FROM kept l JOIN kept r
+       |    ON l.band = r.band AND l.bv = r.bv AND l.media_id < r.media_id)
+       |SELECT a, b, CAST(d AS BIGINT) AS dist FROM pairs WHERE d <= 3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_image_neardup" -> imageNearDupOracleSql,
+
 
     "q_ann_lsh_buckets" -> lshBucketOracleSql(planes = 12, dim = 64),
 

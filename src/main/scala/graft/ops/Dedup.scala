@@ -545,6 +545,52 @@ object Dedup {
       .join(agg.select(col("doc_id"), sig.as("simhash")), Seq("doc_id"), "left_outer")
   }
 
+  /** Near-duplicate pairs from any 64-bit hamming-space signature (SimHash,
+    * image perceptual hash — `Multimodal.imagePHash`) by banded search, the
+    * Manku/Jain/Sarma web-dedup scheme: split the signature into `nBands`
+    * equal bit bands; any two signatures within hamming distance
+    * `maxDist < nBands` agree exactly on at least one band (pigeonhole), so
+    * the band-value equi-join generates ALL qualifying pairs — guaranteed
+    * recall — and the cheap bit-count filter discards the rest.
+    *
+    * Scale shape: signatures explode to `nBands` rows (8 B values — bodies
+    * never move), one shuffle on (band, bandValue) feeds both the bucket
+    * cap and the self-join (same key, exchange reused). Join blow-up is
+    * Σ bucket²; `maxBucket` drops degenerate buckets (e.g. the all-zero
+    * signature of blank/boilerplate media) before they go quadratic — the
+    * same viral-key guard as [[jaccardPairs]]'s df cap, and like it a
+    * recall trade documented at the call site, applied deterministically.
+    *
+    * @return (a, b, dist): id pairs with a < b, hamming distance ≤ maxDist.
+    */
+  def hammingNearDupPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      nBands: Int = 4, maxDist: Int = 3, maxBucket: Long = 100000L): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    require(maxDist < nBands,
+      s"recall guarantee needs maxDist < nBands, got $maxDist >= $nBands")
+    val bandBits = 64 / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val bandVals = (0 until nBands).map(b =>
+      shiftrightunsigned(col(sigCol), b * bandBits).bitwiseAND(lit(mask)))
+    val bands = sigs.where(col(sigCol).isNotNull)
+      .select(col(idCol).as("__id"), col(sigCol).as("__sig"),
+        posexplode(array(bandVals: _*)).as(Seq("__band", "__bv")))
+    val kept = bands
+      .withColumn("__bc", count(lit(1))
+        .over(Window.partitionBy(col("__band"), col("__bv"))))
+      .where(col("__bc") <= maxBucket)
+    val l = kept.select(col("__band"), col("__bv"),
+      col("__id").as("a"), col("__sig").as("__sa"))
+    val r = kept.select(col("__band"), col("__bv"),
+      col("__id").as("b"), col("__sig").as("__sb"))
+    l.join(r, Seq("__band", "__bv"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        hamming64(col("__sa"), col("__sb")).cast(LongType).as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Canonicalization: given near-duplicate pairs, keep exactly ONE
     * document per duplicate cluster chosen by an explicit preference order
     * (e.g. longest copy first), not merely the smallest id — the curation

@@ -133,14 +133,21 @@ object Multimodal {
   /** Real-PNG media fixture: one image row per document, pixels from
     * [[fixtureRgb]], encoded on executors with `javax.imageio` — the
     * heavy-binary-column layout with genuinely decodable payloads.
+    *
+    * `twinEvery > 0` additionally plants a NEAR-IDENTICAL twin for every
+    * `twinEvery`-th document (media_id = doc_id + `twinOffset`): the same
+    * raster with the blue channel of pixel (0,0) shifted by +8 mod 256 — a
+    * one-pixel perturbation, the canonical near-duplicate-detection test
+    * article. Twin construction is closed-form so a SQL oracle replays it.
     */
-  def encodePngFixture(docs: DataFrame): DataFrame = {
+  def encodePngFixture(docs: DataFrame, twinEvery: Int = 0,
+      twinOffset: Long = 1000000L): DataFrame = {
     val spark = docs.sparkSession
     implicit val enc: Encoder[Media] = Encoders.product[Media]
     val ids = docs.select(col("doc_id").cast(LongType)).as[Long](Encoders.scalaLong)
     ids.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
-      it.map { id =>
+      def render(id: Long, mediaId: Long, twin: Boolean): Media = {
         val (w, h) = fixtureDims(id)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -148,7 +155,8 @@ object Multimodal {
         while (y < h) {
           var x = 0
           while (x < w) {
-            val (r, g, b) = fixtureRgb(id, x, y)
+            val (r, g, b0) = fixtureRgb(id, x, y)
+            val b = if (twin && x == 0 && y == 0) (b0 + 8) % 256 else b0
             img.setRGB(x, y, (r << 16) | (g << 8) | b)
             x += 1
           }
@@ -156,7 +164,13 @@ object Multimodal {
         }
         val baos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", baos)
-        Media(id, "image", baos.toByteArray, MediaMeta("png", w, h, 1))
+        Media(mediaId, "image", baos.toByteArray, MediaMeta("png", w, h, 1))
+      }
+      it.flatMap { id =>
+        val orig = render(id, id, twin = false)
+        if (twinEvery > 0 && id % twinEvery == 0)
+          Iterator(orig, render(id, id + twinOffset, twin = true))
+        else Iterator(orig)
       }
     }.toDF()
   }
@@ -194,6 +208,73 @@ object Multimodal {
           }
           ImageStats(m.media_id, ok = true, fmt, w, h,
             img.getColorModel.getNumColorComponents, w.toLong * h, sr, sg, sb)
+        }
+      }
+    }
+  }
+
+  final case class ImagePHash(media_id: Long, ok: Boolean, phash: Option[Long])
+
+  /** Perceptual 64-bit average-hash over the decoded raster (the
+    * block-mean aHash family; cf. pHash): the image is partitioned into an
+    * 8×8 grid by `block_j = x*8/w`, `block_i = y*8/h` (integer division),
+    * and bit `i*8+j` is set iff the block's mean gray level exceeds the
+    * image's mean gray level. Entirely INTEGER arithmetic — gray is the
+    * raw channel sum r+g+b and the mean comparison is the cross-
+    * multiplication `blockSum * (w*h) > totalSum * blockPixels` — so the
+    * hash is bit-exact oracle-able (no float resize kernel, no DCT), while
+    * keeping the property that matters: any smooth perturbation (recompress,
+    * small edit) moves few bits, so hamming distance ranks similarity.
+    *
+    * Overflow headroom: gray ≤ 765, so at an 8K raster (3.3e7 px) the
+    * largest cross product is ≤ 765·3.3e7·(3.3e7/64) ≈ 1.3e16 < 2^63.
+    * Undecodable payloads yield `ok = false`, null hash (same failure
+    * contract as [[decodeImageStats]]).
+    *
+    * Near-dup pairing is downstream: feed the signatures to
+    * `Dedup.hammingNearDupPairs` (banded hamming-ball search).
+    */
+  def imagePHash(media: DataFrame): Dataset[ImagePHash] = {
+    implicit val encIn: Encoder[Media] = Encoders.product[Media]
+    implicit val encOut: Encoder[ImagePHash] = Encoders.product[ImagePHash]
+    media.as[Media].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img =
+          if (m.bytes == null) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+        if (img == null) ImagePHash(m.media_id, ok = false, None)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val blockSum = new Array[Long](64)
+          val ncols = new Array[Long](8); val nrows = new Array[Long](8)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            val bi = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              blockSum(bi * 8 + x * 8 / w) += gray
+              total += gray
+              x += 1
+            }
+            y += 1
+          }
+          var x = 0
+          while (x < w) { ncols(x * 8 / w) += 1; x += 1 }
+          y = 0
+          while (y < h) { nrows(y * 8 / h) += 1; y += 1 }
+          val wh = w.toLong * h
+          var hash = 0L
+          var b = 0
+          while (b < 64) {
+            if (blockSum(b) * wh > total * (ncols(b % 8) * nrows(b / 8)))
+              hash |= 1L << b
+            b += 1
+          }
+          ImagePHash(m.media_id, ok = true, Some(hash))
         }
       }
     }

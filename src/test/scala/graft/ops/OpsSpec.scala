@@ -174,6 +174,32 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("hammingNearDupPairs: guaranteed recall at maxDist, cap, null sigs") {
+    val base = 0x5a5a5a5a5a5a5a5aL
+    val sigs = Seq[(Long, java.lang.Long)](
+      (1L, base),
+      (2L, base),                        // dist 0
+      (3L, base ^ 1L),                   // dist 1
+      (4L, base ^ ((1L << 63) | (1L << 31) | (1L << 2))), // dist 3, spread bands
+      // dist >= 4 from EVERY other signature (one flip per 16-bit band)
+      (5L, base ^ ((1L << 53) | (1L << 37) | (1L << 21) | (1L << 5))),
+      (6L, null)).toDF("id", "sig")
+    val got = Dedup.hammingNearDupPairs(sigs, "id", "sig")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 0 && got((1L, 3L)) == 1 && got((1L, 4L)) == 3)
+    assert(got((2L, 3L)) == 1 && got((2L, 4L)) == 3)
+    assert(!got.contains((3L, 4L)), "dist-4 pair (3,4) leaked")
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L), "dist>=4 leaked")
+    assert(!got.keySet.exists(p => p._1 == 6L || p._2 == 6L), "null sig leaked")
+    // viral-bucket cap: every row identical → all buckets exceed cap → none pair
+    val viral = (1L to 10L).map(i => (i, 0L)).toDF("id", "sig")
+    assert(Dedup.hammingNearDupPairs(viral, "id", "sig", maxBucket = 5).count() == 0)
+    // invalid geometry rejected
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDupPairs(sigs, "id", "sig", nBands = 4, maxDist = 4)
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -756,6 +782,49 @@ class MultimodalSpec extends SparkSpec {
     val aud = Multimodal.decodeAudioStats(bad.filter(_.kind == "audio").toDS().toDF())
       .collect()
     assert(aud.forall(s => !s.ok))
+  }
+
+  test("imagePHash matches the closed-form integer aHash, flags bad bytes") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).limit(20)
+    val hashes = Multimodal.imagePHash(Multimodal.encodePngFixture(docs))
+      .collect().map(p => p.media_id -> p).toMap
+    assert(hashes.nonEmpty && hashes.values.forall(_.ok))
+    hashes.foreach { case (id, p) =>
+      val (w, h) = Multimodal.fixtureDims(id)
+      val blockSum = new Array[Long](64)
+      val ncols = new Array[Long](8); val nrows = new Array[Long](8)
+      var total = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.fixtureRgb(id, x, y)
+        val gray = r + g + b
+        blockSum((y * 8 / h) * 8 + x * 8 / w) += gray; total += gray
+      }
+      (0 until w).foreach(x => ncols(x * 8 / w) += 1)
+      (0 until h).foreach(y => nrows(y * 8 / h) += 1)
+      var exp = 0L
+      for (b <- 0 until 64)
+        if (blockSum(b) * (w.toLong * h) > total * (ncols(b % 8) * nrows(b / 8)))
+          exp |= 1L << b
+      assert(p.phash.contains(exp), s"id=$id")
+    }
+    val bad = Seq(Multimodal.Media(1L, "image", Array[Byte](1, 2, 3),
+      Multimodal.MediaMeta("png", 1, 1, 1)))
+    val badHash = Multimodal.imagePHash(bad.toDS().toDF()).collect()
+    assert(badHash.length == 1 && !badHash.head.ok && badHash.head.phash.isEmpty)
+  }
+
+  test("planted one-pixel twins are recovered by banded hamming pairing") {
+    val docs = graft.Tables.documents(spark, sf).limit(100)
+    val media = Multimodal.encodePngFixture(docs, twinEvery = 97)
+    val pairs = Dedup.hammingNearDupPairs(
+      Multimodal.imagePHash(media).toDF(), "media_id", "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc_ids 0..99 → twins planted for 0 and 97, at media_id + 1e6
+    assert(pairs.contains((0L, 1000000L)), "twin of doc 0 not paired")
+    assert(pairs.contains((97L, 1000097L)), "twin of doc 97 not paired")
+    assert(pairs((0L, 1000000L)) <= 3 && pairs((97L, 1000097L)) <= 3)
+    assert(pairs.values.forall(_ <= 3))
   }
 }
 
