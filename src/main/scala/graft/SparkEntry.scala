@@ -595,6 +595,16 @@ object SparkEntry {
         minCount = 3L)
     },
 
+    // Learned quality-classifier inference (fastText/CCNet shape): hashed
+    // unigram+bigram features -> bucket weight table -> mean-pooled
+    // linear logit + keep decision. Weights derive from the bucket id by
+    // a fixed integer formula (the trained-checkpoint stand-in), so the
+    // oracle replays the full model: xxhash64 features, bucket, weight,
+    // exact integer sum, fixed-order double division.
+    "q_quality_score" -> q { (s, dir) =>
+      TextAnalysis.qualityClassifierScore(Tables.documents(s, dir), "doc_id")
+    },
+
     // BPE tokenizer training (Sennrich et al. 2016), BATCHED schedule
     // (r5): 12 learned merges over the corpus word table, up to 6
     // mutually symbol-disjoint pairs accepted per frequency snapshot and
@@ -3975,9 +3985,50 @@ object SparkEntry {
        |SELECT a, b, CAST(d AS BIGINT) AS dist FROM pairs WHERE d <= 3""".stripMargin
   }
 
+  /** Oracle for `q_quality_score`: replays the hashed-ngram linear
+    * classifier end-to-end — unigram and bigram feature strings with
+    * positions (`generate_series`, no WITH ORDINALITY in this DuckDB),
+    * xxhash64 re-derived in SQL, the power-of-two bucket as an unsigned
+    * `%` (= Spark's signed `pmod` on the low bits), the affine-mod weight
+    * formula, exact integer sums, and the engine's fixed-order double
+    * division for the logit.
+    */
+  private def qualityScoreOracleSql(buckets: Int): String = {
+    def wexpr(h: String) =
+      s"(($h % $buckets) * 2654435761 + 1013904223) % 2001 - 1000"
+    s"""WITH toksq AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS t
+       |  FROM documents),
+       |gq AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p1
+       |  FROM toksq WHERE len(t) >= 1),
+       |fq AS (SELECT doc_id, t[p1] AS tok,
+       |  CASE WHEN p1 < len(t) THEN t[p1 + 1] END AS nxt FROM gq),
+       |u0 AS (SELECT doc_id, tok AS s FROM fq),
+       |${XxHash64Sql.hashCtes("u0", "s", "uhq", prefix = "xqu")},
+       |uag AS (SELECT doc_id, sum(${wexpr("h")}) AS swu, count(*) AS nu
+       |  FROM uhq GROUP BY doc_id),
+       |b0 AS (SELECT doc_id, tok || ' ' || nxt AS s FROM fq
+       |  WHERE nxt IS NOT NULL),
+       |${XxHash64Sql.hashCtes("b0", "s", "bhq", prefix = "xqb")},
+       |bag AS (SELECT doc_id, sum(${wexpr("h")}) AS swb, count(*) AS nb
+       |  FROM bhq GROUP BY doc_id),
+       |scq AS (SELECT u.doc_id, u.swu + coalesce(b.swb, 0) AS sw,
+       |    u.nu + coalesce(b.nb, 0) AS nf
+       |  FROM uag u LEFT JOIN bag b USING (doc_id)),
+       |outq AS (SELECT doc_id, nf,
+       |    CAST(sw AS DOUBLE) / 1e3 / CAST(nf AS DOUBLE)
+       |      + CAST(0 AS DOUBLE) / 1e3 AS logit
+       |  FROM scq)
+       |SELECT d.doc_id, coalesce(o.nf, 0) AS n_features, o.logit,
+       |  o.logit >= 0 AS keep
+       |FROM documents d LEFT JOIN outq o ON d.doc_id = o.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_image_neardup" -> imageNearDupOracleSql,
+
+    "q_quality_score" -> qualityScoreOracleSql(buckets = 1024),
 
 
     "q_ann_lsh_buckets" -> lshBucketOracleSql(planes = 12, dim = 64),

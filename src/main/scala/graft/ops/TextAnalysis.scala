@@ -452,6 +452,65 @@ object TextAnalysis {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("avg_logprob"))
   }
 
+  /** fastText-style learned quality classifier inference: hashed
+    * unigram+bigram features → per-bucket weight → mean-pooled linear
+    * score (the CCNet/Llama wiki-vs-crawl filter shape). The deliverable
+    * is the LOGIT and the keep decision — sigmoid is a monotone transform
+    * that changes neither ranking nor any thresholded decision, and
+    * skipping it keeps the score libm-free, hence bit-exact across
+    * engines.
+    *
+    * The "trained model" here is a weight TABLE keyed by feature bucket;
+    * this build derives the weights from the bucket id by a fixed integer
+    * affine-mod formula (milli-units in [-1000, 1000]) so the oracle can
+    * reproduce them without shipping a literal table — a real checkpoint
+    * drops in as a broadcast (bucket, weight) join at the marked seam with
+    * no other plan change.
+    *
+    * Scale shape: one corpus tokenize+explode, ONE shuffle on doc_id
+    * feeding both the bigram `lead` window and the score aggregation
+    * (same key — no second exchange); weights are computed inline from
+    * the bucket id, so no join at all. Exact arithmetic: integer weight
+    * sums (overflow at ~9e15 feature-milli — fine to 100 M tokens/doc),
+    * then two correctly-rounded double divisions in a fixed order.
+    *
+    * @param buckets power of two, so Spark's signed `pmod` and the
+    *   oracle's unsigned `%` agree (both take the low bits of the hash).
+    */
+  def qualityClassifierScore(docs: DataFrame, idCol: String,
+      textCol: String = "text", buckets: Int = 1024, biasMilli: Long = 0L,
+      threshold: Double = 0.0): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // weight seam: replace `weightOf` with a broadcast model-table join to
+    // serve a real trained checkpoint
+    def weightOf(feature: Column): Column =
+      pmod(pmod(xxhash64(feature), lit(buckets.toLong)) * lit(2654435761L)
+        + lit(1013904223L), lit(2001L)) - lit(1000L)
+    val scored = toks
+      .select(col("doc_id"), col("tok"), lead(col("tok"), 1).over(w).as("__nxt"))
+      .select(col("doc_id"),
+        (weightOf(col("tok")) + when(col("__nxt").isNotNull,
+          weightOf(concat_ws(" ", col("tok"), col("__nxt")))).otherwise(lit(0L)))
+          .as("__w"),
+        when(col("__nxt").isNotNull, lit(2L)).otherwise(lit(1L)).as("__nf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__w")).as("__sw"), sum(col("__nf")).as("n_features"))
+      .select(col("doc_id"), col("n_features"),
+        (col("__sw").cast(DoubleType) / lit(1e3)
+          / col("n_features").cast(DoubleType)
+          + lit(biasMilli).cast(DoubleType) / lit(1e3)).as("logit"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        col("logit"), (col("logit") >= lit(threshold)).as("keep"))
+  }
+
   /** Full per-document text-statistics projection. Tokenizes once (staged
     * column), then derives every statistic from the attribute.
     */

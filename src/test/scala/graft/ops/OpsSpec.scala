@@ -539,6 +539,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p1(1L).get == out(1L)._2.get && p1(2L).get == out(2L)._2.get)
   }
 
+  test("quality classifier: hand-replayed weights, empty doc, invariance") {
+    val df = Seq(
+      (1L, "good clean prose"), // 3 unigrams + 2 bigrams = 5 features
+      (2L, "word"),             // 1 unigram, no bigram
+      (3L, "")).toDF("doc_id", "text")
+    // replay the model on the driver via Spark's own xxhash64
+    def bucketOf(s: String): Long = {
+      val h = spark.range(1).select(xxhash64(lit(s))).head().getLong(0)
+      ((h % 1024) + 1024) % 1024
+    }
+    def wOf(s: String): Long = (bucketOf(s) * 2654435761L + 1013904223L) % 2001L - 1000L
+    val feats1 = Seq("good", "clean", "prose", "good clean", "clean prose")
+    val exp1 = feats1.map(wOf).sum.toDouble / 1e3 / feats1.size.toDouble
+    val out = TextAnalysis.qualityClassifierScore(df, "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3))))).toMap
+    assert(out(1L)._1 == 5L && out(2L)._1 == 1L)
+    assert(out(1L)._2.contains(exp1))
+    assert(out(1L)._3.contains(exp1 >= 0.0))
+    assert(out(2L)._2.contains(wOf("word").toDouble / 1e3))
+    assert(out(3L) == ((0L, None, None)), "empty doc: no features, null score")
+    // weights bounded → logit bounded
+    assert(out.values.flatMap(_._2).forall(l => l >= -1.0 && l <= 1.0))
+    // bit-identical across partitionings (integer sums are order-free)
+    val p7 = TextAnalysis.qualityClassifierScore(df.repartition(7), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(p7(1L) == out(1L)._2 && p7(2L) == out(2L)._2)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.qualityClassifierScore(df, "doc_id", buckets = 1000)
+    }
+  }
+
   test("term weights: tf, corpus df, exact tf/df score") {
     val df = Seq(
       ("s1", "spark spark rare1"),
