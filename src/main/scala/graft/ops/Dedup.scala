@@ -87,7 +87,11 @@ object Dedup {
     */
   private def completeGrams(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // width sized by the post-shuffle explosion (n lead columns per token
+    // row), not the pre-explosion bytes AQE sees — graft.Conf scaladoc has
+    // the full rule; floors at defaultParallelism, so small-SF plans keep
+    // the exact pre-r6 shape
+    val par = graft.Conf.sizedShufflePartitions(docs, rowMultiplier = n.toDouble)
     val toks = docs.repartition(par, col(idCol))
       .select(col(idCol).as("doc_id"),
         posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
@@ -172,7 +176,9 @@ object Dedup {
     // two-phase form (df aggregate + semi-join) had the same safety but
     // paid a second full shuffle of the index and forced a persist of the
     // exploded frame; this form reads the shingle stream exactly once.
-    val par = exploded.sparkSession.sparkContext.defaultParallelism
+    // post-shuffle work here is the window count over already-exploded
+    // rows (multiplier 1); unknown stats fall back to defaultParallelism
+    val par = graft.Conf.sizedShufflePartitions(exploded, rowMultiplier = 1.0)
     val idx = exploded
       .repartition(par, col("shingle"))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
@@ -529,7 +535,7 @@ object Dedup {
     * original algorithm); token-less docs keep a null signature.
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val par = graft.Conf.sizedShufflePartitions(docs, rowMultiplier = 1.0)
     val hashes = docs.repartition(par, col(idCol))
       .select(col(idCol).as("doc_id"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))

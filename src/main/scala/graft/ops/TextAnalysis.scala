@@ -172,7 +172,10 @@ object TextAnalysis {
     val ns = (topNs ++ dupNs).distinct.sorted
     require(ns.forall(_ >= 2), "n-gram sizes must be >= 2")
     val maxN = ns.max
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // the dominant post-shuffle mass is Σn gram strings per token row
+    // (every requested n re-emits the token stream at n-token grams);
+    // see graft.Conf for the sizing rule — floors at defaultParallelism
+    val par = graft.Conf.sizedShufflePartitions(docs, rowMultiplier = ns.sum.toDouble)
     val toks = docs.repartition(par, col(idCol))
       .select(col(idCol).as("doc_id"),
         posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
@@ -482,7 +485,7 @@ object TextAnalysis {
       threshold: Double = 0.0): DataFrame = {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two, got $buckets")
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val par = graft.Conf.sizedShufflePartitions(docs, rowMultiplier = 2.0)
     val toks = docs.repartition(par, col(idCol))
       .select(col(idCol).as("doc_id"),
         posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
