@@ -26,7 +26,16 @@ import org.apache.spark.sql.functions._
   *    materializations cost more than the lineage they cap.
   * (A union-leg rebuild folding the node table into the contribution
   * aggregation was tried and measured SLOWER — it trades the small
-  * AQE-broadcast node join for a full node-table shuffle per round.)
+  * AQE-broadcast node join for a full node-table shuffle per round.
+  * r6 closed the remaining floor-cut candidate the same way: seeding a
+  * zero-mass sentinel row so the dangling scalar becomes a filter of
+  * the contribution aggregate instead of its own global aggregation
+  * measured ~0.25 s/3-round query SLOWER under a warmup-controlled
+  * interleaved A/B at sf0.1 — the extra union-leg query stage per
+  * round costs more than the saved SinglePartition exchange. A naive
+  * sequential A/B had shown the opposite, +0.8 s "saved": cross-variant
+  * JIT warmth; interleave and jointly warm before trusting a variant
+  * comparison. See SCALING.md §PageRank.)
   * The contribution aggregate is lazily `localCheckpoint`ed every 2nd
   * round (every round was measured slower — each forced materialization
   * adds AQE job-scheduling gaps); exchange reuse dedups the shared
