@@ -655,6 +655,57 @@ object SparkEntry {
           col("token_id"))
     },
 
+    // Tokenizer DECODE + round-trip audit, closing the encode lifecycle:
+    // ids -> symbols via the driver-side model (Bpe.symbolTable) and the
+    // invariant decode(encode(text)) == text's \w+ tokens joined on ""
+    // (the lossy-pre-tokenizer contract). A PROPERTY oracle: DuckDB
+    // computes n_chars from the raw text and asserts roundtrip_ok=TRUE,
+    // so any encode/decode defect (wrong id, dropped token, misordered
+    // reassembly) breaks the hash without the oracle replaying BPE.
+    "q_bpe_roundtrip" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val model = Bpe.symbolTable(docs, "text", encodeMerges)
+      Bpe.decode(Bpe.encode(docs, "doc_id", "text", encodeMerges),
+          "doc_id", "token_ids", model)
+        .join(docs.select(col("doc_id"),
+          concat_ws("", TextAnalysis.tokens(col("text"))).as("__expect")),
+          Seq("doc_id"))
+        .select(col("doc_id"),
+          length(col("text_decoded")).cast(LongType).as("n_chars"),
+          (col("text_decoded") === col("__expect")).as("roundtrip_ok"))
+    },
+
+    // C4-style blocklist gate (Raffel et al. 2020): per-doc count of
+    // blocklisted tokens + keep decision, one zero-exchange codegen'd
+    // projection. maxHits=0 is C4's drop-on-any-hit policy.
+    "q_blocklist_filter" -> q { (s, dir) =>
+      TextAnalysis.blocklistFilter(Tables.documents(s, dir), "doc_id",
+        "text", blocklist = Seq("slow", "big"), maxHits = 0L)
+    },
+
+    // Hashing-trick document vectors (Weinberger et al. 2009): the
+    // model-free text->vector bridge into the ANN/SemDeDup stack. Sparse
+    // (doc_id, bucket, cnt) rows — integer-exact; the oracle re-derives
+    // the xxhash64 bucket fold.
+    "q_feature_hash" -> q { (s, dir) =>
+      TextAnalysis.featureHashCounts(Tables.documents(s, dir), "doc_id",
+        "text", dim = 64)
+    },
+
+    // Packing-efficiency audit over the q_pack_sequences layout: per
+    // packing stream, bins/docs/token mass/capacity and integer waste
+    // permyriad — the sample-packing health metric. Same budget/buckets
+    // as q_pack_sequences so the two oracles cross-check.
+    "q_pack_audit" -> q { (s, dir) =>
+      graft.ops.Sampling.packingAudit(
+        graft.ops.Sampling.packSequences(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 2048L, buckets = 32),
+        "n_tokens", budget = 2048L)
+    },
+
     // Heavy hitters via a count-min sketch whose md5-derived bucket hashes
     // are engine-portable — the SKETCH ESTIMATES themselves are oracled
     // bit-exactly (unlike the xxhash-seeded MinHash/SimHash sketches,
@@ -4447,6 +4498,59 @@ object SparkEntry {
 
     "q_tokenize_pack" -> tokenizePackOracleSql(encodeMerges,
       budget = 128L, buckets = 8),
+
+    // PROPERTY oracle: n_chars from the raw text + roundtrip_ok=TRUE —
+    // any encode/decode defect breaks the hash without replaying BPE
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(length(array_to_string(regexp_extract_all(text, '\w+'), ''))
+        |    AS BIGINT) AS n_chars,
+        |  TRUE AS roundtrip_ok
+        |FROM documents
+        |WHERE len(regexp_extract_all(text, '\w+')) > 0""".stripMargin,
+
+    "q_blocklist_filter" ->
+      """SELECT doc_id, n_hits, n_hits <= 0 AS keep FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_extract_all(lower(text), '\w+'),
+        |      t -> list_contains(['slow', 'big'], t))) AS BIGINT) AS n_hits
+        |  FROM documents)""".stripMargin,
+
+    "q_feature_hash" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '\\w+')) AS tok
+         |  FROM documents),
+         |${graft.XxHash64Sql.hashCtes("toks", "tok", "fh_hashed", prefix = "fh")}
+         |SELECT doc_id,
+         |  CAST(((${graft.XxHash64Sql.toSignedBigint("h")} % 64) + 64) % 64
+         |    AS BIGINT) AS bucket,
+         |  count(*) AS cnt
+         |FROM fh_hashed GROUP BY 1, 2""".stripMargin,
+
+    "q_pack_audit" ->
+      """WITH packed AS (
+        |  SELECT doc_id, n_tokens, pack_bucket,
+        |    CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_bin
+        |  FROM (
+        |    SELECT doc_id, n_tokens, pack_bucket,
+        |      sum(n_tokens) OVER (PARTITION BY pack_bucket
+        |        ORDER BY n_tokens DESC, doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM (SELECT doc_id,
+        |            CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens,
+        |            doc_id % 32 AS pack_bucket
+        |          FROM documents))),
+        |bins AS (
+        |  SELECT pack_bucket, pack_bin, count(*) AS docs, sum(n_tokens) AS tok
+        |  FROM packed GROUP BY 1, 2)
+        |SELECT pack_bucket,
+        |  count(*) AS n_bins,
+        |  CAST(sum(docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+        |  count(*) * 2048 AS capacity,
+        |  CAST(floor((count(*) * 2048 - sum(tok)) * 10000
+        |    / (count(*) * 2048)) AS BIGINT) AS waste_permyriad
+        |FROM bins GROUP BY 1""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH toks AS (

@@ -324,12 +324,7 @@ object Bpe {
     // distinct seed characters of the corpus
     val chars = wt.select(explode(col("syms")).as("sym")).distinct()
       .collect().map(_.getString(0)).sorted
-    val mergeSyms = merges.map { case (l, r) => l + r }.zipWithIndex
-      .groupBy(_._1).map { case (s, occ) => (s, occ.map(_._2).min.toLong) }
-    val symToId: Map[String, Long] =
-      chars.zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap ++
-        mergeSyms.map { case (s, o) => s -> (chars.length + o) }
-    val idMap = typedLit(symToId)
+    val idMap = typedLit(symToId(chars, merges))
     val wordIds = words.select(col("word"),
       transform(col("syms"), s => element_at(idMap, s)).as("__ids"))
     val out = docs
@@ -342,6 +337,60 @@ object Bpe {
         s => s.getField("__ids"))).as("token_ids"))
       .withColumn("n_tokens", size(col("token_ids")).cast(LongType))
     Checkpoints.CachedResult(out, Seq(wt))
+  }
+
+  /** sym → id per [[vocab]]'s convention: sorted base alphabet first,
+    * then merge symbols at first-occurrence rank. Injective both ways
+    * (merge symbols have length ≥ 2, so they never collide with the
+    * 1-char alphabet; duplicate merge RESULTS keep the first rank).
+    */
+  private def symToId(chars: Array[String],
+      merges: Seq[(String, String)]): Map[String, Long] = {
+    val mergeSyms = merges.map { case (l, r) => l + r }.zipWithIndex
+      .groupBy(_._1).map { case (s, occ) => (s, occ.map(_._2).min.toLong) }
+    chars.zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap ++
+      mergeSyms.map { case (s, o) => s -> (chars.length + o) }
+  }
+
+  /** The driver-side tokenizer MODEL a decoder needs: the full sym → id
+    * map ([[vocab]]'s id convention) derived from this corpus's seed
+    * alphabet plus the merge table. A bounded parameter fetch — the
+    * distinct character set is charset-bounded (like an IVF centroid
+    * fetch), the merge list is already a literal. This is what a real
+    * tokenizer persists as its vocab file; pass it to [[decode]].
+    */
+  def symbolTable(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): Map[String, Long] = {
+    val chars = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .select(explode(charSplit(col("word"))).as("sym"))
+      .distinct().collect().map(_.getString(0)).sorted
+    symToId(chars, merges)
+  }
+
+  /** Inverse of [[encode]]: token-id sequences back to text. The
+    * reconstruction concatenates decoded symbols with no separator, so
+    * `decode(encode(text))` equals text's `\w+` tokens joined on "" —
+    * whitespace and punctuation are not part of the token stream (the
+    * [[TextAnalysis.tokens]] pre-tokenizer drops them), the standard
+    * lossy-pre-tokenizer contract, and exactly the invariant
+    * `q_bpe_roundtrip` oracles. An id absent from `symbols` poisons its
+    * document's reconstruction to NULL (fail loud, never a silently
+    * shortened document).
+    *
+    * Scale shape: one narrow codegen'd projection — the model rides the
+    * plan as a literal map (tokenizer models are files, not tables); no
+    * join, no shuffle.
+    */
+  def decode(encoded: DataFrame, idCol: String, tokenIdsCol: String,
+      symbols: Map[String, Long]): DataFrame = {
+    val idToSym = typedLit(symbols.map(_.swap))
+    encoded
+      .withColumn("__syms",
+        transform(col(tokenIdsCol), i => element_at(idToSym, i)))
+      .select(col(idCol),
+        when(exists(col("__syms"), s => s.isNull), lit(null))
+          .otherwise(concat_ws("", col("__syms"))).as("text_decoded"))
   }
 
   /** Distinct words of the corpus with counts and their initial

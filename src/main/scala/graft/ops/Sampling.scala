@@ -173,6 +173,38 @@ object Sampling {
       .drop("__start")
   }
 
+  /** Packing-efficiency audit over [[packSequences]] output — the
+    * operational metric a training-data team watches: how much of each
+    * packing stream's bin capacity is actually filled with tokens.
+    * Emits one row per pack_bucket: bins used, docs packed, token mass,
+    * nominal capacity (`n_bins · budget`) and the waste in permyriad —
+    * all integer arithmetic (bit-exact across engines). Waste can be
+    * NEGATIVE for a bucket whose oversized documents overflow their
+    * starting bins (first-fit-by-running-sum semantics) — a real signal,
+    * not an error: it says the budget is too small for the length
+    * distribution.
+    *
+    * Scale shape: two partial-aggregatable groupBys on prefix-compatible
+    * keys ((bucket, bin) → bucket), so Catalyst serves both from ONE
+    * shuffle of the already-tiny per-doc stats frame.
+    */
+  def packingAudit(packed: DataFrame, nTokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    packed
+      .groupBy(col("pack_bucket"), col("pack_bin"))
+      .agg(count(lit(1)).as("__docs"),
+        sum(col(nTokensCol)).cast("long").as("__tok"))
+      .groupBy(col("pack_bucket"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("__docs")).cast("long").as("n_docs"),
+        sum(col("__tok")).cast("long").as("total_tokens"))
+      .withColumn("capacity", col("n_bins") * lit(budget))
+      .withColumn("waste_permyriad",
+        floor((col("capacity") - col("total_tokens")) * lit(10000L)
+          / col("capacity")).cast("long"))
+  }
+
   /** Target-mixture selection (the Pile / DoReMi domain-weighting step):
     * given per-domain target weights (permyriad of the OUTPUT mixture)
     * and a total row budget, derive each domain's sampling rate from the

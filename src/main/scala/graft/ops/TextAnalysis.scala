@@ -514,6 +514,69 @@ object TextAnalysis {
         col("logit"), (col("logit") >= lit(threshold)).as("keep"))
   }
 
+  /** Blocklist (bad-word) filter — the C4-style lexical gate (Raffel et
+    * al. 2020 dropped any page containing a "List of Dirty, Naughty …"
+    * word; most production curation stacks run the same shape with a
+    * larger list). Emits per document the blocklisted-token count and a
+    * keep decision (`n_hits <= maxHits`; C4's policy is `maxHits = 0`).
+    *
+    * Scale shape: ONE narrow codegen'd projection — the list rides the
+    * plan as an array literal and the count is an in-row `filter` over
+    * the staged token array; no explode, no join, no shuffle, the same
+    * zero-exchange contract as [[stopwordRatio]]. A list too large for a
+    * plan literal (100k+ phrases) becomes a broadcast semi-join on
+    * exploded tokens — the seam is this function's body; the signature
+    * does not change.
+    */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String], maxHits: Long = 0L): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist: nothing to filter")
+    val bl = typedLit(blocklist.map(_.toLowerCase))
+    docs
+      .withColumn("__toks", tokens(lower(col(textCol))))
+      .select(col(idCol).as("doc_id"),
+        size(filter(col("__toks"), t => array_contains(bl, t)))
+          .cast(LongType).as("n_hits"))
+      .withColumn("keep", col("n_hits") <= lit(maxHits))
+  }
+
+  /** Hashing-trick document vectors (Weinberger et al. 2009, feature
+    * hashing): fold the token multiset into `dim` buckets by portable
+    * hash — a model-free embedding that feeds the vector stack
+    * ([[Similarity]] ANN, [[Dedup.semanticDedup]]) when no trained
+    * encoder exists. Sparse form: one (doc_id, bucket, cnt) row per
+    * nonzero bucket — integer-exact, hence bit-exact oracle-able.
+    *
+    * Scale shape: tokenize+explode then ONE corpus shuffle to (doc_id,
+    * bucket) grain with partial aggregation; bucket ids are `pmod` of the
+    * portable xxhash64, no vocabulary table anywhere.
+    */
+  def featureHashCounts(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("doc_id"),
+        pmod(xxhash64(col("tok")), lit(dim.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Dense Array[Float] form of [[featureHashCounts]] for the vector
+    * operators (cosine ANN, SemDeDup) — raw counts, caller normalizes if
+    * its metric needs it (the cosine kernels are scale-invariant).
+    */
+  def featureHashVectors(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame =
+    featureHashCounts(docs, idCol, textCol, dim)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt"))))
+        .as("__m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(dim.toLong - 1L)),
+          j => coalesce(element_at(col("__m"), j), lit(0L)).cast("float"))
+          .as("vec"))
+
   /** Full per-document text-statistics projection. Tokenizes once (staged
     * column), then derives every statistic from the attribute.
     */

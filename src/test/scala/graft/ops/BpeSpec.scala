@@ -159,4 +159,32 @@ class BpeSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("decode inverts encode: reconstruction equals \\w+ tokens joined on empty") {
+    val m = Seq(("e", "s"), ("es", "t"), ("l", "o"))
+    val model = Bpe.symbolTable(corpus, "text", m)
+    val decoded = Bpe.decode(
+        Bpe.encode(corpus, "doc_id", "text", m), "doc_id", "token_ids", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decoded(1L) === "low" * 5)
+    assert(decoded(2L) === "lower" * 2)
+    assert(decoded(3L) === "newest" * 6)
+    assert(decoded(4L) === "widest" * 3)
+  }
+
+  test("decode poisons a document containing an unknown id to null") {
+    val m = Seq(("e", "s"))
+    val model = Bpe.symbolTable(corpus, "text", m)
+    val bad = Seq((9L, Seq(0L, 999999L))).toDF("doc_id", "token_ids")
+    val out = Bpe.decode(bad, "doc_id", "token_ids", model).head()
+    assert(out.isNullAt(1), "unknown id must null the reconstruction, not shorten it")
+  }
+
+  test("symbolTable matches vocab's id convention") {
+    val m = Seq(("e", "s"), ("es", "t"))
+    val fromTable = Bpe.symbolTable(corpus, "text", m)
+    val fromVocab = Bpe.vocab(corpus, "text", m)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromTable === fromVocab)
+  }
 }

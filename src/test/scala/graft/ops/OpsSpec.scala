@@ -587,6 +587,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(("s1", "rare1")) == ((1L, 1L, 1.0))) // unique to s1
     assert(out(("s2", "common")) == ((1L, 2L, 0.5)))
   }
+
+  test("blocklistFilter: hit counts case-folded, keep honors maxHits") {
+    val df = Seq(
+      (1L, "clean text about spark tables"),
+      (2L, "one BadWord here"),
+      (3L, "badword badword and another badword")).toDF("doc_id", "text")
+    val strict = TextAnalysis.blocklistFilter(df, "doc_id", "text",
+        blocklist = Seq("BADWORD"), maxHits = 0L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(strict(1L) == ((0L, true)))
+    assert(strict(2L) == ((1L, false))) // C4 policy: any hit drops
+    assert(strict(3L) == ((3L, false)))
+    val lenient = TextAnalysis.blocklistFilter(df, "doc_id", "text",
+        blocklist = Seq("badword"), maxHits = 2L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(lenient(2L) && !lenient(3L))
+  }
+
+  test("featureHash: counts conserve token mass; exact dups get identical vectors") {
+    val df = Seq(
+      (1L, "spark table spark join"),
+      (2L, "spark table spark join"), // exact dup of 1
+      (3L, "entirely different words here")).toDF("doc_id", "text")
+    val sparse = TextAnalysis.featureHashCounts(df, "doc_id", "text", dim = 16)
+    // bucket fold loses no tokens
+    val mass = sparse.groupBy("doc_id").agg(sum("cnt").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mass == Map(1L -> 4L, 2L -> 4L, 3L -> 4L))
+    val vecs = TextAnalysis.featureHashVectors(df, "doc_id", "text", dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(vecs(1L).length == 16 && vecs(1L).sum == 4f)
+    assert(vecs(1L) == vecs(2L), "identical text must hash to the identical vector")
+    assert(vecs(1L) != vecs(3L))
+    // the bridge into the vector stack: cosine of the hashed vectors
+    // separates the planted dup pair from the unrelated doc
+    val v = TextAnalysis.featureHashVectors(df, "doc_id", "text", dim = 16)
+    val cos = v.as("a").crossJoin(v.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        graft.functions.VectorFunctions.cosineF32(col("a.vec"), col("b.vec")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cos((1L, 2L)) > 0.999)
+    assert(cos((1L, 3L)) < 0.9)
+  }
 }
 
 class FuzzySpec extends SparkSpec {

@@ -229,4 +229,32 @@ class SamplingSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("determinism contract"))
   }
+
+  test("packingAudit: bins, token mass, capacity and waste per stream") {
+    // one bucket (ids all ≡ 0 mod 1): lengths 60,50,40,30 pack in desc
+    // order under budget 100 → bin0 = [60,50) overflow? no: starts
+    // 0,60,110,150 → bins 0,0,1,1 — bin0 holds 60+50=110 (overflowing
+    // doc 50 STARTS at offset 60 inside bin 0), bin1 holds 40+30=70
+    val d = Seq((0L, 60L), (4L, 50L), (8L, 40L), (12L, 30L))
+      .toDF("doc_id", "n_tokens")
+    val audit = Sampling.packingAudit(
+      Sampling.packSequences(d, "doc_id", "n_tokens", budget = 100L,
+        buckets = 1), "n_tokens", budget = 100L).head()
+    assert(audit.getAs[Long]("n_bins") === 2L)
+    assert(audit.getAs[Long]("n_docs") === 4L)
+    assert(audit.getAs[Long]("total_tokens") === 180L)
+    assert(audit.getAs[Long]("capacity") === 200L)
+    assert(audit.getAs[Long]("waste_permyriad") === 1000L) // 20/200
+  }
+
+  test("packingAudit: oversized documents drive waste negative (real signal)") {
+    val d = Seq((0L, 250L), (4L, 10L)).toDF("doc_id", "n_tokens")
+    // starts 0,250 → bins 0,2: two bins used, 260 tokens, capacity 200
+    val audit = Sampling.packingAudit(
+      Sampling.packSequences(d, "doc_id", "n_tokens", budget = 100L,
+        buckets = 1), "n_tokens", budget = 100L).head()
+    assert(audit.getAs[Long]("n_bins") === 2L)
+    assert(audit.getAs[Long]("capacity") === 200L)
+    assert(audit.getAs[Long]("waste_permyriad") === -3000L) // (200-260)/200
+  }
 }
