@@ -692,6 +692,16 @@ object SparkEntry {
         "text", dim = 64)
     },
 
+    // Deterministic epoch shuffle: per-epoch training-order permutation
+    // as a pure function of (doc_id, epoch) — shard + in-shard position
+    // from the portable xxhash64 of "id#epoch". Bit-exact: the oracle
+    // re-derives the hash, shard fold and window rank.
+    "q_epoch_shuffle" -> q { (s, dir) =>
+      graft.ops.Sampling.epochShuffle(
+        Tables.documents(s, dir).select(col("doc_id")),
+        "doc_id", epoch = 3, shards = 16)
+    },
+
     // Packing-efficiency audit over the q_pack_sequences layout: per
     // packing stream, bins/docs/token mass/capacity and integer waste
     // permyriad — the sample-packing health metric. Same budget/buckets
@@ -4526,6 +4536,18 @@ object SparkEntry {
          |    AS BIGINT) AS bucket,
          |  count(*) AS cnt
          |FROM fh_hashed GROUP BY 1, 2""".stripMargin,
+
+    "q_epoch_shuffle" ->
+      s"""WITH keyed AS (SELECT doc_id, doc_id::VARCHAR || '#3' AS ks
+         |  FROM documents),
+         |${graft.XxHash64Sql.hashCtes("keyed", "ks", "es_hashed", prefix = "es")},
+         |es_sh AS (SELECT doc_id, ${graft.XxHash64Sql.toSignedBigint("h")} AS hs
+         |  FROM es_hashed)
+         |SELECT doc_id,
+         |  ((hs % 16) + 16) % 16 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY ((hs % 16) + 16) % 16
+         |    ORDER BY hs, doc_id) AS BIGINT) AS shard_pos
+         |FROM es_sh""".stripMargin,
 
     "q_pack_audit" ->
       """WITH packed AS (

@@ -173,6 +173,35 @@ object Sampling {
       .drop("__start")
   }
 
+  /** Deterministic EPOCH SHUFFLE — training-order randomization as a pure
+    * function of (key, epoch): every document gets a shard and an
+    * in-shard position from the portable xxhash64 of its key salted with
+    * the epoch number. Each epoch is a fresh pseudo-random permutation;
+    * a rerun, retry, backfill or different engine reproduces the same
+    * order bit-for-bit (task-level `rand()` ordering survives none of
+    * those). This is the "shuffle the corpus each epoch" step a training
+    * loader needs, emitted as data instead of loader state.
+    *
+    * Scale shape: ONE hash shuffle on the shard key, then an in-shard
+    * sort (the irreducible cost of producing an order); choose `shards`
+    * ≥ cluster width so every executor sorts its own slice. The hash is
+    * over the string `key#epoch` — string form keeps the oracle replay
+    * exact without relying on engine-specific integer overflow wrapping.
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Int,
+      shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = xxhash64(concat(col(keyCol), lit("#"), lit(epoch)))
+    val withShard = df
+      .withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(keyCol)) // key tiebreak: hash collisions
+    withShard
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Packing-efficiency audit over [[packSequences]] output — the
     * operational metric a training-data team watches: how much of each
     * packing stream's bin capacity is actually filled with tokens.

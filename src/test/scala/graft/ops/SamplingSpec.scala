@@ -230,6 +230,24 @@ class SamplingSpec extends SparkSpec {
     assert(ex.getMessage.contains("determinism contract"))
   }
 
+  test("epochShuffle: a deterministic permutation per epoch, contiguous shard positions") {
+    val keys = (0L until 500L).map(Tuple1(_)).toDF("doc_id")
+    val e3a = Sampling.epochShuffle(keys, "doc_id", epoch = 3, shards = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val e3b = Sampling.epochShuffle(keys.repartition(13), "doc_id", epoch = 3, shards = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(e3a === e3b, "same epoch must reproduce the identical order on any partitioning")
+    // every shard's positions are exactly 1..n (a usable loader order)
+    e3a.values.groupBy(_._1).foreach { case (_, rows) =>
+      val pos = rows.map(_._2).toSeq.sorted
+      assert(pos === (1L to pos.size.toLong))
+    }
+    // a different epoch is a genuinely different permutation
+    val e4 = Sampling.epochShuffle(keys, "doc_id", epoch = 4, shards = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(e3a !== e4)
+  }
+
   test("packingAudit: bins, token mass, capacity and waste per stream") {
     // one bucket (ids all ≡ 0 mod 1): lengths 60,50,40,30 pack in desc
     // order under budget 100 → bin0 = [60,50) overflow? no: starts
