@@ -62,6 +62,30 @@ class ConfSpec extends AnyFunSuite {
     assert(Conf.partitionsFor(BigInt(budget), budget, 32) === 32)
   }
 
+  test("SCALING_LC artifact tripwire: sized x10 cells within 2x of local[32]") {
+    // The committed local-cluster artifact IS the multi-executor evidence
+    // for the sizing rule (SCALING.md §r6). If a future regeneration ships
+    // a regressed cell — the pre-rule state was 6.6x/3.3x OVER this bound —
+    // this test fails before the artifact quietly replaces the good one.
+    def x10(path: String): Map[String, Double] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val dirIdx = txt.indexOf("x10")
+      assert(dirIdx >= 0, s"$path has no x10 dir")
+      val tail = txt.substring(dirIdx)
+      """"(q_[a-z0-9_]+)":\{"sec":([0-9.]+)""".r.findAllMatchIn(tail)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val lc = x10("SCALING_LC.json")
+    val base = x10("SCALING_LC_BASELINE.json")
+    for (q <- Seq("q_dedup_spans", "q_text_ngram_repetition")) {
+      val (l, b) = (lc(q), base(q))
+      assert(l <= 2.0 * b,
+        s"$q local-cluster x10 ${l}s exceeds 2x its local[32] ${b}s — " +
+          "the partition-sizing rule regressed (graft.Conf scaladoc)")
+    }
+  }
+
   test("the study's regressed cells land in the measured-good neighborhood") {
     // x10 fixture: ~6 MiB on-disk documents; budget 7g/(8×8) = 112 MiB.
     // q_dedup_spans (k=50): 6 MiB × 32 × 50 ≈ 9.4 GiB → 86 tasks → 96
