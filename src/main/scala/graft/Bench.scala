@@ -113,8 +113,13 @@ object Bench {
     //    own), compounded: its TWO chained ingest rounds pay ~30 job
     //    floors on constant-size fixture data.
     // Every distributed operator these exercise is timed by other queries.
+    //  - q_bpe_roundtrip: a decode∘encode AUDIT — encode is already timed
+    //    as q_bpe_encode and decode is a narrow projection; timing the
+    //    composition would double-count the encode (and its oracle is a
+    //    deliberately non-replaying property check, so a wall-clock ratio
+    //    against it is not engine-vs-engine).
     val skip = Set("q_pipeline_verify", "q_minhash_est_error", "q_curate",
-      "q_curate_incremental")
+      "q_curate_incremental", "q_bpe_roundtrip")
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query filter for local
     // iteration on one hot spot (full set when unset — the driver's mode)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

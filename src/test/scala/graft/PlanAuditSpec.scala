@@ -72,6 +72,31 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("q_blocklist_filter: the C4 gate is a zero-exchange narrow projection") {
+    val p = plan("q_blocklist_filter")
+    assert(!p.contains("Exchange"),
+      s"blocklist gate must not shuffle (plan-literal list, in-row count):\n$p")
+  }
+
+  test("q_feature_hash / q_epoch_shuffle: exactly one corpus shuffle each") {
+    Seq("q_feature_hash", "q_epoch_shuffle").foreach { n =>
+      val p = plan(n)
+      val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+      assert(exchanges == 1,
+        s"$n: expected exactly one hash exchange, got $exchanges:\n$p")
+    }
+  }
+
+  test("q_pack_audit: both aggregations served by the ONE packing shuffle") {
+    // (bucket, bin) → bucket are prefix-compatible groupings over the
+    // window's pack_bucket partitioning — extra exchanges mean the
+    // one-shuffle audit contract regressed
+    val p = plan("q_pack_audit")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"q_pack_audit: expected one exchange (the packing window), got $exchanges:\n$p")
+  }
+
   test("q_decontaminate: pruned eval index broadcast — corpus side never shuffles for the join") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"),

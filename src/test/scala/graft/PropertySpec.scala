@@ -182,4 +182,53 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("decode∘encode is identity on random corpora under random merge tables") {
+    val wordGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val docGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(3, 10).flatMap(n => Gen.listOfN(n, docGen))
+    val symGen = Gen.oneOf("a", "b", "c", "d", "ab", "cd", "abc", "ba")
+    val mergesGen = Gen.choose(0, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(symGen, symGen)))
+    (1 to 6).foreach { seed =>
+      val texts = sample(corpusGen, seed.toLong)
+      val merges = sample(mergesGen, seed.toLong + 100)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val model = graft.ops.Bpe.symbolTable(docs, "text", merges)
+      val decoded = graft.ops.Bpe.decode(
+          graft.ops.Bpe.encode(docs, "doc_id", "text", merges),
+          "doc_id", "token_ids", model)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val expect = t.split(" ").filter(_.nonEmpty).mkString("")
+        assert(decoded(i.toLong) == expect,
+          s"seed=$seed doc=$i merges=$merges: '${decoded(i.toLong)}' != '$expect'")
+      }
+    }
+  }
+
+  test("packingAudit conserves docs and token mass at any budget/bucket geometry") {
+    val lenGen = Gen.listOfN(80, Gen.chooseNum(1L, 300L))
+    (1 to 5).foreach { seed =>
+      val lens = sample(lenGen, seed.toLong)
+      val df = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("doc_id", "n_tokens")
+      Seq((64L, 4), (100L, 1), (4096L, 16)).foreach { case (budget, buckets) =>
+        val audit = graft.ops.Sampling.packingAudit(
+          graft.ops.Sampling.packSequences(df, "doc_id", "n_tokens",
+            budget, buckets), "n_tokens", budget)
+          .agg(sum("n_docs"), sum("total_tokens"), sum("capacity"),
+            sum(col("n_bins")) * budget).head()
+        assert(audit.getLong(0) == lens.size.toLong,
+          s"seed=$seed $budget/$buckets: doc count not conserved")
+        assert(audit.getLong(1) == lens.sum,
+          s"seed=$seed $budget/$buckets: token mass not conserved")
+        assert(audit.getLong(2) == audit.getLong(3),
+          s"seed=$seed $budget/$buckets: capacity != n_bins * budget")
+      }
+    }
+  }
 }
