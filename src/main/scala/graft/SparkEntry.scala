@@ -2221,6 +2221,75 @@ object SparkEntry {
         ORDER BY cntrycode""")
     },
 
+    // The seven shapes completing the TPC-H 22 (Q13 = q_sql_custdist);
+    // partsupp-less adaptations documented at the tpchQ*Sql builders.
+    // Q2: correlated MIN subquery + 4-way dim join + top-N.
+    "q_sql_tpch_q2" -> q { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("v_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+      Tables.region(s, dir).createOrReplaceTempView("v_region")
+      s.sql(tpchQ2Sql("v_lineitem", "v_part", "v_supplier", "v_nation",
+        "v_region"))
+    },
+
+    // Q4: date-window + EXISTS semi-join + per-priority counts.
+    "q_sql_tpch_q4" -> q { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      s.sql(tpchQ4Sql("v_lineitem", "v_orders"))
+    },
+
+    // Q9: 5-way star + nation/year profit rollup, integer-e4 money.
+    "q_sql_tpch_q9" -> q { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("v_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+      s.sql(tpchQ9Sql("v_lineitem", "v_part", "v_supplier", "v_orders",
+        "v_nation"))
+    },
+
+    // Q11: group HAVING vs a global scalar subquery, cross-multiplied
+    // into integer cents.
+    "q_sql_tpch_q11" -> q { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+      s.sql(tpchQ11Sql("v_lineitem", "v_supplier", "v_nation"))
+    },
+
+    // Q16: NOT IN anti-join + count(DISTINCT) per part group.
+    "q_sql_tpch_q16" -> q { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("v_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+      s.sql(tpchQ16Sql("v_lineitem", "v_part", "v_supplier"))
+    },
+
+    // Q20: nested IN-subquery whose HAVING compares a group aggregate
+    // against a global aggregate threshold (integer cross-multiplied).
+    "q_sql_tpch_q20" -> q { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.part(s, dir).createOrReplaceTempView("v_part")
+      Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+      Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+      s.sql(tpchQ20Sql("v_lineitem", "v_part", "v_supplier", "v_nation"))
+    },
+
+    // Q21: EXISTS + NOT EXISTS self-joins on the fact table (the
+    // waiting-supplier shape; returnflag proxies the late-receipt
+    // predicate the synthetic schema lacks).
+    "q_sql_tpch_q21" -> q { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.supplier(s, dir).createOrReplaceTempView("v_supplier")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.nation(s, dir).createOrReplaceTempView("v_nation")
+      s.sql(tpchQ21Sql("v_lineitem", "v_supplier", "v_orders", "v_nation"))
+    },
+
     // FULL OUTER join with unmatched keys on BOTH sides (deliberately
     // non-overlapping nation filters): the one outer-join shape the suite
     // didn't cover.
@@ -4085,6 +4154,118 @@ object SparkEntry {
        |FROM documents d LEFT JOIN outq o ON d.doc_id = o.doc_id""".stripMargin
   }
 
+  /** The seven TPC-H shapes that complete the 22-query suite (Q13 ships
+    * as `q_sql_custdist`). The synthetic schema has no `partsupp`, so the
+    * partsupp-centric queries (Q2/Q9/Q11/Q16/Q20) are adapted with
+    * `lineitem` as the supply catalog and `p_retailprice` as the cost
+    * proxy — each keeps its defining optimizer shape (correlated MIN,
+    * nation-keyed profit rollup, HAVING vs global scalar, NOT IN +
+    * count-distinct, nested IN with aggregate threshold, EXISTS/NOT
+    * EXISTS self-joins). One builder feeds BOTH the Spark view text and
+    * the DuckDB oracle text, so parity cannot drift; all money math uses
+    * the integer-cents forms proven by Q1.
+    */
+  private def tpchQ2Sql(l: String, p: String, su: String, n: String,
+      r: String): String =
+    s"""SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+       |FROM $p, $su, $l, $n, $r
+       |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+       |  AND p_size <= 5 AND p_type = 'STANDARD'
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'EUROPE'
+       |  AND round(l_extendedprice * 100) = (
+       |    SELECT min(round(l2.l_extendedprice * 100))
+       |    FROM $l l2, $su s2, $n n2, $r r2
+       |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+       |      AND s2.s_nationkey = n2.n_nationkey
+       |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       |LIMIT 100""".stripMargin
+
+  private def tpchQ4Sql(l: String, o: String): String =
+    s"""SELECT o_orderpriority, count(*) AS order_count
+       |FROM $o
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+       |  AND EXISTS (SELECT 1 FROM $l
+       |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  private def tpchQ9Sql(l: String, p: String, su: String, o: String,
+      n: String): String =
+    s"""SELECT nation, o_year, sum(amount_e4) / 10000.0 AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation,
+       |    CAST(year(o_orderdate) AS INT) AS o_year,
+       |    round(l_extendedprice * (1 - l_discount) * 10000)
+       |      - round(p_retailprice * 5000) * CAST(l_quantity AS BIGINT)
+       |      AS amount_e4
+       |  FROM $l, $p, $su, $o, $n
+       |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+       |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+       |    AND p_name LIKE '%gear%') profit
+       |GROUP BY nation, o_year
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  private def tpchQ11Sql(l: String, su: String, n: String): String =
+    s"""SELECT l_suppkey AS s_suppkey,
+       |  sum(round(l_extendedprice * 100)) / 100.0 AS value
+       |FROM $l, $su, $n
+       |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |  AND n_name = 'NATION_3'
+       |GROUP BY l_suppkey
+       |HAVING 50 * sum(round(l_extendedprice * 100)) > (
+       |  SELECT sum(round(l2.l_extendedprice * 100))
+       |  FROM $l l2, $su s2, $n n2
+       |  WHERE l2.l_suppkey = s2.s_suppkey AND s2.s_nationkey = n2.n_nationkey
+       |    AND n2.n_name = 'NATION_3')
+       |ORDER BY value DESC""".stripMargin
+
+  private def tpchQ16Sql(l: String, p: String, su: String): String =
+    s"""SELECT p_brand, p_type, p_size,
+       |  count(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM $p, $l
+       |WHERE p_partkey = l_partkey
+       |  AND p_brand <> 'Brand#1'
+       |  AND p_size IN (1, 5, 15, 25, 35, 49)
+       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM $su WHERE s_acctbal < 0)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  private def tpchQ20Sql(l: String, p: String, su: String, n: String): String =
+    s"""SELECT s_name, s_acctbal
+       |FROM $su, $n
+       |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_5'
+       |  AND s_suppkey IN (
+       |    SELECT l_suppkey FROM $l, $p
+       |    WHERE l_partkey = p_partkey AND p_name LIKE '%bolt%'
+       |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |      AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+       |    GROUP BY l_suppkey
+       |    HAVING 200 * sum(CAST(l_quantity AS BIGINT)) > (
+       |      SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM $l l2, $p p2
+       |      WHERE l2.l_partkey = p2.p_partkey AND p2.p_name LIKE '%bolt%'
+       |        AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |        AND l2.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'))
+       |ORDER BY s_name""".stripMargin
+
+  private def tpchQ21Sql(l: String, su: String, o: String, n: String): String =
+    s"""SELECT s_name, count(*) AS numwait
+       |FROM $su, $l l1, $o, $n
+       |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+       |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+       |  AND EXISTS (SELECT 1 FROM $l l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM $l l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+       |  AND s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
+       |GROUP BY s_name
+       |ORDER BY numwait DESC, s_name
+       |LIMIT 100""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q_image_neardup" -> imageNearDupOracleSql,
@@ -5459,6 +5640,17 @@ object SparkEntry {
         |       WHERE l2.l_partkey = l.l_partkey)
         |    < 2 * (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l3
         |           WHERE l3.l_partkey = l.l_partkey)""".stripMargin,
+
+    "q_sql_tpch_q2" -> tpchQ2Sql("lineitem", "part", "supplier", "nation",
+      "region"),
+    "q_sql_tpch_q4" -> tpchQ4Sql("lineitem", "orders"),
+    "q_sql_tpch_q9" -> tpchQ9Sql("lineitem", "part", "supplier", "orders",
+      "nation"),
+    "q_sql_tpch_q11" -> tpchQ11Sql("lineitem", "supplier", "nation"),
+    "q_sql_tpch_q16" -> tpchQ16Sql("lineitem", "part", "supplier"),
+    "q_sql_tpch_q20" -> tpchQ20Sql("lineitem", "part", "supplier", "nation"),
+    "q_sql_tpch_q21" -> tpchQ21Sql("lineitem", "supplier", "orders",
+      "nation"),
 
     "q_sql_tpch_q22" ->
       """SELECT cntrycode, count(*) AS numcust,
