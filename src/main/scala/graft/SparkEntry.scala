@@ -655,6 +655,27 @@ object SparkEntry {
           col("token_id"))
     },
 
+    // WARC-style archive round trip — render documents as WARC records,
+    // land them via the splittable custom-lineSep text sink, re-ingest
+    // and parse headers with codegen'd regexps. PROPERTY oracle: DuckDB
+    // derives every output column from the documents table directly, so
+    // any framing/parse defect (split payload, off-by-one Content-Length,
+    // mangled URI) hash-fails without the oracle reading the archive.
+    "q_warc_ingest" -> q { (s, dir) =>
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_warc_${Integer.toHexString(dir.hashCode)}").getPath
+      graft.sources.WarcSource.write(Tables.documents(s, dir),
+        "doc_id", "text", "source", path)
+      graft.sources.WarcSource.read(s, path)
+        .select(
+          regexp_extract(col("url"), ".*/doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("url"), col("content_length"),
+          length(col("payload")).cast(LongType).as("n_chars"),
+          (col("content_length") === length(col("payload")))
+            .as("framing_ok"))
+    },
+
     // Tokenizer DECODE + round-trip audit, closing the encode lifecycle:
     // ids -> symbols via the driver-side model (Bpe.symbolTable) and the
     // invariant decode(encode(text)) == text's \w+ tokens joined on ""
@@ -4689,6 +4710,14 @@ object SparkEntry {
 
     "q_tokenize_pack" -> tokenizePackOracleSql(encodeMerges,
       budget = 128L, buckets = 8),
+
+    "q_warc_ingest" ->
+      """SELECT doc_id,
+        |  'http://' || source || '.example/doc/' || doc_id AS url,
+        |  CAST(length(text) AS BIGINT) AS content_length,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  TRUE AS framing_ok
+        |FROM documents""".stripMargin,
 
     // PROPERTY oracle: n_chars from the raw text + roundtrip_ok=TRUE —
     // any encode/decode defect breaks the hash without replaying BPE
