@@ -72,6 +72,26 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("TPC-H 22: every correlated subquery decorrelates — no nested-loop blowups") {
+    // The point of shipping all 22 shapes is that Catalyst turns each
+    // correlated MIN/EXISTS/NOT-IN/scalar-threshold subquery into joins.
+    // A BroadcastNestedLoopJoin with a non-trivial condition or a
+    // CartesianProduct here means a subquery survived to execution as a
+    // per-row loop — O(n*m) at 100 TB. (Scalar-subquery results legally
+    // enter as literals/one-row broadcasts; those don't print as NLJ.)
+    val tpch = Seq("q1_pricing_summary", "q_sql_tpch_q1", "q_sql_tpch_q2",
+      "q_sql_tpch_q3", "q_sql_tpch_q4", "q_sql_tpch_q5", "q_sql_tpch_q6",
+      "q_sql_tpch_q7", "q_sql_tpch_q8", "q_sql_tpch_q9", "q_sql_tpch_q10",
+      "q_sql_tpch_q11", "q_sql_tpch_q12", "q_sql_custdist", "q_sql_tpch_q14",
+      "q_sql_tpch_q15", "q_sql_tpch_q16", "q_sql_tpch_q17", "q_sql_tpch_q18",
+      "q_sql_tpch_q19", "q_sql_tpch_q20", "q_sql_tpch_q21", "q_sql_tpch_q22")
+    tpch.foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n: a correlated subquery failed to decorrelate (cartesian):\n$p")
+    }
+  }
+
   test("q_blocklist_filter: the C4 gate is a zero-exchange narrow projection") {
     val p = plan("q_blocklist_filter")
     assert(!p.contains("Exchange"),
