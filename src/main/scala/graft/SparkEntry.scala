@@ -4255,16 +4255,25 @@ object SparkEntry {
        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
   private def tpchQ20Sql(l: String, p: String, su: String, n: String): String =
+    // threshold is ABOVE-MEAN share (sum · n_suppliers > total), not a
+    // fixed permille: supplier count grows with scale factor, so any
+    // absolute share cutoff empties at larger SF (measured: 1/400 keeps
+    // 10 rows at sf0.001 and ZERO at sf0.1). Integer cross-multiplied —
+    // no division before comparison.
     s"""SELECT s_name, s_acctbal
        |FROM $su, $n
-       |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_5'
+       |WHERE s_nationkey = n_nationkey AND n_name LIKE 'NATION_1%'
        |  AND s_suppkey IN (
        |    SELECT l_suppkey FROM $l, $p
        |    WHERE l_partkey = p_partkey AND p_name LIKE '%bolt%'
        |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
        |      AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
        |    GROUP BY l_suppkey
-       |    HAVING 200 * sum(CAST(l_quantity AS BIGINT)) > (
+       |    HAVING sum(CAST(l_quantity AS BIGINT)) * (
+       |      SELECT count(DISTINCT l3.l_suppkey) FROM $l l3, $p p3
+       |      WHERE l3.l_partkey = p3.p_partkey AND p3.p_name LIKE '%bolt%'
+       |        AND l3.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |        AND l3.l_shipdate < TIMESTAMP '1999-01-01 00:00:00') > (
        |      SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM $l l2, $p p2
        |      WHERE l2.l_partkey = p2.p_partkey AND p2.p_name LIKE '%bolt%'
        |        AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
