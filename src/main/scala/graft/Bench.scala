@@ -284,7 +284,12 @@ object Bench {
     // shuffles / cluster-bounded pairs / vocabulary-not-corpus iteration /
     // map-side-only selection) that the growth column must back
     "q_dedup_spans", "q_semantic_dedup", "q_semantic_dedup_scaledk",
-    "q_semantic_dedup_hierk", "q_bpe_merges", "q_mixture_select")
+    "q_semantic_dedup_hierk", "q_bpe_merges", "q_mixture_select",
+    // round-6 additions: the tokenize->pack terminal path (one corpus
+    // scan + one reassembly shuffle), hashing-trick vectors (one corpus
+    // shuffle) and the epoch shuffle (one hash shuffle + in-shard sort)
+    // each claim a one-pass scale shape the growth column must back
+    "q_tokenize_pack", "q_feature_hash", "q_epoch_shuffle")
 
   /** Study-only query: SemDeDup at its documented OPERATING POINT — the
     * cluster count grows with the corpus so mean cluster size (and with
