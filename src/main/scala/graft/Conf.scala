@@ -114,17 +114,32 @@ object Conf {
     math.max(heap / (8L * slots), 16L << 20)
   }
 
+  /** Hard ceiling on a sized width. Two jobs: (a) a scheduler guard —
+    * Catalyst's size-only join estimate is the PRODUCT of the children,
+    * so a caller passing a post-join frame can report ~1e14 "bytes" that
+    * are an artifact, not a size, and an explicit repartition(2^31) is a
+    * driver collapse AQE cannot coalesce away (REPARTITION_BY_NUM pins
+    * the count); (b) an honesty bound — past ~1M partitions, per-task
+    * memory must come from executor sizing, not width (Spark's own
+    * practical shuffle ceiling is well below this). */
+  private[graft] val MaxPartitions: Long = 1L << 20
+
   /** Pure sizing arithmetic: ceil(bytes / budget), floored at
-    * `defaultParallelism`, rounded up to whole waves of it. */
+    * `defaultParallelism`, rounded up to whole waves of it, capped at
+    * [[MaxPartitions]]. */
   private[graft] def partitionsFor(effectiveBytes: BigInt, budgetBytes: Long,
       defaultParallelism: Int): Int = {
     val dp = math.max(1, defaultParallelism)
-    if (effectiveBytes <= 0 || effectiveBytes > UnknownStats) dp
+    // the unknown-stats sentinel applies to RAW plan stats (the caller's
+    // job — sizedShufflePartitions checks before multiplying); effective
+    // bytes past any sane size are handled by the CAP, not a floor — a
+    // genuinely huge exploded estimate must widen, not silently narrow
+    if (effectiveBytes <= 0) dp
     else {
       val tasks = ((effectiveBytes + budgetBytes - 1) / budgetBytes)
-        .min(BigInt(Int.MaxValue)).toLong
+        .min(BigInt(MaxPartitions)).toLong
       val waves = math.max(1L, (tasks + dp - 1) / dp)
-      math.min(Int.MaxValue.toLong, waves * dp).toInt
+      math.min(MaxPartitions, waves * dp).toInt
     }
   }
 

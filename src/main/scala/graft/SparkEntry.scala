@@ -672,7 +672,9 @@ object SparkEntry {
             .cast(LongType).as("doc_id"),
           col("url"), col("content_length"),
           length(col("payload")).cast(LongType).as("n_chars"),
-          (col("content_length") === length(col("payload")))
+          // WARC frames by BYTES: compare against octet_length, so a
+          // multi-byte payload with intact framing stays ok=true
+          (col("content_length") === octet_length(col("payload")))
             .as("framing_ok"))
     },
 
@@ -685,9 +687,12 @@ object SparkEntry {
     // reassembly) breaks the hash without the oracle replaying BPE.
     "q_bpe_roundtrip" -> q { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val model = Bpe.symbolTable(docs, "text", encodeMerges)
-      Bpe.decode(Bpe.encode(docs, "doc_id", "text", encodeMerges),
-          "doc_id", "token_ids", model)
+      // one call yields BOTH the encoded frame and the symbol map — a
+      // separate symbolTable() would re-scan the corpus to re-derive the
+      // identical alphabet
+      val (enc, model) =
+        Bpe.encodeCachedWithModel(docs, "doc_id", "text", encodeMerges)
+      Bpe.decode(enc.df, "doc_id", "token_ids", model)
         .join(docs.select(col("doc_id"),
           concat_ws("", TextAnalysis.tokens(col("text"))).as("__expect")),
           Seq("doc_id"))
@@ -3601,9 +3606,9 @@ object SparkEntry {
       bpeRoundCtes(ix + 1, top(ix + 1, l, r))
     }
     val last = merges.size
-    val mergeValues = merges.map { case (l, r) => l + r }.zipWithIndex
-      .groupBy(_._1).map { case (s, occ) => (s, occ.map(_._2).min) }
-      .toSeq.sortBy(_._2)
+    // the first-wins rank convention lives in Bpe.mergeSymRanks — the
+    // oracle must replay the SAME ranking the engine assigns ids by
+    val mergeValues = Bpe.mergeSymRanks(merges)
       .map { case (s, o) => s"('$s', CAST($o AS BIGINT))" }.mkString(", ")
     s"""${(bpeWordCte +: rounds).mkString(",\n")},
        |chars AS MATERIALIZED (
@@ -4723,7 +4728,7 @@ object SparkEntry {
     "q_warc_ingest" ->
       """SELECT doc_id,
         |  'http://' || source || '.example/doc/' || doc_id AS url,
-        |  CAST(length(text) AS BIGINT) AS content_length,
+        |  CAST(strlen(text) AS BIGINT) AS content_length,
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  TRUE AS framing_ok
         |FROM documents""".stripMargin,
@@ -4741,7 +4746,8 @@ object SparkEntry {
     "q_blocklist_filter" ->
       """SELECT doc_id, n_hits, n_hits <= 0 AS keep FROM (
         |  SELECT doc_id,
-        |    CAST(len(list_filter(regexp_extract_all(lower(text), '\w+'),
+        |    CAST(len(list_filter(
+        |      regexp_extract_all(lower(coalesce(text, '')), '\w+'),
         |      t -> list_contains(['slow', 'big'], t))) AS BIGINT) AS n_hits
         |  FROM documents)""".stripMargin,
 

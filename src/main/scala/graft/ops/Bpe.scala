@@ -268,9 +268,7 @@ object Bpe {
     import spark.implicits._
     val chars = words.select(explode(col("syms")).as("sym")).distinct()
     val base = Ids.globalRank(chars, Seq("sym"), "token_id")
-    val mergeSyms = merges.map { case (l, r) => l + r }.zipWithIndex
-      .groupBy(_._1).map { case (s, occ) => (s, occ.map(_._2).min.toLong) }
-      .toSeq.sortBy(_._2)
+    val mergeSyms = mergeSymRanks(merges)
     if (mergeSyms.isEmpty) base
     else {
       val cnt = base.agg(count(lit(1)).as("__c"))
@@ -316,7 +314,16 @@ object Bpe {
     *    groupBy — the price of emitting actual sequences, paid once.
     */
   def encodeCached(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): Checkpoints.CachedResult = {
+      merges: Seq[(String, String)]): Checkpoints.CachedResult =
+    encodeCachedWithModel(docs, idCol, textCol, merges)._1
+
+  /** [[encodeCached]] plus the driver-side symbol map it derived — the
+    * model [[decode]] needs. Round-trip callers use THIS instead of a
+    * separate [[symbolTable]] call, which would re-scan the corpus to
+    * re-derive the identical alphabet.
+    */
+  def encodeCachedWithModel(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): (Checkpoints.CachedResult, Map[String, Long]) = {
     val wt = wordTable(docs, textCol).localCheckpoint(false)
     var words = wt
     merges.foreach { case (l, r) => words = applyMerge(words, l, r) }
@@ -324,7 +331,8 @@ object Bpe {
     // distinct seed characters of the corpus
     val chars = wt.select(explode(col("syms")).as("sym")).distinct()
       .collect().map(_.getString(0)).sorted
-    val idMap = typedLit(symToId(chars, merges))
+    val model = symToId(chars, merges)
+    val idMap = typedLit(model)
     val wordIds = words.select(col("word"),
       transform(col("syms"), s => element_at(idMap, s)).as("__ids"))
     val out = docs
@@ -336,8 +344,20 @@ object Bpe {
         array_sort(collect_list(struct(col("wpos"), col("__ids")))),
         s => s.getField("__ids"))).as("token_ids"))
       .withColumn("n_tokens", size(col("token_ids")).cast(LongType))
-    Checkpoints.CachedResult(out, Seq(wt))
+    (Checkpoints.CachedResult(out, Seq(wt)), model)
   }
+
+  /** Merge RESULT symbols at their first-occurrence rank, duplicates
+    * dropped (first rank wins — the vocab-file convention). This ranking
+    * is load-bearing for engine/oracle id parity, so it exists exactly
+    * once: [[vocabFrom]], [[symToId]] and the DuckDB oracle builder
+    * (SparkEntry's encode CTEs) all call it.
+    */
+  private[graft] def mergeSymRanks(
+      merges: Seq[(String, String)]): Seq[(String, Long)] =
+    merges.map { case (l, r) => l + r }.zipWithIndex
+      .groupBy(_._1).map { case (s, occ) => (s, occ.map(_._2).min.toLong) }
+      .toSeq.sortBy(_._2)
 
   /** sym → id per [[vocab]]'s convention: sorted base alphabet first,
     * then merge symbols at first-occurrence rank. Injective both ways
@@ -345,12 +365,9 @@ object Bpe {
     * 1-char alphabet; duplicate merge RESULTS keep the first rank).
     */
   private def symToId(chars: Array[String],
-      merges: Seq[(String, String)]): Map[String, Long] = {
-    val mergeSyms = merges.map { case (l, r) => l + r }.zipWithIndex
-      .groupBy(_._1).map { case (s, occ) => (s, occ.map(_._2).min.toLong) }
+      merges: Seq[(String, String)]): Map[String, Long] =
     chars.zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap ++
-      mergeSyms.map { case (s, o) => s -> (chars.length + o) }
-  }
+      mergeSymRanks(merges).map { case (s, o) => s -> (chars.length + o) }
 
   /** The driver-side tokenizer MODEL a decoder needs: the full sym → id
     * map ([[vocab]]'s id convention) derived from this corpus's seed

@@ -252,7 +252,20 @@ object Dedup {
     *         `label` = smallest id in the node's component.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25): DataFrame =
+    connectedComponentsCached(edges, srcCol, dstCol, maxIters).df
+
+  /** [[connectedComponents]] with its retained checkpoints handed out
+    * ([[Checkpoints.CachedResult]]): the final label table (the returned
+    * frame READS it — consume, then `release()`) and, when the input
+    * edge set was not already materialized, the edge checkpoint. The
+    * in-loop rule (each superseded round released as soon as its
+    * successor materializes) is internal; only the terminal blocks need
+    * the caller's lifecycle — same contract as [[semanticDedupCached]]
+    * and `PageRank.runCached`.
+    */
+  def connectedComponentsCached(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIters: Int = 25): Checkpoints.CachedResult = {
     // the edge set is read every round — checkpoint once to cut an
     // arbitrary upstream plan, UNLESS the input is already a materialized
     // RDD scan (e.g. jaccardPairs' checkpointed output): re-checkpointing
@@ -314,7 +327,8 @@ object Dedup {
     require(changed == 0,
       s"connectedComponents did not converge in $maxIters rounds " +
         "(diameter exceeds the bound — raise maxIters)")
-    labels
+    Checkpoints.CachedResult(labels,
+      if (alreadyMaterialized) Seq(labelsCkpt) else Seq(labelsCkpt, e))
   }
 
   /** Duplicate clusters from an edge list: one row per component with the

@@ -144,6 +144,17 @@ object Multimodal {
       twinOffset: Long = 1000000L): DataFrame = {
     val spark = docs.sparkSession
     implicit val enc: Encoder[Media] = Encoders.product[Media]
+    if (twinEvery > 0) {
+      // twin ids live at doc_id + twinOffset: a corpus whose ids reach the
+      // offset would alias a twin onto a REAL document's media_id and
+      // corrupt every downstream near-dup pairing — fail loud (one cheap
+      // max-aggregate; this is fixture construction, not a hot path)
+      val maxId = docs.agg(coalesce(max(col("doc_id").cast(LongType)),
+        lit(Long.MinValue))).head().getLong(0)
+      require(maxId < twinOffset,
+        s"max doc_id $maxId >= twinOffset $twinOffset: twin media_ids " +
+          "would collide with real documents — raise twinOffset")
+    }
     val ids = docs.select(col("doc_id").cast(LongType)).as[Long](Encoders.scalaLong)
     ids.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)

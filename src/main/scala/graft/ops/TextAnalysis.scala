@@ -533,7 +533,11 @@ object TextAnalysis {
     require(blocklist.nonEmpty, "empty blocklist: nothing to filter")
     val bl = typedLit(blocklist.map(_.toLowerCase))
     docs
-      .withColumn("__toks", tokens(lower(col(textCol))))
+      // null text = zero tokens = zero hits (kept). Without the coalesce,
+      // legacy sizeOfNull makes size(NULL) = -1 — a nonsense negative hit
+      // count that still passes the gate, and a parity break vs the
+      // oracle's NULL
+      .withColumn("__toks", tokens(lower(coalesce(col(textCol), lit("")))))
       .select(col(idCol).as("doc_id"),
         size(filter(col("__toks"), t => array_contains(bl, t)))
           .cast(LongType).as("n_hits"))

@@ -32,6 +32,9 @@ object WarcSource {
 
   /** Render documents as WARC-style record strings (one `value` column) —
     * a narrow codegen'd projection; URL derives from (source, id).
+    * Content-Length is the payload's UTF-8 BYTE count (`octet_length`),
+    * per the WARC spec — a character count would lie to any
+    * length-framed consumer on the first non-ASCII payload.
     */
   def render(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String): DataFrame =
@@ -39,7 +42,7 @@ object WarcSource {
       lit("WARC-Target-URI: http://"), col(sourceCol),
       lit(".example/doc/"), col(idCol),
       lit("\nWARC-Date: 2026-01-01T00:00:00Z"),
-      lit("\nContent-Length: "), length(col(textCol)),
+      lit("\nContent-Length: "), octet_length(col(textCol)),
       lit("\n\n"), col(textCol)).as("value"))
 
   /** Write a WARC-style archive: text sink with the record delimiter as

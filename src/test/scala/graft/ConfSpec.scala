@@ -53,13 +53,20 @@ class ConfSpec extends AnyFunSuite {
     val budget = 112L << 20 // the study's 7g/8-slot budget
     // tiny input → floor
     assert(Conf.partitionsFor(BigInt(1L << 20), budget, 32) === 32)
-    // unknown/absent stats → floor
+    // unknown/absent stats → floor (the raw-stats sentinel lives in
+    // sizedShufflePartitions, which passes -1 down for unknowns)
     assert(Conf.partitionsFor(BigInt(-1), budget, 32) === 32)
-    assert(Conf.partitionsFor(BigInt(1L) << 60, budget, 32) === 32)
+    // a huge EFFECTIVE estimate is capped (widen, never silently narrow)
+    assert(Conf.partitionsFor(BigInt(1L) << 60, budget, 32)
+      === Conf.MaxPartitions.toInt)
     // 10 GiB effective / 112 MiB → 92 tasks → 3 waves of 32 = 96
     assert(Conf.partitionsFor(BigInt(10L) << 30, budget, 32) === 96)
     // exactly one budget → still one full wave
     assert(Conf.partitionsFor(BigInt(budget), budget, 32) === 32)
+    // join-product stats artifact (~1e14 "bytes" from two ~10 MB inputs)
+    // must NOT request a repartition AQE cannot coalesce: hard ceiling
+    assert(Conf.partitionsFor(BigInt(10L).pow(14) * 32 * 50, budget, 32)
+      === Conf.MaxPartitions.toInt)
   }
 
   test("SCALING_LC artifact tripwire: sized x10 cells within 2x of local[32]") {

@@ -603,6 +603,12 @@ class TextAnalysisSpec extends SparkSpec {
         blocklist = Seq("badword"), maxHits = 2L)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(lenient(2L) && !lenient(3L))
+    // null text = zero tokens = zero hits, kept — NOT legacy size(NULL)=-1
+    val withNull = Seq((9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.blocklistFilter(withNull, "doc_id", "text",
+      blocklist = Seq("badword")).head()
+    assert(r.getLong(1) == 0L && r.getBoolean(2))
   }
 
   test("featureHash: counts conserve token mass; exact dups get identical vectors") {
@@ -903,6 +909,15 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((97L, 1000097L)), "twin of doc 97 not paired")
     assert(pairs((0L, 1000000L)) <= 3 && pairs((97L, 1000097L)) <= 3)
     assert(pairs.values.forall(_ <= 3))
+  }
+
+  test("twin ids colliding with real doc_ids fail loud, not silently alias") {
+    import spark.implicits._
+    val docs = Seq(0L, 5L, 10L).toDF("doc_id")
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.encodePngFixture(docs, twinEvery = 5, twinOffset = 10L)
+    }
+    assert(ex.getMessage.contains("twinOffset"))
   }
 }
 

@@ -37,6 +37,19 @@ class WarcSourceSpec extends SparkSpec {
     assert(got.forall(r => r._3 == r._4.length.toLong))
   }
 
+  test("Content-Length is BYTES: multi-byte payloads frame correctly") {
+    val dir = Files.createTempDirectory("warc_utf8").toString
+    val utf8 = Seq((7L, "café über", "src0")).toDF("doc_id", "text", "source")
+    WarcSource.write(utf8, "doc_id", "text", "source", dir)
+    val got = WarcSource.read(spark, dir).head()
+    val payload = got.getString(3)
+    assert(payload == "café über")
+    // declared length = UTF-8 bytes (2 two-byte chars -> chars + 2),
+    // NOT the character count — the WARC framing contract
+    assert(got.getLong(2) == payload.getBytes("UTF-8").length.toLong)
+    assert(got.getLong(2) == payload.length.toLong + 2)
+  }
+
   test("dirty record: malformed headers yield empty fields, scan survives") {
     val dir = Files.createTempDirectory("warc_dirty").toString
     Seq("this is not a warc record at all")
