@@ -52,9 +52,20 @@ object Conf {
     */
   private[graft] val TextInflation = 32L
 
-  /** Catalyst reports unknown sizes as defaultSizeInBytes (Long.MaxValue
-    * descendants); anything past 1 PiB here is a sentinel, not a size. */
-  private val UnknownStats = BigInt(1L) << 50
+  /** Catalyst's unknown-size sentinel is `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue by default); composed plans carry saturated
+    * descendants of it (sums/min-clamps that stay within a small factor
+    * of Long.MaxValue). Anything at or above Long.MaxValue/4 (~2.3 EiB)
+    * can only be a sentinel artifact — no real deployment scans
+    * exbibytes in one plan. Genuinely large-but-REAL estimates (a
+    * multi-PiB WARC scan has accurate file-size stats, and the stated
+    * petabyte use case sits orders of magnitude below this line) fall
+    * under it and are routed through the sizing arithmetic, where
+    * [[MaxPartitions]] caps the width — they must widen toward the cap,
+    * never silently narrow to the floor (the per-task-spill regime this
+    * rule exists to prevent). The earlier 1 PiB cutoff mis-classified
+    * exactly those large-real scans as unknown. */
+  private[graft] val UnknownStats = BigInt(Long.MaxValue) / 4
 
   /** Spark memory-conf string → bytes ("7g", "512m", "1024", "16gb");
     * unitless means MiB, matching Spark's memory-conf semantics. */
@@ -152,7 +163,7 @@ object Conf {
     val sc = df.sparkSession.sparkContext
     val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val effective =
-      if (stats <= 0 || stats > UnknownStats) BigInt(-1) // unknown → floor
+      if (stats <= 0 || stats >= UnknownStats) BigInt(-1) // sentinel → floor
       else (BigDecimal(stats) * TextInflation * rowMultiplier).toBigInt
     partitionsFor(effective, perTaskBudgetBytes(sc), sc.defaultParallelism)
   }

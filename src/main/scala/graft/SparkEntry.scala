@@ -39,6 +39,17 @@ object SparkEntry {
 
   private def q(f: (SparkSession, String) => DataFrame) = f
 
+  /** JVM-exit cleanup for per-application scratch dirs (the frames built
+    * over them are lazy, so eager deletion would break the later read). */
+  private def deleteRecursivelyOnExit(root: java.io.File): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(root)
+    }))
+
   /** Driver-testdata fixtures for the end-to-end pipeline query: the
     * constituent list derives from `supplier` ("S<k>") and bars derive from
     * `lineitem` ([[graft.etl.StockBars]]) — both reproducible in DuckDB
@@ -662,8 +673,15 @@ object SparkEntry {
     // any framing/parse defect (split payload, off-by-one Content-Length,
     // mangled URI) hash-fails without the oracle reading the archive.
     "q_warc_ingest" -> q { (s, dir) =>
-      val path = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_warc_${Integer.toHexString(dir.hashCode)}").getPath
+      // Path is unique per Spark application (applicationId carries the
+      // launch timestamp), so two concurrent sweeps on one machine never
+      // race on the same directory; a shutdown hook reclaims it (the
+      // returned frame is lazy — eager deletion would break the read).
+      val file = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_warc_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode))
+      val path = file.getPath
+      deleteRecursivelyOnExit(file)
       graft.sources.WarcSource.write(Tables.documents(s, dir),
         "doc_id", "text", "source", path)
       graft.sources.WarcSource.read(s, path)
@@ -773,8 +791,23 @@ object SparkEntry {
     // HyperLogLog distinct-count sketch, grouped: constant 256-register
     // state per group vs count(DISTINCT)'s cardinality-sized shuffle; the
     // md5-derived hash and exact-integer harmonic sum make the ESTIMATE
-    // itself bit-identical in DuckDB (see Sketch.hllDistinct).
+    // itself bit-identical in DuckDB (see Sketch.hllDistinct). Sketch-ONLY
+    // (r6 verdict item 3): the bench row must measure the sketch path, not
+    // the exact countDistinct it exists to replace — the accuracy exhibit
+    // with the exact twin lives on as q_hll_error (bench-skipped).
     "q_hll_distinct" -> q { (s, dir) =>
+      graft.ops.Sketch
+        .hllDistinct(Tables.lineitem(s, dir), col("l_orderkey"),
+          col("l_returnflag"))
+        .select(col("grp").as("flag"), col("z_scaled"), col("hll_est"))
+    },
+
+    // HLL accuracy EXHIBIT: the sketch estimate next to the exact
+    // countDistinct it approximates. Deliberately runs both paths, so it
+    // is correctness-gated but bench-skipped (like q_minhash_est_error) —
+    // timing it would charge the suite for the exact aggregation the
+    // sketch replaces.
+    "q_hll_error" -> q { (s, dir) =>
       import graft.ops.Sketch
       val li = Tables.lineitem(s, dir)
       val est = Sketch.hllDistinct(li, col("l_orderkey"), col("l_returnflag"))
@@ -4820,6 +4853,32 @@ object SparkEntry {
         |GROUP BY p.token, p.n_exact""".stripMargin,
 
     "q_hll_distinct" ->
+      """WITH reg AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) AS h32
+        |  FROM lineitem),
+        |rho AS (
+        |  SELECT grp, h32 >> 24 AS bucket,
+        |    CASE WHEN (h32 & 16777215) = 0 THEN 25
+        |         ELSE 25 - length(bin(h32 & 16777215)) END AS rho
+        |  FROM reg),
+        |regmax AS (
+        |  SELECT grp, bucket, max(rho) AS rho_max FROM rho GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.grp, b.range AS bucket
+        |  FROM (SELECT DISTINCT l_returnflag AS grp FROM lineitem) g
+        |  CROSS JOIN range(256) b),
+        |regs AS (
+        |  SELECT g.grp, g.bucket, coalesce(r.rho_max, 0) AS m_j
+        |  FROM grid g LEFT JOIN regmax r ON g.grp = r.grp AND g.bucket = r.bucket),
+        |z AS (
+        |  SELECT grp, CAST(sum(1::BIGINT << (25 - m_j)) AS BIGINT) AS z_scaled
+        |  FROM regs GROUP BY 1)
+        |SELECT z.grp AS flag, z.z_scaled,
+        |  (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0 / z.z_scaled AS hll_est
+        |FROM z""".stripMargin,
+
+    "q_hll_error" ->
       """WITH reg AS (
         |  SELECT l_returnflag AS grp,
         |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) AS h32

@@ -1022,8 +1022,20 @@ object Dedup {
     * semi-join is the tiny per-doc stats frame, never the bodies.
     */
   def dropSpanDuplicated(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 50, minOccurrences: Long = 2L, maxPermyriad: Long = 2000L): DataFrame = {
-    val keep = duplicatedSpans(docs, idCol, textCol, k, minOccurrences)
+      k: Int = 50, minOccurrences: Long = 2L, maxPermyriad: Long = 2000L): DataFrame =
+    dropSpanDuplicated(docs, idCol,
+      duplicatedSpans(docs, idCol, textCol, k, minOccurrences), maxPermyriad)
+
+  /** [[dropSpanDuplicated]] over PRECOMPUTED [[duplicatedSpans]] stats
+    * (r6 verdict item 2): a composed pipeline that just inspected the
+    * span stats — or materialized them as a curation artifact — pays the
+    * three-shuffle span scan ONCE and this overload only the per-doc
+    * filter + semi-join. The stats side of the semi-join is the tiny
+    * (doc_id, counters) frame, never the bodies.
+    */
+  def dropSpanDuplicated(docs: DataFrame, idCol: String, stats: DataFrame,
+      maxPermyriad: Long): DataFrame = {
+    val keep = stats
       .where(col("dup_permyriad") <= maxPermyriad)
       .select(col("doc_id").as(idCol))
     docs.join(keep, Seq(idCol), "left_semi")

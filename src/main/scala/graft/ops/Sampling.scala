@@ -182,11 +182,22 @@ object Sampling {
     * those). This is the "shuffle the corpus each epoch" step a training
     * loader needs, emitted as data instead of loader state.
     *
-    * Scale shape: ONE hash shuffle on the shard key, then an in-shard
-    * sort (the irreducible cost of producing an order); choose `shards`
-    * ≥ cluster width so every executor sorts its own slice. The hash is
-    * over the string `key#epoch` — string form keeps the oracle replay
-    * exact without relying on engine-specific integer overflow wrapping.
+    * Scale shape: ONE hash shuffle of the corpus, then an in-slice sort
+    * (the irreducible cost of producing an order). The rank is computed
+    * HIERARCHICALLY (r6 advice): a flat `row_number` over
+    * `partitionBy(shard)` forces every shard through a single task's
+    * sort — parallelism capped at `shards` and per-task volume at
+    * corpus÷shards no matter how wide the cluster. Instead each row gets
+    * a subshard from the top byte of its hash (arithmetic shift ⇒
+    * MONOTONE in the signed hash, so subshard order == hash order), is
+    * ranked within (shard, subshard) — up to 256× the parallelism, per
+    * task volume corpus÷(shards·256) — and offset by the total count of
+    * earlier subshards in its shard. The offsets come from a map-side-
+    * combined count over ≤ shards·256 groups (a broadcast-size frame),
+    * so the corpus still crosses the wire exactly once; the result is
+    * bit-identical to the flat rank. The hash is over the string
+    * `key#epoch` — string form keeps the oracle replay exact without
+    * relying on engine-specific integer overflow wrapping.
     */
   def epochShuffle(df: DataFrame, keyCol: String, epoch: Int,
       shards: Int): DataFrame = {
@@ -195,11 +206,23 @@ object Sampling {
     val withShard = df
       .withColumn("__h", h)
       .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
-    val w = Window.partitionBy(col("shard"))
+      .withColumn("__sub", shiftright(col("__h"), 56).cast("int"))
+    val local = Window.partitionBy(col("shard"), col("__sub"))
       .orderBy(col("__h"), col(keyCol)) // key tiebreak: hash collisions
+    // per-(shard, subshard) counts → running offset of earlier subshards;
+    // ≤ shards·256 rows, so the window + join sides are broadcast-cheap
+    val offW = Window.partitionBy(col("shard")).orderBy(col("__sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withShard.groupBy(col("shard"), col("__sub"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
+      .select(col("shard"), col("__sub"), col("__off"))
+    val outCols = df.columns.map(col) :+ col("shard") :+ col("shard_pos")
     withShard
-      .withColumn("shard_pos", row_number().over(w).cast("long"))
-      .drop("__h")
+      .withColumn("__rank", row_number().over(local).cast("long"))
+      .join(broadcast(offsets), Seq("shard", "__sub"))
+      .withColumn("shard_pos", col("__off") + col("__rank"))
+      .select(outCols: _*)
   }
 
   /** Packing-efficiency audit over [[packSequences]] output — the

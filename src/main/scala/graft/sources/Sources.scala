@@ -89,7 +89,7 @@ final class HttpConstituentSource(url: String,
     timeoutMs: Int = 30000) extends ConstituentSource {
   def fetch(spark: SparkSession): DataFrame =
     new HtmlTableConstituentSource(() => {
-      val conn = new java.net.URL(url).openConnection()
+      val conn = java.net.URI.create(url).toURL.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       conn.setRequestProperty("User-Agent", userAgent)
       conn.setConnectTimeout(timeoutMs)

@@ -89,6 +89,19 @@ class PlanAuditSpec extends SparkSpec {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"),
         s"$n: a correlated subquery failed to decorrelate (cartesian):\n$p")
+      // The OTHER shape a surviving correlated non-equi predicate takes:
+      // BroadcastNestedLoopJoin carrying a real join condition. Inspect
+      // each BNLJ's formatted-detail block — a condition-free BNLJ is a
+      // legal one-row scalar broadcast; a conditioned one is the per-row
+      // loop this test exists to forbid.
+      val conditioned = p.split("\n\n").iterator
+        .filter(_.contains("BroadcastNestedLoopJoin"))
+        .flatMap(b => "Join condition: (.+)".r.findFirstMatchIn(b)
+          .map(_.group(1).trim))
+        .filterNot(_ == "None").toList
+      assert(conditioned.isEmpty,
+        s"$n: conditioned BroadcastNestedLoopJoin (surviving correlated " +
+          s"predicate): ${conditioned.mkString("; ")}\n$p")
     }
   }
 
@@ -98,13 +111,26 @@ class PlanAuditSpec extends SparkSpec {
       s"blocklist gate must not shuffle (plan-literal list, in-row count):\n$p")
   }
 
-  test("q_feature_hash / q_epoch_shuffle: exactly one corpus shuffle each") {
-    Seq("q_feature_hash", "q_epoch_shuffle").foreach { n =>
-      val p = plan(n)
-      val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
-      assert(exchanges == 1,
-        s"$n: expected exactly one hash exchange, got $exchanges:\n$p")
-    }
+  test("q_feature_hash: exactly one corpus shuffle") {
+    val p = plan("q_feature_hash")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"q_feature_hash: expected exactly one hash exchange, got $exchanges:\n$p")
+  }
+
+  test("q_epoch_shuffle: one corpus shuffle + two statistics-frame exchanges, offsets broadcast") {
+    // The hierarchical rank keeps the CORPUS at one hash exchange (the
+    // (shard, subshard) window); the ≤ shards·256-row offsets frame adds
+    // its map-side-combined count exchange and its tiny window exchange,
+    // and joins back via broadcast — never a corpus-side shuffle join.
+    val p = plan("q_epoch_shuffle")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 3,
+      s"q_epoch_shuffle: expected 3 hash exchanges (1 corpus + 2 tiny), got $exchanges:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_epoch_shuffle: offsets frame must join back via broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q_epoch_shuffle: corpus must not shuffle for the offsets join:\n$p")
   }
 
   test("q_pack_audit: both aggregations served by the ONE packing shuffle") {
