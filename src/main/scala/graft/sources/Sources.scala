@@ -171,3 +171,102 @@ final class FileBarSource(path: String, format: String,
       .join(broadcast(symbols.select(col("Symbol"))), Seq("Symbol"), "left_semi")
   }
 }
+
+/** S3 LIVE impl — the reference's per-symbol network download loop
+  * (`yf.download` per symbol with skip-on-error, reference DAG:95–207)
+  * re-expressed as a DISTRIBUTED fetch: the symbol list is spread across
+  * executor task slots and each task downloads its symbols' bar CSVs over
+  * HTTP with the S1 connection contract (explicit User-Agent, connect +
+  * read timeout, non-2xx raises). Per-symbol failures are the reference's
+  * `except: continue` (DAG:202–207): the symbol is recorded in a
+  * [[failedSymbols]] accumulator and skipped — one dead ticker never
+  * kills the run — while the ≥1-success invariant (DAG:209, "No data
+  * fetched for any symbols!") stays enforced downstream by the
+  * pipeline's empty-fetch guard.
+  *
+  * `urlTemplate` carries `{symbol}`, `{start}`, `{end}` placeholders
+  * (dates as yyyy-MM-dd) — the date range is PUSHED INTO the request the
+  * way the reference passes start/end to the provider, and re-filtered
+  * after parse in case the server ignores its parameters. The response
+  * body is a headered CSV; rows are projected onto `columns` by HEADER
+  * NAME (a missing column yields null — P15 intersection tolerance), a
+  * short row pads with nulls (C4: PERMISSIVE, never a task failure), and
+  * every cell stays a string for the downstream coercing normalize
+  * (P8/P11), exactly like the file-based sources.
+  *
+  * Scale shape: one task per symbol slice, no shuffle — the output is a
+  * narrow per-partition flatMap; `fetchPartitions` (default: the
+  * cluster's defaultParallelism) bounds concurrent connections per host
+  * to the slot count. Driver never touches a row.
+  */
+final class HttpBarSource(
+    urlTemplate: String,
+    userAgent: String = "graft-etl/1.0",
+    timeoutMs: Int = 30000,
+    columns: Seq[String] = Seq("Date", "Open", "High", "Low", "Close",
+      "Adj Close", "Volume"),
+    fetchPartitions: Int = 0) extends BarSource {
+
+  @volatile private var acc: org.apache.spark.util.CollectionAccumulator[String] = _
+
+  /** "SYMBOL: message" per failed symbol of the LAST materialized fetch
+    * (accumulators fill on action, like the reference's per-symbol log).
+    */
+  def failedSymbols: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Option(acc).map(_.value.asScala.toSeq).getOrElse(Seq.empty)
+  }
+
+  def fetch(spark: SparkSession, symbols: DataFrame,
+      start: java.sql.Date, end: java.sql.Date): DataFrame = {
+    val failed = spark.sparkContext.collectionAccumulator[String]("http_bars_failed")
+    acc = failed
+    // capture plain serializable values; never the enclosing class
+    val (tpl, ua, tmo, cols) = (urlTemplate, userAgent, timeoutMs, columns)
+    val (s0, e0) = (start.toString, end.toString)
+    val parts = if (fetchPartitions > 0) fetchPartitions
+      else spark.sparkContext.defaultParallelism
+    val schema = StructType(StructField("Symbol", StringType, nullable = false) +:
+      cols.map(StructField(_, StringType, nullable = true)))
+    import spark.implicits._
+    val syms = symbols.select(col("Symbol").cast(StringType)).na.drop()
+      .distinct().as[String].repartition(parts)
+    val rows = syms.mapPartitions { it =>
+      it.flatMap { sym =>
+        try {
+          val url = tpl
+            .replace("{symbol}", java.net.URLEncoder.encode(sym, "UTF-8"))
+            .replace("{start}", s0).replace("{end}", e0)
+          val conn = java.net.URI.create(url).toURL.openConnection()
+            .asInstanceOf[java.net.HttpURLConnection]
+          conn.setRequestProperty("User-Agent", ua)
+          conn.setConnectTimeout(tmo)
+          conn.setReadTimeout(tmo)
+          try {
+            val code = conn.getResponseCode
+            require(code >= 200 && code < 300, s"HTTP $code fetching $url")
+            val src = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8")
+            val lines = try src.getLines().toVector finally src.close()
+            if (lines.size < 2) Vector.empty // "No data available" → skip
+            else {
+              val header = lines.head.split(",", -1).map(_.trim)
+              val idx = cols.map(header.indexOf(_))
+              lines.drop(1).filter(_.nonEmpty).map { ln =>
+                val cells = ln.split(",", -1)
+                org.apache.spark.sql.Row.fromSeq(sym +: idx.map(i =>
+                  if (i >= 0 && i < cells.length && cells(i).trim.nonEmpty)
+                    cells(i).trim else null))
+              }
+            }
+          } finally conn.disconnect()
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            failed.add(s"$sym: ${e.getMessage}") // DAG:202–207 skip-on-error
+            Vector.empty
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    rows.toDF()
+      .where(to_date(col("Date")).between(lit(start), lit(end)))
+  }
+}
