@@ -105,6 +105,15 @@ object Layout {
       targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(path + "_compacting_old")
+    // CRASH RECOVERY preamble: a prior run that died between its two
+    // renames leaves the table absent and the backup holding the ONLY
+    // copy — roll it back before anything else. Deleting the "stale"
+    // backup first (the pre-r7 order) in that state would destroy the
+    // dataset; the backup is only stale once the table itself exists.
+    if (!fs.exists(hadoopPath) && fs.exists(backup))
+      require(fs.rename(backup, hadoopPath),
+        s"compact recovery: could not restore $path from $backup")
     val bytes = fs.getContentSummary(hadoopPath).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
@@ -115,10 +124,11 @@ object Layout {
     // delete and the rename would lose the dataset entirely, while a crash
     // here leaves either the old table in place or a recoverable backup
     // directory (renames are atomic on HDFS)
-    val backup = new org.apache.hadoop.fs.Path(path + "_compacting_old")
-    fs.delete(backup, true) // clear any stale backup from a prior crash
-    fs.rename(hadoopPath, backup)
-    fs.rename(tmp, hadoopPath)
+    fs.delete(backup, true) // clear any stale backup (table exists here)
+    require(fs.rename(hadoopPath, backup),
+      s"compact: could not move $path aside")
+    require(fs.rename(tmp, hadoopPath),
+      s"compact: could not swap in $tmp (old data preserved at $backup)")
     fs.delete(backup, true)
     fs.listStatus(hadoopPath).count(_.getPath.getName.endsWith(".parquet"))
   }

@@ -22,6 +22,25 @@ object WarehouseLoad {
   /** Append the staged CSV into the warehouse parquet table, then delete
     * the consumed staged files (consume-once). Returns rows loaded.
     *
+    * CRASH-EXACTLY-ONCE (COPY INTO load-history semantics, DAG:352–366):
+    * each staged file lands in its OWN warehouse partition
+    * (`load_file=<staged file name>`, the provenance column COPY exposes
+    * as METADATA$FILENAME) via dynamic partition overwrite. Every crash
+    * window then recovers by simply re-running the load:
+    *  - crash DURING the append (partial task output): the re-run
+    *    overwrites exactly the partitions of the still-staged files;
+    *  - crash AFTER the append but BEFORE the purge: the re-run rewrites
+    *    those same partitions with identical rows (the staged file is
+    *    the input — deterministic), then purges;
+    *  - crash mid-PURGE: already-purged files' partitions are final
+    *    (nothing re-loads them — consume-once), surviving files re-run
+    *    through the overwrite path.
+    * Never `mode(append)`: a re-run after an append-then-crash would
+    * duplicate every staged row — the r6-flagged gap. Staged file names
+    * are per-run unique (the reference timestamps them, DAG:229–231;
+    * Spark part files carry a job UUID), so distinct runs append
+    * distinct partitions and dynamic overwrite touches nobody else's.
+    *
     * The row count comes from an `Observation` attached to the SAME write
     * job — not a separate `count()` action, which would decode the whole
     * staged CSV a second time and could disagree with what was actually
@@ -29,13 +48,30 @@ object WarehouseLoad {
     */
   def appendAndPurge(spark: SparkSession, stagePath: String,
       warehouseDir: String): Long = {
+    // a fully-consumed stage (crash after purge, or an empty re-run) has
+    // nothing to load — and no csv files for the header decode to read
+    if (listStagedCsvs(spark, stagePath).isEmpty) return 0L
     val obs = org.apache.spark.sql.Observation()
     readStaged(spark, stagePath)
+      .withColumn("load_file",
+        regexp_extract(input_file_name(), "([^/]+)$", 1))
       .observe(obs, count(lit(1)).as("n"))
-      .write.mode("append").parquet(warehouseDir)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("load_file")
+      .parquet(warehouseDir)
     val n = obs.get("n").asInstanceOf[Long]
     purge(spark, stagePath) // PURGE=TRUE (DAG:378): delete only after success
     n
+  }
+
+  private def listStagedCsvs(spark: SparkSession,
+      stagePath: String): Seq[org.apache.hadoop.fs.Path] = {
+    val path = new org.apache.hadoop.fs.Path(stagePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).iterator
+      .filter(_.getPath.getName.endsWith(".csv")).map(_.getPath).toSeq
   }
 
   /** Coercing casts applied BY NAME to whichever staged columns are

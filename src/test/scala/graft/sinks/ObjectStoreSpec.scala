@@ -21,22 +21,55 @@ class MockStoreFileSystem extends RawLocalFileSystem {
   override def getUri: URI = URI.create("mockstore:///")
 
   override def delete(p: Path, recursive: Boolean): Boolean = {
+    val bare = Path.getPathWithoutSchemeAndAuthority(p).toString
     MockStoreFileSystem.ops.synchronized {
-      MockStoreFileSystem.ops += (("delete", Path.getPathWithoutSchemeAndAuthority(p).toString))
+      MockStoreFileSystem.ops += (("delete", bare))
     }
+    MockStoreFileSystem.maybeCrash("delete", bare)
     super.delete(p, recursive)
   }
 
   override def rename(src: Path, dst: Path): Boolean = {
+    val bare = Path.getPathWithoutSchemeAndAuthority(dst).toString
     MockStoreFileSystem.ops.synchronized {
-      MockStoreFileSystem.ops += (("rename", Path.getPathWithoutSchemeAndAuthority(dst).toString))
+      MockStoreFileSystem.ops += (("rename", bare))
     }
+    MockStoreFileSystem.maybeCrash("rename", bare)
     super.rename(src, dst)
   }
 }
 
 object MockStoreFileSystem {
   val ops = scala.collection.mutable.ListBuffer.empty[(String, String)]
+
+  /** Crash injection for the torture specs ([[CrashConsistencySpec]]):
+    * when armed with (op, destination-path substring), the FIRST matching
+    * mutating call throws BEFORE performing the operation — the process
+    * "dies" at exactly that point in the sink protocol — and the trap
+    * disarms so the recovery re-run proceeds normally.
+    */
+  @volatile private var trap: Option[(String, String)] = None
+
+  /** Arm the crash for the first `op` whose destination path matches
+    * `pattern`: a plain substring, or — with a trailing `$` — an
+    * end-of-path anchor (needed when every path in a protocol shares a
+    * prefix and only the final rename's exact destination distinguishes
+    * the window under test).
+    */
+  def armCrash(op: String, pattern: String): Unit =
+    trap = Some((op, pattern))
+  def disarm(): Unit = trap = None
+  private def matches(path: String, pattern: String): Boolean =
+    if (pattern.endsWith("$")) path.endsWith(pattern.dropRight(1))
+    else path.contains(pattern)
+  private[sinks] def maybeCrash(op: String, path: String): Unit =
+    trap.foreach { case (tOp, tPat) =>
+      if (tOp == op && matches(path, tPat)) {
+        trap = None
+        throw new java.io.IOException(
+          s"injected crash before $op of $path")
+      }
+    }
 }
 
 class ObjectStoreSpec extends SparkSpec {
