@@ -696,6 +696,33 @@ object SparkEntry {
             .as("framing_ok"))
     },
 
+    // Snapshot-table CDC: two committed versions of an append-only
+    // manifest-pointer table (SnapshotTable — snapshot isolation over
+    // plain parquet, no table format), diffed at the MANIFEST level: the
+    // result reads only the data dirs added between v1 and v2, O(added
+    // bytes), no base-snapshot scan, no anti-join. The commits happen
+    // once per application (untimed warmup in the bench); the timed row
+    // is the CDC read itself. PROPERTY oracle: v1 = even doc_ids, v2
+    // adds the odds, so the diff must equal the odd half of `documents`
+    // recomputed directly — any commit/isolation/diff defect (lost dir,
+    // reread base, torn manifest) hash-fails.
+    "q_snapshot_diff" -> q { (s, dir) =>
+      val file = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_snap_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode))
+      val table = file.getPath
+      if (graft.sinks.SnapshotTable.latestVersion(s, table).isEmpty) {
+        deleteRecursivelyOnExit(file)
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        graft.sinks.SnapshotTable.append(
+          docs.where(col("doc_id") % 2 === 0), table)
+        graft.sinks.SnapshotTable.append(
+          docs.where(col("doc_id") % 2 === 1), table)
+      }
+      graft.sinks.SnapshotTable.diff(s, table, 1L, 2L)
+    },
+
     // Tokenizer DECODE + round-trip audit, closing the encode lifecycle:
     // ids -> symbols via the driver-side model (Bpe.symbolTable) and the
     // invariant decode(encode(text)) == text's \w+ tokens joined on ""
@@ -1669,6 +1696,36 @@ object SparkEntry {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(10.0))
             .as("recall_at_10"))
+    },
+
+    // INCREMENTAL IVF index maintenance (streaming ANN): two batches
+    // (even / odd vec_ids) ingested against the frozen seeded quantizer
+    // as centroid-partitioned list files, then probed — the probe scans
+    // only the nprobe nearest lists' partition directories across both
+    // batches. The index builds once per application (untimed bench
+    // warmup); the timed row is the probe. Oracle = the BATCH-BUILT
+    // equivalent: assign the whole corpus in SQL, restrict to the same
+    // plan-time probe ids, exact cosine top-k — so any divergence
+    // between incremental and batch-built indexing (lost batch, stale
+    // assignment, broken pruning) hash-fails.
+    "q_ann_incremental" -> q { (s, dir) =>
+      val file = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_annincr_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode))
+      val indexPath = file.getPath
+      if (Similarity.loadIvfIndex(s, indexPath).isEmpty) {
+        deleteRecursivelyOnExit(file)
+        val idx = Similarity.IvfIndex(ivfPqCoarseFlat, 64)
+        val emb = cleanEmbeddings(Tables.embeddings(s, dir))
+        Similarity.ivfIngestBatch(emb.where(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", batchId = 0L, indexPath, Some(idx))
+        Similarity.ivfIngestBatch(emb.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", batchId = 1L, indexPath, Some(idx))
+      }
+      Similarity.ivfListsProbe(s, indexPath, annIncrQueryVec, k = 10,
+          nprobe = 2)
+        .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"),
+          col("centroid_id"))
     },
 
     // ---- multimodal decode (REAL codecs, bit-exact) ----
@@ -3069,6 +3126,54 @@ object SparkEntry {
   private def dlit(d: Double): String = {
     val s = d.toString
     if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
+  /** [[pqQueryVec]] pre-rounded through float: the probe kernel casts its
+    * query to float32, so the oracle's double literals must be the SAME
+    * float-rounded values or the cosines drift underneath round(4). Both
+    * the engine's probe-set computation and the oracle generator use this
+    * identical vector. */
+  private lazy val annIncrQueryVec: Seq[Double] =
+    pqQueryVec.map(_.toFloat.toDouble)
+
+  /** Oracle for `q_ann_incremental`: the BATCH-BUILT twin of the
+    * incremental index — whole-corpus coarse assignment as an
+    * earliest-minimum CASE chain over the plan-time centroid table,
+    * restricted to the engine's own probe ids, exact cosine top-k. The
+    * incremental path must be indistinguishable from this. */
+  private def ivfIncrementalOracleSql(query: Seq[Double], k: Int,
+      nprobe: Int): String = {
+    val cents = ivfPqCoarseFlat
+    val (coarseK, dim) = (8, 64)
+    val probeIds = Similarity.IvfIndex(cents, dim).probes(query, nprobe)
+    val coarseD = (0 until coarseK).map { c =>
+      val d = (0 until dim).map { j =>
+        val e = s"(CAST(embedding[${j + 1}] AS DOUBLE) - (${dlit(cents(c * dim + j))}))"
+        s"$e * $e"
+      }.mkString(" + ")
+      s"($d) AS cd$c"
+    }.mkString(",\n    ")
+    val coarseCase = (0 until coarseK - 1).map { c =>
+      val conds = (c + 1 until coarseK).map(o => s"cd$c <= cd$o").mkString(" AND ")
+      s"WHEN $conds THEN $c"
+    }.mkString(" ")
+    val qlit = query.map(dlit).mkString("[", ", ", "]")
+    s"""WITH dd AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    $coarseD
+       |  FROM embeddings
+       |  $pqCleanWhere),
+       |assigned AS (
+       |  SELECT vec_id, v,
+       |    CAST(CASE $coarseCase ELSE ${coarseK - 1} END AS BIGINT) AS centroid_id
+       |  FROM dd)
+       |SELECT vec_id,
+       |  round(list_cosine_similarity(v, $qlit), 4) AS cos_sim,
+       |  centroid_id
+       |FROM assigned
+       |WHERE centroid_id IN (${probeIds.mkString(", ")})
+       |ORDER BY list_cosine_similarity(v, $qlit) DESC, vec_id
+       |LIMIT $k""".stripMargin
   }
 
   /** Oracle SQL fragments for the PQ queries: per-subspace squared-L2
@@ -4757,6 +4862,13 @@ object SparkEntry {
 
     "q_tokenize_pack" -> tokenizePackOracleSql(encodeMerges,
       budget = 128L, buckets = 8),
+
+    "q_snapshot_diff" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+
+    "q_ann_incremental" -> ivfIncrementalOracleSql(annIncrQueryVec,
+      k = 10, nprobe = 2),
 
     "q_warc_ingest" ->
       """SELECT doc_id,

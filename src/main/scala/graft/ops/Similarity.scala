@@ -403,4 +403,104 @@ object Similarity {
       .limit(k)
       .select(col(idCol), col("cos_sim"), col("centroid_id"))
   }
+
+  // ------------------------------------------------ incremental IVF lists
+
+  /** On-disk layout of the incremental index: normalized list rows under
+    * `lists/batch_id=N/centroid_id=C/`, quantizer under `quantizer/`.
+    * Explicit read schema (partition columns appended) — a crash can
+    * leave the newest batch directory without readable files, and an
+    * inferring read would then fail every recovery instead of pruning. */
+  private val listsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("batch_id", LongType),
+    StructField("centroid_id", LongType)))
+
+  private def hadoopExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The persisted frozen quantizer, if this index has one yet. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[IvfIndex] =
+    if (!hadoopExists(spark, s"$indexPath/quantizer")) None
+    else {
+      val r = spark.read.parquet(s"$indexPath/quantizer").head()
+      Some(IvfIndex(r.getSeq[Double](r.fieldIndex("flat")).toArray,
+        r.getInt(r.fieldIndex("dim"))))
+    }
+
+  private def saveIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, index: IvfIndex): Unit = {
+    import spark.implicits._
+    Seq((index.dim, index.centroidsFlat.toSeq)).toDF("dim", "flat")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/quantizer")
+  }
+
+  /** INCREMENTAL IVF index maintenance (streaming ANN): ingest one batch
+    * of vectors by coarse-assigning it against the index's FROZEN
+    * quantizer and appending the rows as centroid-partitioned list files;
+    * the probe path ([[ivfListsProbe]]) is the ordinary IVF read,
+    * unchanged. The quantizer comes from, in order: the one already
+    * persisted in the index; `pretrained`; a fresh [[trainIvfCentroids]]
+    * fit on THIS batch (the bootstrap batch defines the geometry) — and
+    * is then persisted beside the lists. It is never re-trained here:
+    * re-fitting on a later batch would silently re-geometry every
+    * existing list (old rows become unreachable from new probe sets) —
+    * an index REBUILD is an explicit batch operation, not maintenance.
+    *
+    * Exactly-once: per-batch-directory OVERWRITE, the same replay
+    * contract as [[graft.streaming.CurateStreaming.ingestBatch]] — a
+    * re-delivered batch id regenerates its directory identically instead
+    * of appending duplicates.
+    *
+    * Scale shape: per batch, one narrow codegen'd assignment projection
+    * + one `repartition(centroid_id)`-free partitioned write (the
+    * partitionBy writer routes rows without a shuffle barrier beyond the
+    * write itself); history is never re-read or re-assigned.
+    */
+  def ivfIngestBatch(vecs: DataFrame, idCol: String, vecCol: String,
+      batchId: Long, indexPath: String, pretrained: Option[IvfIndex] = None,
+      k: Int = 16): IvfIndex = {
+    val spark = vecs.sparkSession
+    val index = loadIvfIndex(spark, indexPath).getOrElse {
+      val idx = pretrained.getOrElse(trainIvfCentroids(vecs, idCol, vecCol, k))
+      saveIvfIndex(spark, indexPath, idx)
+      idx
+    }
+    ivfAssign(vecs, idCol, vecCol, index)
+      .select(col(idCol).cast(LongType).as("vec_id"),
+        col(vecCol).cast(ArrayType(FloatType)).as("embedding"),
+        col("centroid_id").cast(LongType).as("centroid_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("centroid_id")
+      .parquet(s"$indexPath/lists/batch_id=$batchId")
+    index
+  }
+
+  /** Probe the incremental index: resolve the frozen quantizer, pick the
+    * query's `nprobe` nearest lists, and scan ONLY those lists' files —
+    * the `centroid_id` equality is a partition-directory prune across
+    * every batch (batches union, centroids prune), so probe cost tracks
+    * nprobe/k of the indexed volume regardless of how many batches built
+    * it. Scoring and ranking are identical to [[ivfTopK]].
+    */
+  def ivfListsProbe(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, query: Seq[Double], k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val index = loadIvfIndex(spark, indexPath).getOrElse(throw
+      new IllegalArgumentException(s"$indexPath has no persisted quantizer"))
+    val probeIds = index.probes(query, nprobe).map(_.toLong)
+    val q = typedLit(query.map(_.toFloat))
+    spark.read.schema(listsSchema).parquet(s"$indexPath/lists")
+      .where(col("centroid_id").isin(probeIds: _*))
+      .withColumn("cos_sim", VectorFunctions.cosineF32(col("embedding"), q))
+      .where(!isnan(col("cos_sim"))) // zero-norm guard (see bruteForceTopK)
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cos_sim"), col("centroid_id"))
+  }
 }

@@ -1,0 +1,182 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** ACID-ish multi-writer APPEND over a plain Hadoop filesystem — snapshot
+  * isolation from a manifest-pointer commit, no table-format dependency
+  * (r6 verdict item 5; the reference's Snowflake target gets this
+  * implicitly, DAG:348–378).
+  *
+  * Layout:
+  * {{{
+  *   table/data/<commit-uuid>/part-*.parquet   writer-private until committed
+  *   table/manifests/v<N>.manifest             the snapshot pointer files
+  * }}}
+  *
+  * A manifest is SELF-CONTAINED: every data directory visible at that
+  * version, one per line, closed by an `END` footer. Readers resolve the
+  * highest footer-complete manifest and read exactly its directories —
+  * so a reader never sees a torn table: staged-but-uncommitted data dirs
+  * are invisible (nothing points at them), a half-written manifest has
+  * no footer and is skipped, and an already-resolved version N stays
+  * byte-stable forever (append-only data dirs are never rewritten) —
+  * that is the snapshot-isolation guarantee, and what makes time travel
+  * ([[readVersion]]) and incremental diffs ([[diff]]) free.
+  *
+  * Commit protocol (optimistic, lock-free):
+  *  1. stage: write the batch to `data/<uuid>/` — private, invisible;
+  *  2. resolve the current latest manifest, build `its dirs + ours`;
+  *  3. claim version N+1 by `create(manifests/vN+1.manifest,
+  *     overwrite=false)` and stream the lines + footer into it.
+  * The create-if-absent is the COMMIT POINT: on HDFS it is atomic at the
+  * NameNode (two claimants, one winner); object stores supply it as a
+  * conditional PUT (If-None-Match). A loser re-reads the winner's
+  * manifest — picking up the winner's data dirs — and retries at N+2, so
+  * concurrent appends serialize without ever losing each other's rows.
+  * A writer that dies mid-write leaves a footerless claim: readers skip
+  * it, and later writers claim past it (the orphaned claim and its
+  * staged dir are garbage, never corruption).
+  *
+  * Scale shape: the manifest carries one LINE per commit (directory
+  * paths, not file lists), so resolve cost is O(commits), independent of
+  * data volume; [[diff]] reads ONLY the data dirs added between two
+  * versions — change-data-capture at O(added bytes) with zero shuffle
+  * and no row-level anti-join.
+  */
+object SnapshotTable {
+
+  final case class Commit(version: Long, dataDir: String)
+
+  private val Footer = "END"
+  private val ManifestName = """v(\d+)\.manifest""".r
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Stage a batch into a writer-private data directory (invisible to
+    * readers until a manifest points at it). Returns the dir, relative
+    * to the table root. */
+  private[graft] def stageData(df: DataFrame, table: String): String = {
+    val rel = s"data/${java.util.UUID.randomUUID}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$rel")
+    rel
+  }
+
+  /** All footer-COMPLETE manifest versions, ascending. */
+  private def committedVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$table/manifests")
+    val f = fs(spark, table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).iterator.flatMap(st => st.getPath.getName match {
+      case ManifestName(n) if readManifest(spark, table, n.toLong).isDefined =>
+        Some(n.toLong)
+      case _ => None
+    }).toSeq.sorted
+  }
+
+  /** Every version ever CLAIMED (complete or not) — writers must claim
+    * past a dead writer's footerless manifest, not collide with it. */
+  private def claimedVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$table/manifests")
+    val f = fs(spark, table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).iterator.flatMap(_.getPath.getName match {
+      case ManifestName(n) => Some(n.toLong)
+      case _ => None
+    }).toSeq.sorted
+  }
+
+  /** The data dirs of manifest `version`, or None if absent/footerless. */
+  private def readManifest(spark: SparkSession, table: String,
+      version: Long): Option[Seq[String]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$table/manifests/v$version.manifest")
+    val f = fs(spark, table)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.getLines().toVector finally src.close()
+      } finally in.close()
+      if (text.lastOption.contains(Footer)) Some(text.dropRight(1))
+      else None // in-progress or dead writer's claim — not a snapshot
+    }
+  }
+
+  def latestVersion(spark: SparkSession, table: String): Option[Long] =
+    committedVersions(spark, table).lastOption
+
+  /** Commit an already-staged data dir: claim the next free version with
+    * create-if-absent, folding in every dir the latest snapshot holds.
+    * Exposed at this grain so the concurrency spec can drive exact
+    * interleavings; [[append]] is the public one-call path. */
+  private[graft] def commitStaged(spark: SparkSession, table: String,
+      dataDir: String, maxAttempts: Int = 20): Commit = {
+    val f = fs(spark, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = latestVersion(spark, table)
+        .flatMap(readManifest(spark, table, _)).getOrElse(Seq.empty)
+      val next = (claimedVersions(spark, table).lastOption.getOrElse(0L)) + 1
+      val target = new org.apache.hadoop.fs.Path(s"$table/manifests/v$next.manifest")
+      val claimed = try {
+        // COMMIT POINT: atomic create-if-absent (HDFS NameNode;
+        // conditional PUT on object stores). A concurrent winner makes
+        // this throw — we re-resolve and retry one version later.
+        Some(f.create(target, false))
+      } catch { case _: java.io.IOException => None }
+      claimed match {
+        case Some(out) =>
+          try {
+            val lines = (base :+ dataDir).mkString("", "\n", s"\n$Footer\n")
+            out.write(lines.getBytes("UTF-8"))
+          } finally out.close()
+          return Commit(next, dataDir)
+        case None => // lost the race; loop re-reads the winner's manifest
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit to $table after $maxAttempts attempts")
+  }
+
+  /** Append `df` as one atomic commit; returns the committed version. */
+  def append(df: DataFrame, table: String): Commit = {
+    val rel = stageData(df, table)
+    commitStaged(df.sparkSession, table, rel)
+  }
+
+  private def readDirs(spark: SparkSession, table: String,
+      dirs: Seq[String]): DataFrame = {
+    require(dirs.nonEmpty, s"snapshot of $table holds no data dirs")
+    spark.read.parquet(dirs.map(d => s"$table/$d"): _*)
+  }
+
+  /** The table AS OF `version` (time travel — a committed snapshot is
+    * immutable, so this stays valid after any number of later commits). */
+  def readVersion(spark: SparkSession, table: String, version: Long): DataFrame =
+    readDirs(spark, table,
+      readManifest(spark, table, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table has no committed version $version")))
+
+  /** The latest committed snapshot. */
+  def read(spark: SparkSession, table: String): DataFrame =
+    readVersion(spark, table, latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed version")))
+
+  /** Rows ADDED between two committed versions: the manifest diff names
+    * the exact data dirs, so the cost is O(added bytes) — no scan of the
+    * base snapshot, no anti-join. */
+  def diff(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val from = readManifest(spark, table, fromVersion).getOrElse(
+      throw new IllegalArgumentException(s"no committed version $fromVersion"))
+    val to = readManifest(spark, table, toVersion).getOrElse(
+      throw new IllegalArgumentException(s"no committed version $toVersion"))
+    require(from.forall(to.contains),
+      s"version $toVersion does not extend $fromVersion (append-only tables only)")
+    readDirs(spark, table, to.filterNot(from.contains))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.sinks
+
+import graft.SparkSpec
+
+/** Manifest-pointer snapshot table: append/read/time-travel/diff, the
+  * two-writer interleaving (readers never observe a torn table, losers
+  * fold in the winner's commits), and dead-writer claim tolerance.
+  */
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").as[Long].collect().toSet
+
+  test("append → read → time travel → diff") {
+    val t = java.nio.file.Files.createTempDirectory("snap1").toString + "/tbl"
+    assert(SnapshotTable.latestVersion(spark, t).isEmpty)
+    val c1 = SnapshotTable.append((1L to 5L).toDF("id"), t)
+    val c2 = SnapshotTable.append((6L to 9L).toDF("id"), t)
+    assert((c1.version, c2.version) == (1L, 2L))
+    assert(ids(SnapshotTable.read(spark, t)) == (1L to 9L).toSet)
+    // a committed snapshot is immutable: v1 still reads exactly batch 1
+    assert(ids(SnapshotTable.readVersion(spark, t, 1L)) == (1L to 5L).toSet)
+    // CDC: the diff is precisely the second batch, read from its dirs only
+    assert(ids(SnapshotTable.diff(spark, t, 1L, 2L)) == (6L to 9L).toSet)
+  }
+
+  test("two interleaved writers: no torn reads, the loser folds in the winner") {
+    val t = java.nio.file.Files.createTempDirectory("snap2").toString + "/tbl"
+    // both writers stage before either commits
+    val dirA = SnapshotTable.stageData((1L to 3L).toDF("id"), t)
+    val dirB = SnapshotTable.stageData((10L to 12L).toDF("id"), t)
+    // staged data is invisible — there is still no committed version
+    intercept[IllegalArgumentException] { SnapshotTable.read(spark, t) }
+    // A commits first
+    val cA = SnapshotTable.commitStaged(spark, t, dirA)
+    assert(cA.version == 1L)
+    assert(ids(SnapshotTable.read(spark, t)) == Set(1L, 2L, 3L))
+    // a THIRD writer wins the race for v2 while B is between resolve and
+    // claim (hand-played interleaving: C's complete manifest appears
+    // before B claims)
+    val dirC = SnapshotTable.stageData((20L to 21L).toDF("id"), t)
+    SnapshotTable.commitStaged(spark, t, dirC) // v2 = A + C
+    val cB = SnapshotTable.commitStaged(spark, t, dirB)
+    assert(cB.version == 3L, "loser must retry at the next version")
+    // nobody's rows were lost by the race
+    assert(ids(SnapshotTable.read(spark, t)) ==
+      (Set(1L, 2L, 3L) ++ Set(10L, 11L, 12L) ++ Set(20L, 21L)))
+    // intermediate snapshots remain exactly as committed
+    assert(ids(SnapshotTable.readVersion(spark, t, 2L)) ==
+      Set(1L, 2L, 3L, 20L, 21L))
+  }
+
+  test("a dead writer's footerless claim is skipped by readers and leapt by writers") {
+    val t = java.nio.file.Files.createTempDirectory("snap3").toString + "/tbl"
+    SnapshotTable.append((1L to 4L).toDF("id"), t)
+    // simulate a writer that claimed v2 and died before the footer
+    val dead = new java.io.PrintWriter(s"$t/manifests/v2.manifest")
+    dead.println("data/never-finished"); dead.close()
+    // readers resolve the last COMPLETE snapshot
+    assert(SnapshotTable.latestVersion(spark, t).contains(1L))
+    assert(ids(SnapshotTable.read(spark, t)) == (1L to 4L).toSet)
+    // the next writer claims PAST the corpse, never colliding with it
+    val c = SnapshotTable.append((5L to 6L).toDF("id"), t)
+    assert(c.version == 3L)
+    assert(ids(SnapshotTable.read(spark, t)) == (1L to 6L).toSet)
+  }
+}
