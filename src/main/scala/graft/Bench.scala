@@ -324,7 +324,11 @@ object Bench {
     // scan + one reassembly shuffle), hashing-trick vectors (one corpus
     // shuffle) and the epoch shuffle (one hash shuffle + in-shard sort)
     // each claim a one-pass scale shape the growth column must back
-    "q_tokenize_pack", "q_feature_hash", "q_epoch_shuffle")
+    "q_tokenize_pack", "q_feature_hash", "q_epoch_shuffle",
+    // round-7 addition: near-dup connected components — the skew study
+    // (boilerplate-heavy corpus) needs the CC path itself on the row,
+    // not only the canonical-keep composition over it
+    "q_dedup_groups")
 
   /** Study-only query: SemDeDup at its documented OPERATING POINT — the
     * cluster count grows with the corpus so mean cluster size (and with
@@ -409,10 +413,14 @@ object Bench {
     }
     val suite = scaleSuite.filter(n => suiteOnly.forall(_.contains(n)))
     val out = dirs.map { dir =>
-      // table sizes for the report (footer-count jobs, untimed)
-      val nDocs = Tables(spark, dir, "documents").count()
-      val nLi = Tables(spark, dir, "lineitem").count()
-      val nEmb = Tables(spark, dir, "embeddings").count()
+      // table sizes for the report (footer-count jobs, untimed); -1 for a
+      // table the fixture dir does not carry (the skew corpus is
+      // documents-only — its suite filter must not require star tables)
+      def tableCount(t: String): Long =
+        scala.util.Try(Tables(spark, dir, t).count()).getOrElse(-1L)
+      val nDocs = tableCount("documents")
+      val nLi = tableCount("lineitem")
+      val nEmb = tableCount("embeddings")
       val rows = suite.map { name =>
         timeOnce(name, dir) // warmup (JIT/codegen), untimed
         val secs = (1 to 2).map { _ =>

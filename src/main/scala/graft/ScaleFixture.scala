@@ -48,10 +48,26 @@ object ScaleFixture {
     * would instead push EVERY shingle past the dedup df-cap at 10× and
     * vacuously zero the candidate set.
     */
-  def documents(spark: SparkSession, n: Long): DataFrame = {
+  def documents(spark: SparkSession, n: Long): DataFrame =
+    documents(spark, n, boilerplate = false)
+
+  /** `boilerplate = true` is the SKEW-STRESS corpus (r6 verdict item 4):
+    * 20 % of documents (`doc_id % 5 == 4`) re-emit ONE shared template —
+    * doc 0's token stream with ~1/16 per-doc mutations — the
+    * boilerplate-heavy shape real web corpora show (cookie banners,
+    * license headers). Every one of the template family's shingles has
+    * document frequency ≈ n/5: the hottest possible key for the shingle
+    * shuffle, the window-based df count, the band buckets, and one giant
+    * candidate component for connected components. The uniform fixture's
+    * df caps are proven; this corpus proves them AT the hot key.
+    */
+  def documents(spark: SparkSession, n: Long, boilerplate: Boolean): DataFrame = {
     val ids = spark.range(0, n, 1, 32).toDF("doc_id")
-    val isDup = col("doc_id") % 20 === 19
-    val srcId = when(isDup, col("doc_id") - 1).otherwise(col("doc_id"))
+    val isBoiler = if (boilerplate) col("doc_id") % 5 === 4 else lit(false)
+    val isDup = col("doc_id") % 20 === 19 && !isBoiler
+    val mutated = isDup || isBoiler
+    val srcId = when(isBoiler, lit(0L))
+      .when(isDup, col("doc_id") - 1).otherwise(col("doc_id"))
     val nTok = (h("len", srcId) % 83 + 8).cast(IntegerType)
     val vlit = typedLit(vocab)
     val nThemes = math.max(1L, n / 25)
@@ -63,7 +79,7 @@ object ScaleFixture {
       val mut = concat(
         element_at(vlit, (h("alt", col("doc_id"), j) % vocab.size).cast(IntegerType) + 1),
         lit("_"), theme)
-      when(isDup && h("mut", col("doc_id"), j) % 16 === 0, mut).otherwise(base)
+      when(mutated && h("mut", col("doc_id"), j) % 16 === 0, mut).otherwise(base)
     })
     ids.select(
         col("doc_id"),
@@ -133,12 +149,14 @@ object ScaleFixture {
     (li, orders, supplier)
   }
 
-  def writeAll(spark: SparkSession, outDir: String, mult: Int): Unit = {
+  def writeAll(spark: SparkSession, outDir: String, mult: Int,
+      skewed: Boolean = false): Unit = {
     require(mult >= 1, s"mult must be >= 1, got $mult")
     val m = mult.toLong
     def put(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-    put(documents(spark, 5000L * m), "documents")
+    put(documents(spark, 5000L * m, boilerplate = skewed), "documents")
+    if (skewed) return // the skew study reads only the document corpus
     put(embeddings(spark, 2000L * m), "embeddings")
     val (li, orders, supplier) = star(spark, 600000L * m, 150000L * m, 1000L * m)
     put(li, "lineitem")
@@ -147,7 +165,8 @@ object ScaleFixture {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: ScaleFixture <outDir> <mult>")
+    require(args.length == 2 || (args.length == 3 && args(2) == "skew"),
+      "usage: ScaleFixture <outDir> <mult> [skew]")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -156,7 +175,7 @@ object ScaleFixture {
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    writeAll(spark, args(0), args(1).toInt)
+    writeAll(spark, args(0), args(1).toInt, skewed = args.length == 3)
     spark.stop()
   }
 }

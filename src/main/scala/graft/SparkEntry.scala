@@ -706,7 +706,7 @@ object SparkEntry {
     // adds the odds, so the diff must equal the odd half of `documents`
     // recomputed directly — any commit/isolation/diff defect (lost dir,
     // reread base, torn manifest) hash-fails.
-    "q_snapshot_diff" -> q { (s, dir) =>
+    "q_snapshot_table_diff" -> q { (s, dir) =>
       val file = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_snap_${s.sparkContext.applicationId}_" +
           Integer.toHexString(dir.hashCode))
@@ -4863,7 +4863,7 @@ object SparkEntry {
     "q_tokenize_pack" -> tokenizePackOracleSql(encodeMerges,
       budget = 128L, buckets = 8),
 
-    "q_snapshot_diff" ->
+    "q_snapshot_table_diff" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
 
