@@ -153,7 +153,9 @@ class HttpBarSourceSpec extends SparkSpec {
     assert(httpReport.nRows == csvReport.nRows)
     assert(httpReport.nSymbols == csvReport.nSymbols)
     def warehouse(dir: String) =
-      spark.read.parquet(dir).collect()
+      // load_file is per-run provenance (the staged part file's unique
+      // name) — compare the DATA, not which file carried it
+      spark.read.parquet(dir).drop("load_file").collect()
         .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
     assert(warehouse(s"$tmp/wh_http") == warehouse(s"$tmp/wh_csv"))
   }
