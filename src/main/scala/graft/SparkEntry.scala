@@ -1028,6 +1028,27 @@ object SparkEntry {
         Multimodal.fixtureFromDocuments(Tables.documents(s, dir)), everyNth = 5)
     },
 
+    // REAL video frame extraction (closes the r6 metadata-only gap): one
+    // MJPEG AVI per document (frames JPEG-encoded on executors, container
+    // assembled byte-by-byte), container-walked, every-3rd frame decoded
+    // with javax.imageio. PROPERTY oracle: frame indices / dims replay
+    // from doc_id arithmetic and color_ok asserts the decoded solid color
+    // sits within the JPEG roundtrip tolerance of its closed form — a
+    // container framing, sampling, or decode defect drops or flips rows.
+    "q_video_frames" -> q { (s, dir) =>
+      val media = Multimodal.encodeAviFixture(Tables.documents(s, dir))
+      val expR = (col("media_id") * 7 + col("frame_idx") * 11) % 192 + 32
+      val expG = (col("media_id") * 13 + col("frame_idx") * 17) % 192 + 32
+      val expB = (col("media_id") * 19 + col("frame_idx") * 23) % 192 + 32
+      Multimodal.decodeVideoFrames(media, everyNth = 3).toDF()
+        .where(col("ok"))
+        .select(col("media_id").as("doc_id"), col("frame_idx"),
+          col("width"), col("height"),
+          (abs(col("mean_r") - expR) <= 8 &&
+            abs(col("mean_g") - expG) <= 8 &&
+            abs(col("mean_b") - expB) <= 8).as("color_ok"))
+    },
+
     // CDC compaction: latest state per (user_id, event_type) from the
     // append-only events log — SCD-1 merge-on-read semantics, one shuffle,
     // rank-1 predicate pushed below the exchange (WindowGroupLimit).
@@ -5168,6 +5189,15 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CAST(unnest(generate_series(0, doc_id % 30, 5)) AS INT) AS frame_idx
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+
+    "q_video_frames" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(f.range AS INT) AS frame_idx,
+        |  CAST(doc_id % 32 + 8 AS INT) AS width,
+        |  CAST(doc_id % 24 + 8 AS INT) AS height,
+        |  TRUE AS color_ok
+        |FROM documents CROSS JOIN range(8) f
+        |WHERE f.range < (doc_id % 7) + 2 AND f.range % 3 = 0""".stripMargin,
 
     // Decode oracles: each RGB channel of the PNG fixture varies along one
     // axis (r~x, g~y, b~x), so per-image sums collapse to one range()

@@ -13,13 +13,15 @@ import org.apache.spark.sql.types._
   * decode/feature-extraction runs partition-parallel with a pluggable
   * decoder.
   *
-  * Decode is REAL for image and audio: [[decodeImageStats]] reads PNG/JPEG
-  * payloads with `javax.imageio` and [[decodeAudioStats]] reads WAV/PCM
-  * with `javax.sound.sampled` — both pure-JVM codecs, partition-parallel,
+  * Decode is REAL for image, audio AND video: [[decodeImageStats]] reads
+  * PNG/JPEG payloads with `javax.imageio`, [[decodeAudioStats]] reads
+  * WAV/PCM with `javax.sound.sampled`, and [[decodeVideoFrames]] (r7)
+  * walks MJPEG AVI containers ([[Avi]]) and decodes sampled frames with
+  * `javax.imageio` — all pure-JVM codecs, partition-parallel,
   * iterator-to-iterator (a multi-GB media partition never materializes).
-  * Video frame EXTRACTION has no pure-JVM codec; its metadata planning
-  * ([[sampleFrames]]) is real and the byte-decode seam stays behind
-  * [[Decoder]] ([[StubDecoder]] documents the contract).
+  * Other video codecs (H.264 …) have no pure-JVM decoder; their byte-
+  * decode seam stays behind [[Decoder]] ([[StubDecoder]] documents the
+  * contract) while the container/sampling plumbing above them is real.
   */
 object Multimodal {
 
@@ -373,5 +375,116 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyNth)))
           .as("frame_idx"))
+  }
+
+  // --------------------------------------------- real video path (MJPEG)
+
+  /** Solid fill color of frame `f` of fixture video `id` — closed form so
+    * a SQL oracle replays it. Channels stay inside [32, 223]: JPEG's
+    * RGB→YCbCr→quantize roundtrip moves a uniform field by a couple of
+    * counts, and staying off the 0/255 rails keeps that error symmetric
+    * (no clamping), bounded well under the tolerance the driver query
+    * checks. */
+  private[graft] def fixtureFrameRgb(id: Long, f: Int): (Int, Int, Int) =
+    (((id * 7 + f * 11L) % 192 + 32).toInt,
+      ((id * 13 + f * 17L) % 192 + 32).toInt,
+      ((id * 19 + f * 23L) % 192 + 32).toInt)
+
+  /** 2–8 frames per fixture video, keyed on the id. */
+  private[graft] def fixtureFrameCount(id: Long): Int = ((id % 7) + 2).toInt
+
+  /** Real-AVI media fixture: one MJPEG video per document — frame count,
+    * dimensions and per-frame solid colors in closed form
+    * ([[fixtureFrameCount]], [[fixtureDims]], [[fixtureFrameRgb]]), each
+    * frame JPEG-encoded with `javax.imageio` on executors and the
+    * container assembled by [[Avi.write]]. The bytes on disk are a real,
+    * decodable MJPEG AVI, so the container walk and the frame decode are
+    * exercised end-to-end.
+    */
+  def encodeAviFixture(docs: DataFrame): DataFrame = {
+    implicit val enc: Encoder[Media] = Encoders.product[Media]
+    val ids = docs.select(col("doc_id").cast(LongType)).as[Long](Encoders.scalaLong)
+    ids.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val (w, h) = fixtureDims(id)
+        val n = fixtureFrameCount(id)
+        val frames = (0 until n).map { f =>
+          val (r, g, b) = fixtureFrameRgb(id, f)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          val rgb = (r << 16) | (g << 8) | b
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", baos)
+          baos.toByteArray
+        }
+        Media(id, "video", Avi.write(frames, w, h), MediaMeta("avi", w, h, n))
+      }
+    }.toDF()
+  }
+
+  final case class VideoFrame(media_id: Long, ok: Boolean, frame_idx: Int,
+      width: Int, height: Int, mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL video frame extraction — the path that was metadata-only until
+    * r7: walk the AVI container ([[Avi.readFrames]]), keep every
+    * `everyNth` frame (frame SAMPLING on the actual stream, not the
+    * metadata plan), decode each kept MJPEG payload with `javax.imageio`,
+    * and emit dimensions plus per-channel pixel means.
+    *
+    * Partition-parallel and iterator-to-iterator like the other codecs; a
+    * video whose container yields no frames emits one `ok = false` row
+    * and an individual undecodable frame emits its own `ok = false` row —
+    * never a task failure (C4). The means are doubles because JPEG is
+    * LOSSY: decoded values are deterministic within a JVM but have no
+    * closed form, so the oracle-able projection is a tolerance flag
+    * computed by the caller (the `q_video_frames` pattern), exactly like
+    * `q_warc_ingest`'s framing_ok.
+    */
+  def decodeVideoFrames(media: DataFrame, everyNth: Int): Dataset[VideoFrame] = {
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
+    implicit val encIn: Encoder[Media] = Encoders.product[Media]
+    implicit val encOut: Encoder[VideoFrame] = Encoders.product[VideoFrame]
+    media.as[Media].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        val frames =
+          if (m.bytes == null) Vector.empty else Avi.readFrames(m.bytes)
+        if (frames.isEmpty)
+          Iterator.single(VideoFrame(m.media_id, ok = false, -1, 0, 0, 0, 0, 0))
+        else frames.iterator.zipWithIndex
+          .filter(_._2 % everyNth == 0)
+          .map { case (jpeg, f) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(jpeg))
+            if (img == null)
+              VideoFrame(m.media_id, ok = false, f, 0, 0, 0, 0, 0)
+            else {
+              val w = img.getWidth; val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                  sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              VideoFrame(m.media_id, ok = true, f, w, h,
+                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+            }
+          }
+      }
+    }
   }
 }
