@@ -168,7 +168,9 @@ object SnapshotTable {
 
   /** Rows ADDED between two committed versions: the manifest diff names
     * the exact data dirs, so the cost is O(added bytes) — no scan of the
-    * base snapshot, no anti-join. */
+    * base snapshot, no anti-join. Not defined across a [[compact]]
+    * boundary (the compacted manifest REPLACES dirs rather than extending
+    * them) — that case raises rather than mis-reporting. */
   def diff(spark: SparkSession, table: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
     val from = readManifest(spark, table, fromVersion).getOrElse(
@@ -176,7 +178,88 @@ object SnapshotTable {
     val to = readManifest(spark, table, toVersion).getOrElse(
       throw new IllegalArgumentException(s"no committed version $toVersion"))
     require(from.forall(to.contains),
-      s"version $toVersion does not extend $fromVersion (append-only tables only)")
+      s"version $toVersion does not extend $fromVersion " +
+        "(append-only versions only — a compact() rewrote the dir list)")
     readDirs(spark, table, to.filterNot(from.contains))
+  }
+
+  /** Commit a manifest whose dirs REPLACE `replaced` with `newDirs`,
+    * FOLDING IN any dirs a concurrent appender committed meanwhile (they
+    * are neither in `replaced` nor `newDirs`, so they ride along) — the
+    * maintenance twin of [[commitStaged]]. */
+  private[graft] def commitReplacing(spark: SparkSession, table: String,
+      newDirs: Seq[String], replaced: Set[String],
+      maxAttempts: Int = 20): Commit = {
+    val f = fs(spark, table)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = latestVersion(spark, table)
+        .flatMap(readManifest(spark, table, _)).getOrElse(Seq.empty)
+      val kept = base.filterNot(replaced) // concurrent appends survive
+      val next = claimedVersions(spark, table).lastOption.getOrElse(0L) + 1
+      val target = new org.apache.hadoop.fs.Path(s"$table/manifests/v$next.manifest")
+      val claimed = try Some(f.create(target, false))
+        catch { case _: java.io.IOException => None }
+      claimed match {
+        case Some(out) =>
+          try {
+            val lines = (newDirs ++ kept).mkString("", "\n", s"\n$Footer\n")
+            out.write(lines.getBytes("UTF-8"))
+          } finally out.close()
+          return Commit(next, newDirs.mkString(","))
+        case None =>
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit to $table after $maxAttempts attempts")
+  }
+
+  /** Small-file maintenance: rewrite the CURRENT snapshot's data dirs
+    * into one compacted dir and commit a manifest that replaces them —
+    * readers of every ALREADY-COMMITTED version keep their exact dirs
+    * (nothing is deleted here; [[expire]] reclaims), readers of the new
+    * version get the rewritten layout, and appends that land while the
+    * rewrite runs are folded into the commit rather than lost. Returns
+    * the new version. */
+  def compact(spark: SparkSession, table: String,
+      numFiles: Int = 1): Commit = {
+    val v = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed version"))
+    val dirs = readManifest(spark, table, v).get
+    val rel = s"data/${java.util.UUID.randomUUID}"
+    readDirs(spark, table, dirs).repartition(numFiles)
+      .write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$rel")
+    commitReplacing(spark, table, Seq(rel), dirs.toSet)
+  }
+
+  /** Retention maintenance: drop every committed manifest with version
+    * < `keepFrom`, then delete data dirs that only those manifests
+    * referenced (a dir still named by ANY surviving manifest — complete
+    * or in-progress claim — is untouched). Orphaned staged dirs that no
+    * manifest ever referenced are deliberately NOT touched: a writer may
+    * be about to commit them — reclaim those with an age-based sweep,
+    * not here. */
+  def expire(spark: SparkSession, table: String, keepFrom: Long): Unit = {
+    val f = fs(spark, table)
+    val drop = committedVersions(spark, table).filter(_ < keepFrom)
+    val dropped = drop.flatMap(readManifest(spark, table, _)).flatten.toSet
+    // referenced-by-survivors: complete manifests >= keepFrom AND any
+    // footerless claim's partial dir list (conservative: a dead writer's
+    // claim lines still pin dirs until the claim file itself is removed)
+    val surviving = claimedVersions(spark, table).filter(_ >= keepFrom)
+      .flatMap { v =>
+        val p = new org.apache.hadoop.fs.Path(s"$table/manifests/v$v.manifest")
+        val in = f.open(p)
+        try {
+          val src = scala.io.Source.fromInputStream(in, "UTF-8")
+          try src.getLines().filterNot(_ == Footer).toVector
+          finally src.close()
+        } finally in.close()
+      }.toSet
+    drop.foreach(v => f.delete(
+      new org.apache.hadoop.fs.Path(s"$table/manifests/v$v.manifest"), false))
+    (dropped -- surviving).foreach(d =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$table/$d"), true))
   }
 }

@@ -68,6 +68,31 @@ class IvfIncrementalSpec extends SparkSpec {
       "frozen quantizer was replaced mid-index")
   }
 
+  test("streaming ingest: two micro-batches probe identically to the batch-built index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.AnnStreaming.annIngestStream(
+      input.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$p/idx", s"$p/ckpt", Some(index))
+    try {
+      input.addData((0 until 60).map(i => (i.toLong, vec(i))): _*)
+      q.processAllAvailable()
+      input.addData((60 until 120).map(i => (i.toLong, vec(i))): _*)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getDouble(1),
+          r.getAs[Number](2).longValue)).toSeq
+      val streamed = rows(Similarity.ivfListsProbe(spark, s"$p/idx", query,
+        k = 10, nprobe = 2))
+      val batch = rows(Similarity.ivfTopK(corpus(0 until 120), "vec_id",
+        "embedding", index, query, k = 10, nprobe = 2))
+      assert(streamed == batch,
+        "stream-maintained index diverged from batch-built")
+    } finally q.stop()
+  }
+
   test("probe plan prunes to the nprobe centroid partitions") {
     val p = java.nio.file.Files.createTempDirectory("ivf_incr4").toString + "/idx"
     Similarity.ivfIngestBatch(corpus(0 until 100),

@@ -51,6 +51,58 @@ class SnapshotTableSpec extends SparkSpec {
       Set(1L, 2L, 3L, 20L, 21L))
   }
 
+  test("compact rewrites the snapshot, folds in a concurrent append, and expire reclaims") {
+    val t = java.nio.file.Files.createTempDirectory("snap4").toString + "/tbl"
+    SnapshotTable.append((1L to 4L).toDF("id"), t)   // v1
+    SnapshotTable.append((5L to 8L).toDF("id"), t)   // v2
+    // hand-play the race: the maintainer resolves v2 and stages its
+    // compacted rewrite; an appender commits v3 BEFORE the maintainer's
+    // replacing commit — commitReplacing must fold v3's dir in, not
+    // drop it (the dirs it replaces are exactly v2's)
+    val compacted = SnapshotTable.stageData(
+      SnapshotTable.readVersion(spark, t, 2L), t)
+    val dirC = SnapshotTable.stageData((100L to 101L).toDF("id"), t)
+    SnapshotTable.commitStaged(spark, t, dirC)       // v3 (concurrent append)
+    val c = SnapshotTable.commitReplacing(spark, t, Seq(compacted),
+      replacedDirsOf(t, 2L))
+    assert(c.version == 4L)
+    assert(ids(SnapshotTable.read(spark, t)) == ((1L to 8L) ++ Seq(100L, 101L)).toSet,
+      "replacing commit lost rows or dropped the concurrent append")
+    // pre-compaction versions still read exactly as committed
+    assert(ids(SnapshotTable.readVersion(spark, t, 2L)) == (1L to 8L).toSet)
+    // retention: drop v1..v3 — their exclusive dirs go, v4's stay
+    SnapshotTable.expire(spark, t, keepFrom = 4L)
+    assert(SnapshotTable.latestVersion(spark, t).contains(4L))
+    assert(ids(SnapshotTable.read(spark, t)) == ((1L to 8L) ++ Seq(100L, 101L)).toSet)
+    intercept[IllegalArgumentException] { SnapshotTable.readVersion(spark, t, 2L) }
+    // the replaced data dirs are physically gone; the survivors are the
+    // compacted dir + v3's concurrent-append dir
+    val dataDirs = new java.io.File(s"$t/data").listFiles().map(_.getName).toSet
+    assert(dataDirs.size == 2,
+      s"expire left unreferenced dirs (or deleted referenced ones): $dataDirs")
+    // diff still works on post-compaction append-only versions
+    SnapshotTable.append((200L to 201L).toDF("id"), t) // v5
+    assert(ids(SnapshotTable.diff(spark, t, 4L, 5L)) == Set(200L, 201L))
+    // and refuses across the compaction boundary (v3 dirs ⊄ v4)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.diff(spark, t, 3L, 4L)
+    }
+  }
+
+  /** The data dirs version `v`'s manifest lists (test-side mirror). */
+  private def replacedDirsOf(t: String, v: Long): Set[String] =
+    scala.io.Source.fromFile(s"$t/manifests/v$v.manifest").getLines()
+      .filterNot(_ == "END").toSet
+
+  test("plain compact() on the latest snapshot preserves rows and layout count") {
+    val t = java.nio.file.Files.createTempDirectory("snap5").toString + "/tbl"
+    SnapshotTable.append((1L to 50L).toDF("id"), t)
+    SnapshotTable.append((51L to 90L).toDF("id"), t)
+    val c = SnapshotTable.compact(spark, t)
+    assert(c.version == 3L)
+    assert(ids(SnapshotTable.read(spark, t)) == (1L to 90L).toSet)
+  }
+
   test("a dead writer's footerless claim is skipped by readers and leapt by writers") {
     val t = java.nio.file.Files.createTempDirectory("snap3").toString + "/tbl"
     SnapshotTable.append((1L to 4L).toDF("id"), t)
