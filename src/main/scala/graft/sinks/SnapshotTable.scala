@@ -87,9 +87,25 @@ object SnapshotTable {
     }).toSeq.sorted
   }
 
-  /** The data dirs of manifest `version`, or None if absent/footerless. */
+  /** A manifest line: the data dir plus an optional writer-supplied
+    * idempotency key (tab-separated — old single-field manifests parse
+    * with an empty key). */
+  private def parseLine(l: String): (String, String) =
+    l.indexOf('\t') match {
+      case -1 => (l, "")
+      case i  => (l.substring(0, i), l.substring(i + 1))
+    }
+
+  /** The data dirs of manifest `version`, or None if absent/footerless.
+    * Distinct: a dir may legally carry several idempotency-key lines
+    * after a compaction folded multiple keyed commits into one rewrite. */
   private def readManifest(spark: SparkSession, table: String,
-      version: Long): Option[Seq[String]] = {
+      version: Long): Option[Seq[String]] =
+    readManifestLines(spark, table, version).map(_.map(_._1).distinct)
+
+  /** (dir, idempotencyKey) pairs of manifest `version`. */
+  private def readManifestLines(spark: SparkSession, table: String,
+      version: Long): Option[Seq[(String, String)]] = {
     val p = new org.apache.hadoop.fs.Path(s"$table/manifests/v$version.manifest")
     val f = fs(spark, table)
     if (!f.exists(p)) None
@@ -99,7 +115,7 @@ object SnapshotTable {
         val src = scala.io.Source.fromInputStream(in, "UTF-8")
         try src.getLines().toVector finally src.close()
       } finally in.close()
-      if (text.lastOption.contains(Footer)) Some(text.dropRight(1))
+      if (text.lastOption.contains(Footer)) Some(text.dropRight(1).map(parseLine))
       else None // in-progress or dead writer's claim — not a snapshot
     }
   }
@@ -107,18 +123,32 @@ object SnapshotTable {
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
     committedVersions(spark, table).lastOption
 
+  private def renderLine(dir: String, key: String): String =
+    if (key.isEmpty) dir else s"$dir\t$key"
+
   /** Commit an already-staged data dir: claim the next free version with
     * create-if-absent, folding in every dir the latest snapshot holds.
+    * A non-empty `idempotencyKey` makes the commit EXACTLY-ONCE under
+    * re-runs (the COPY INTO load-history pattern): if the latest
+    * snapshot already carries a line with the key, the staged dir is NOT
+    * committed again — the existing version is returned (the caller's
+    * orphaned re-staged dir stays unreferenced, garbage not corruption).
     * Exposed at this grain so the concurrency spec can drive exact
     * interleavings; [[append]] is the public one-call path. */
   private[graft] def commitStaged(spark: SparkSession, table: String,
-      dataDir: String, maxAttempts: Int = 20): Commit = {
+      dataDir: String, maxAttempts: Int = 20,
+      idempotencyKey: String = ""): Commit = {
+    require(!idempotencyKey.contains('\n') && !idempotencyKey.contains('\t'),
+      "idempotency key must not contain tab/newline")
     val f = fs(spark, table)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val base = latestVersion(spark, table)
-        .flatMap(readManifest(spark, table, _)).getOrElse(Seq.empty)
+      val latest = latestVersion(spark, table)
+      val base = latest
+        .flatMap(readManifestLines(spark, table, _)).getOrElse(Seq.empty)
+      if (idempotencyKey.nonEmpty && base.exists(_._2 == idempotencyKey))
+        return Commit(latest.get, base.find(_._2 == idempotencyKey).get._1)
       val next = (claimedVersions(spark, table).lastOption.getOrElse(0L)) + 1
       val target = new org.apache.hadoop.fs.Path(s"$table/manifests/v$next.manifest")
       val claimed = try {
@@ -130,7 +160,9 @@ object SnapshotTable {
       claimed match {
         case Some(out) =>
           try {
-            val lines = (base :+ dataDir).mkString("", "\n", s"\n$Footer\n")
+            val lines = (base.map((renderLine _).tupled) :+
+              renderLine(dataDir, idempotencyKey))
+              .mkString("", "\n", s"\n$Footer\n")
             out.write(lines.getBytes("UTF-8"))
           } finally out.close()
           return Commit(next, dataDir)
@@ -141,10 +173,21 @@ object SnapshotTable {
       s"could not commit to $table after $maxAttempts attempts")
   }
 
-  /** Append `df` as one atomic commit; returns the committed version. */
-  def append(df: DataFrame, table: String): Commit = {
+  /** Append `df` as one atomic commit; returns the committed version.
+    * `idempotencyKey` (optional) makes re-delivery of the same logical
+    * batch a no-op — see [[commitStaged]]. */
+  def append(df: DataFrame, table: String,
+      idempotencyKey: String = ""): Commit = {
+    val spark = df.sparkSession
+    if (idempotencyKey.nonEmpty &&
+      latestVersion(spark, table)
+        .flatMap(readManifestLines(spark, table, _))
+        .exists(_.exists(_._2 == idempotencyKey))) {
+      // already committed: do not even stage (saves the orphan write)
+      return commitStaged(spark, table, "", idempotencyKey = idempotencyKey)
+    }
     val rel = stageData(df, table)
-    commitStaged(df.sparkSession, table, rel)
+    commitStaged(spark, table, rel, idempotencyKey = idempotencyKey)
   }
 
   private def readDirs(spark: SparkSession, table: String,
@@ -195,8 +238,15 @@ object SnapshotTable {
     while (attempt < maxAttempts) {
       attempt += 1
       val base = latestVersion(spark, table)
-        .flatMap(readManifest(spark, table, _)).getOrElse(Seq.empty)
-      val kept = base.filterNot(replaced) // concurrent appends survive
+        .flatMap(readManifestLines(spark, table, _)).getOrElse(Seq.empty)
+      // concurrent appends survive, WITH their idempotency keys — and so
+      // do the keys of the replaced commits (compaction must not re-open
+      // the door to a re-delivered load whose data it just rewrote)
+      val kept = base.filterNot(l => replaced(l._1))
+      val replacedKeys = base.filter(l => replaced(l._1)).map(_._2)
+        .filter(_.nonEmpty)
+      val newLines = newDirs.map(renderLine(_, "")) ++
+        replacedKeys.map(k => renderLine(newDirs.head, k))
       val next = claimedVersions(spark, table).lastOption.getOrElse(0L) + 1
       val target = new org.apache.hadoop.fs.Path(s"$table/manifests/v$next.manifest")
       val claimed = try Some(f.create(target, false))
@@ -204,7 +254,8 @@ object SnapshotTable {
       claimed match {
         case Some(out) =>
           try {
-            val lines = (newDirs ++ kept).mkString("", "\n", s"\n$Footer\n")
+            val lines = (newLines ++ kept.map((renderLine _).tupled))
+              .mkString("", "\n", s"\n$Footer\n")
             out.write(lines.getBytes("UTF-8"))
           } finally out.close()
           return Commit(next, newDirs.mkString(","))
@@ -253,7 +304,8 @@ object SnapshotTable {
         val in = f.open(p)
         try {
           val src = scala.io.Source.fromInputStream(in, "UTF-8")
-          try src.getLines().filterNot(_ == Footer).toVector
+          try src.getLines().filterNot(_ == Footer)
+            .map(parseLine(_)._1).toVector
           finally src.close()
         } finally in.close()
       }.toSet

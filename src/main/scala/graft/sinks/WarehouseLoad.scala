@@ -65,6 +65,34 @@ object WarehouseLoad {
     n
   }
 
+  /** [[appendAndPurge]] onto a [[SnapshotTable]] — the warehouse zone
+    * with the reference target's implicit ACID made EXPLICIT: each staged
+    * file becomes one snapshot commit keyed by its file name (COPY INTO
+    * load history as a manifest idempotency key), so
+    *  - a crash-window re-run re-commits nothing (the key short-circuits),
+    *  - concurrent loaders serialize through the manifest claim without
+    *    losing each other's commits,
+    *  - the warehouse gains time travel and manifest-level CDC
+    *    ([[SnapshotTable.readVersion]]/[[SnapshotTable.diff]]) for free.
+    * Each file is purged right after ITS commit (per-file consume-once):
+    * a crash mid-sequence leaves later files staged and earlier files
+    * both committed and purged — the re-run loads exactly the remainder.
+    * Returns the rows present in the table for this stage's files
+    * (idempotent across re-runs, like COPY's per-file load history).
+    */
+  def appendSnapshot(spark: SparkSession, stagePath: String,
+      table: String): Long = {
+    var total = 0L
+    listStagedCsvs(spark, stagePath).sortBy(_.getName).foreach { p =>
+      val c = SnapshotTable.append(readStaged(spark, p.toString), table,
+        idempotencyKey = p.getName)
+      total += spark.read.parquet(s"$table/${c.dataDir}").count()
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, false)
+    }
+    total
+  }
+
   private def listStagedCsvs(spark: SparkSession,
       stagePath: String): Seq[org.apache.hadoop.fs.Path] = {
     val path = new org.apache.hadoop.fs.Path(stagePath)

@@ -83,6 +83,32 @@ class CrashConsistencySpec extends SparkSpec {
     assert(rows.size == 3, s"recovery run duplicated or lost rows: $rows")
   }
 
+  test("snapshot warehouse: crash between commit and purge — re-run is a keyed no-op") {
+    useMockstore()
+    val tmp = java.nio.file.Files.createTempDirectory("wh_snap_torture").toString
+    writeStagedCsv(s"$tmp/stage", "sp500_data_a.csv", stagedRows.take(2))
+    writeStagedCsv(s"$tmp/stage", "sp500_data_b.csv", stagedRows.drop(2))
+    val tbl = s"mockstore://$tmp/snap_wh"
+    // die on the purge of the FIRST staged file — its commit is complete,
+    // the second file untouched
+    MockStoreFileSystem.armCrash("delete", "stage/sp500_data_a.csv$")
+    try {
+      val e = intercept[Exception] {
+        WarehouseLoad.appendSnapshot(spark, s"mockstore://$tmp/stage", tbl)
+      }
+      assert(e.getMessage.contains("injected crash"), e.getMessage)
+    } finally MockStoreFileSystem.disarm()
+    assert(SnapshotTable.latestVersion(spark, tbl).contains(1L))
+    // recovery: file A's key short-circuits (no duplicate commit), file B
+    // loads, both purge
+    val n = WarehouseLoad.appendSnapshot(spark, s"mockstore://$tmp/stage", tbl)
+    assert(n == 3L, s"expected 3 rows across the two files, got $n")
+    assert(SnapshotTable.latestVersion(spark, tbl).contains(2L),
+      "re-run duplicated file A's commit")
+    assert(SnapshotTable.read(spark, tbl).count() == 3L)
+    assert(!new java.io.File(s"$tmp/stage").listFiles().exists(_.getName.endsWith(".csv")))
+  }
+
   test("compact: crash between the swap renames — re-run restores the backup and completes") {
     useMockstore()
     val tmp = java.nio.file.Files.createTempDirectory("compact_torture").toString

@@ -89,10 +89,11 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
-  /** The data dirs version `v`'s manifest lists (test-side mirror). */
+  /** The data dirs version `v`'s manifest lists (test-side mirror;
+    * strips optional tab-separated idempotency keys). */
   private def replacedDirsOf(t: String, v: Long): Set[String] =
     scala.io.Source.fromFile(s"$t/manifests/v$v.manifest").getLines()
-      .filterNot(_ == "END").toSet
+      .filterNot(_ == "END").map(_.split("\t")(0)).toSet
 
   test("plain compact() on the latest snapshot preserves rows and layout count") {
     val t = java.nio.file.Files.createTempDirectory("snap5").toString + "/tbl"
@@ -101,6 +102,28 @@ class SnapshotTableSpec extends SparkSpec {
     val c = SnapshotTable.compact(spark, t)
     assert(c.version == 3L)
     assert(ids(SnapshotTable.read(spark, t)) == (1L to 90L).toSet)
+  }
+
+  test("idempotency keys: re-delivery is a no-op, and compaction preserves load history") {
+    val t = java.nio.file.Files.createTempDirectory("snap6").toString + "/tbl"
+    val c1 = SnapshotTable.append((1L to 4L).toDF("id"), t, idempotencyKey = "batch-A")
+    val c2 = SnapshotTable.append((5L to 8L).toDF("id"), t, idempotencyKey = "batch-B")
+    assert((c1.version, c2.version) == (1L, 2L))
+    // same key again — with different data, even: the commit is a no-op
+    val replay = SnapshotTable.append((999L to 1000L).toDF("id"), t,
+      idempotencyKey = "batch-A")
+    assert(replay.version == 2L, "re-delivered key created a new version")
+    assert(ids(SnapshotTable.read(spark, t)) == (1L to 8L).toSet)
+    // compaction rewrites the dirs but must carry the keys forward
+    SnapshotTable.compact(spark, t)
+    val replay2 = SnapshotTable.append((999L to 1000L).toDF("id"), t,
+      idempotencyKey = "batch-B")
+    assert(ids(SnapshotTable.read(spark, t)) == (1L to 8L).toSet,
+      "compaction dropped load history — a re-delivered batch re-loaded")
+    assert(replay2.version == SnapshotTable.latestVersion(spark, t).get)
+    // a genuinely new key still appends
+    SnapshotTable.append((9L to 10L).toDF("id"), t, idempotencyKey = "batch-C")
+    assert(ids(SnapshotTable.read(spark, t)) == (1L to 10L).toSet)
   }
 
   test("a dead writer's footerless claim is skipped by readers and leapt by writers") {
