@@ -845,6 +845,23 @@ object SparkEntry {
           col("hll_est"))
     },
 
+    // HLL MERGEABILITY — the sketch property that matters at 100 TB: two
+    // register tables built INDEPENDENTLY over disjoint corpus segments
+    // (odd/even linenumbers, overlapping orderkey sets), merged by
+    // register-wise max, must estimate bit-identically to the one-pass
+    // sketch over the whole corpus. Same oracle SQL as q_hll_distinct —
+    // the merge path has no oracle of its own because associativity says
+    // it must not need one.
+    "q_hll_merge" -> q { (s, dir) =>
+      import graft.ops.Sketch
+      val li = Tables.lineitem(s, dir)
+      def seg(parity: Int) = Sketch.hllRegisters(
+        li.where(col("l_linenumber") % 2 === parity),
+        col("l_orderkey"), col("l_returnflag"))
+      Sketch.hllMergeEstimate(seg(1).unionByName(seg(0)))
+        .select(col("grp").as("flag"), col("z_scaled"), col("hll_est"))
+    },
+
     // Entity resolution: fuzzy candidate matches over the distinct part
     // names — first-token blocking turns the O(n²) edit-distance sweep
     // into an in-block equi-join; levenshtein only runs inside blocks.
@@ -4986,6 +5003,32 @@ object SparkEntry {
         |GROUP BY p.token, p.n_exact""".stripMargin,
 
     "q_hll_distinct" ->
+      """WITH reg AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) AS h32
+        |  FROM lineitem),
+        |rho AS (
+        |  SELECT grp, h32 >> 24 AS bucket,
+        |    CASE WHEN (h32 & 16777215) = 0 THEN 25
+        |         ELSE 25 - length(bin(h32 & 16777215)) END AS rho
+        |  FROM reg),
+        |regmax AS (
+        |  SELECT grp, bucket, max(rho) AS rho_max FROM rho GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.grp, b.range AS bucket
+        |  FROM (SELECT DISTINCT l_returnflag AS grp FROM lineitem) g
+        |  CROSS JOIN range(256) b),
+        |regs AS (
+        |  SELECT g.grp, g.bucket, coalesce(r.rho_max, 0) AS m_j
+        |  FROM grid g LEFT JOIN regmax r ON g.grp = r.grp AND g.bucket = r.bucket),
+        |z AS (
+        |  SELECT grp, CAST(sum(1::BIGINT << (25 - m_j)) AS BIGINT) AS z_scaled
+        |  FROM regs GROUP BY 1)
+        |SELECT z.grp AS flag, z.z_scaled,
+        |  (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 33554432.0 / z.z_scaled AS hll_est
+        |FROM z""".stripMargin,
+
+    "q_hll_merge" ->
       """WITH reg AS (
         |  SELECT l_returnflag AS grp,
         |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) AS h32

@@ -105,9 +105,20 @@ object Sketch {
     * distinct anyway.
     */
   def hllDistinct(df: DataFrame, key: Column, group: Column,
+      p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, key, group, p), p)
+
+  /** The PERSISTABLE / MERGEABLE HLL partial state: one row per occupied
+    * (grp, bucket) with the register maximum. This is the form a 100 TB
+    * pipeline stores per segment (day, source, shard): re-aggregation is
+    * register-wise `max` — associative and idempotent — so cross-segment
+    * distinct counts come from merging tiny register tables
+    * ([[hllMergeEstimate]]) instead of re-scanning raw data, and a
+    * segment can be recomputed/replayed without corrupting the union.
+    */
+  def hllRegisters(df: DataFrame, key: Column, group: Column,
       p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p=$p outside [4,16]")
-    val m = 1 << p
     val wBits = 32 - p
     val rhoMax = wBits + 1
     val h32 = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
@@ -115,13 +126,26 @@ object Sketch {
     val w = h32.bitwiseAND(lit((1L << wBits) - 1))
     val rho = when(w === 0, lit(rhoMax))
       .otherwise(lit(rhoMax) - length(bin(w)))
-
-    val regRaw = df
-      .select(group.as("grp"), shiftright(h32, wBits).as("bucket"),
+    df.select(group.as("grp"), shiftright(h32, wBits).as("bucket"),
         rho.as("rho"))
       .groupBy(col("grp"), col("bucket"))
       .agg(max(col("rho")).as("rho_max"))
+  }
 
+  /** Merge register frames (register-wise max across whatever union of
+    * [[hllRegisters]] outputs is supplied) and estimate per group. With
+    * registers from DISJOINT segments of one corpus this is bit-identical
+    * to the one-pass [[hllDistinct]] — max is associative — which is the
+    * property the oracle pins. */
+  def hllMergeEstimate(registers: DataFrame, p: Int = 8): DataFrame =
+    hllEstimate(
+      registers.groupBy(col("grp"), col("bucket"))
+        .agg(max(col("rho_max")).as("rho_max")), p)
+
+  private def hllEstimate(regRaw: DataFrame, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p outside [4,16]")
+    val m = 1 << p
+    val rhoMax = (32 - p) + 1
     // Empty buckets contribute 2^-0 = 1 (scaled: 2^rhoMax) to the harmonic
     // sum — no grid materialization needed:
     //   z = Σ_present 2^(rhoMax - M_j) + (m - n_present) · 2^rhoMax

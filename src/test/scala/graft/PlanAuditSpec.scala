@@ -133,6 +133,30 @@ class PlanAuditSpec extends SparkSpec {
       s"q_epoch_shuffle: corpus must not shuffle for the offsets join:\n$p")
   }
 
+  test("q_video_frames: container walk + frame decode is a narrow shuffle-free plan") {
+    val p = plan("q_video_frames")
+    assert(!p.contains("Exchange"),
+      s"video decode must stay a per-partition pipeline (no shuffle):\n$p")
+  }
+
+  test("q_snapshot_table_diff: the CDC read scans only added dirs — no join, no shuffle") {
+    val p = plan("q_snapshot_table_diff")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"manifest-level diff must be a plain scan of the added dirs:\n$p")
+  }
+
+  test("q_hll_merge: segment registers partial-aggregate; merge adds no extra corpus shuffle") {
+    // two segment register builds (one hash exchange each, map-side
+    // combined) + the register-wise max re-merge + the per-group estimate
+    // — all over register-sized frames after the first exchange pair
+    val p = plan("q_hll_merge")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 4,
+      s"q_hll_merge: merge path grew beyond the expected exchanges ($exchanges):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q_hll_merge must not join:\n$p")
+  }
+
   test("q_pack_audit: both aggregations served by the ONE packing shuffle") {
     // (bucket, bin) → bucket are prefix-compatible groupings over the
     // window's pack_bucket partitioning — extra exchanges mean the
