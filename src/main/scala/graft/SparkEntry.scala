@@ -815,6 +815,36 @@ object SparkEntry {
         .select(col("token"), col("n_exact"), col("est_count"))
     },
 
+    // COUNT-MIN MERGEABILITY: sketches built independently over two
+    // disjoint document segments, merged by cell-wise sum, probed for the
+    // same exact top-20 — cell counts add exactly, so the merged sketch
+    // must estimate bit-identically to the one-pass build (same oracle
+    // SQL as q_heavy_hitters; associativity is the property under test).
+    "q_cms_merge" -> q { (s, dir) =>
+      import graft.ops.Sketch
+      val docs = Tables.documents(s, dir)
+      def segCounts(parity: Int) = docs
+        .where(col("doc_id") % 2 === parity)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_exact"))
+      val sketch = Sketch.countMinMerge(
+        Sketch.countMinBuildWeighted(segCounts(0), "token", "n_exact")
+          .unionByName(
+            Sketch.countMinBuildWeighted(segCounts(1), "token", "n_exact")))
+      val counts = docs
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n_exact"))
+        .localCheckpoint(false)
+      val top = counts
+        .orderBy(col("n_exact").desc, col("token"))
+        .limit(20)
+      Sketch.countMinEstimate(sketch, top, "token")
+        .join(top, Seq("token"))
+        .select(col("token"), col("n_exact"), col("est_count"))
+    },
+
     // HyperLogLog distinct-count sketch, grouped: constant 256-register
     // state per group vs count(DISTINCT)'s cardinality-sized shuffle; the
     // md5-derived hash and exact-integer harmonic sum make the ESTIMATE
@@ -4983,6 +5013,26 @@ object SparkEntry {
         |FROM bins GROUP BY 1""".stripMargin,
 
     "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(text, '\w+')) AS token FROM documents),
+        |ids AS (SELECT unnest(['#0', '#1', '#2', '#3']) AS tag),
+        |cells AS (
+        |  SELECT tag,
+        |    CAST('0x' || substr(md5(token || tag), 1, 8) AS BIGINT) % 2048 AS bucket
+        |  FROM toks CROSS JOIN ids),
+        |sketch AS (SELECT tag, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        |top AS (
+        |  SELECT token, count(*) AS n_exact FROM toks GROUP BY 1
+        |  ORDER BY n_exact DESC, token LIMIT 20),
+        |probes AS (
+        |  SELECT token, n_exact, tag,
+        |    CAST('0x' || substr(md5(token || tag), 1, 8) AS BIGINT) % 2048 AS bucket
+        |  FROM top CROSS JOIN ids)
+        |SELECT p.token, p.n_exact, min(s.cnt) AS est_count
+        |FROM probes p JOIN sketch s ON p.tag = s.tag AND p.bucket = s.bucket
+        |GROUP BY p.token, p.n_exact""".stripMargin,
+
+    "q_cms_merge" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_extract_all(text, '\w+')) AS token FROM documents),
         |ids AS (SELECT unnest(['#0', '#1', '#2', '#3']) AS tag),

@@ -62,6 +62,17 @@ object Sketch {
       .groupBy(col("row_i"), col("bucket"))
       .agg(sum(col(weightCol)).as("cnt"))
 
+  /** Merge count-min sketches (any union of [[countMinBuild]]/
+    * [[countMinBuildWeighted]] outputs over the same depth/width): cell
+    * counts ADD, exactly — so per-segment sketches built independently
+    * across 1000 executors (or days, or sources) combine into the
+    * one-pass sketch bit-for-bit. The mergeable twin of
+    * [[hllMergeEstimate]].
+    */
+  def countMinMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Point estimates for a frame of keys: probe the key's `depth` cells,
     * take the min. `depth`/`width` must match the build. Inner join is
     * safe for keys present in the built data (their cells exist); absent
