@@ -86,12 +86,18 @@ object Bench {
     // the untimed warmup), and the filter row measures only
     // dropSpanDuplicated(stats) — the filter + semi-join increment.
     lazy val spanStatsPath: String = {
-      val p = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_bench_spanstats_${spark.sparkContext.applicationId}").getPath
+      val f = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bench_spanstats_${spark.sparkContext.applicationId}")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(x: java.io.File): Unit = {
+          Option(x.listFiles).foreach(_.foreach(del)); x.delete(): Unit
+        }
+        del(f)
+      }))
       graft.ops.Dedup.duplicatedSpans(
           Tables(spark, sfDir, "documents"), "doc_id", "text", k = 8)
-        .write.mode("overwrite").parquet(p)
-      p
+        .write.mode("overwrite").parquet(f.getPath)
+      f.getPath
     }
     def runOnce(name: String): Unit = (name match {
       case "q_dedup_span_filter" =>

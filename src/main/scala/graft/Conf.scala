@@ -53,19 +53,22 @@ object Conf {
   private[graft] val TextInflation = 32L
 
   /** Catalyst's unknown-size sentinel is `spark.sql.defaultSizeInBytes`
-    * (Long.MaxValue by default); composed plans carry saturated
-    * descendants of it (sums/min-clamps that stay within a small factor
-    * of Long.MaxValue). Anything at or above Long.MaxValue/4 (~2.3 EiB)
-    * can only be a sentinel artifact — no real deployment scans
-    * exbibytes in one plan. Genuinely large-but-REAL estimates (a
-    * multi-PiB WARC scan has accurate file-size stats, and the stated
-    * petabyte use case sits orders of magnitude below this line) fall
-    * under it and are routed through the sizing arithmetic, where
-    * [[MaxPartitions]] caps the width — they must widen toward the cap,
-    * never silently narrow to the floor (the per-task-spill regime this
-    * rule exists to prevent). The earlier 1 PiB cutoff mis-classified
-    * exactly those large-real scans as unknown. */
-  private[graft] val UnknownStats = BigInt(Long.MaxValue) / 4
+    * (Long.MaxValue by default) — and its DESCENDANTS: the size-only
+    * stats visitor scales a unary node by its output/input row-width
+    * ratio, so a narrow projection over a sentinel leaf reports
+    * Long.MaxValue ÷ (small factor), not Long.MaxValue itself (r7
+    * review). The band therefore starts at 2^53 ≈ 9 PiB: any sentinel
+    * shrunk by a row-width ratio up to ~1000× (a 1-column projection of
+    * a 1000-column schema) still lands above it and falls back to the
+    * floor, while genuinely large-but-REAL estimates — the stated
+    * multi-petabyte WARC case included, with ~9× headroom — fall under
+    * it and are routed through the sizing arithmetic, where
+    * [[MaxPartitions]] caps the width: real data must widen toward the
+    * cap, never silently narrow to the floor (the per-task-spill regime
+    * this rule exists to prevent). The r6 1 PiB cutoff mis-classified
+    * large-real scans as unknown; the first r7 cut (Long.MaxValue/4)
+    * mis-classified ratio-scaled sentinels as real. */
+  private[graft] val UnknownStats = BigInt(1L) << 53
 
   /** Spark memory-conf string → bytes ("7g", "512m", "1024", "16gb");
     * unitless means MiB, matching Spark's memory-conf semantics. */

@@ -681,7 +681,9 @@ object SparkEntry {
         s"graft_warc_${s.sparkContext.applicationId}_" +
           Integer.toHexString(dir.hashCode))
       val path = file.getPath
-      deleteRecursivelyOnExit(file)
+      // one hook per application, not per invocation (bench/verify call
+      // this builder many times) — absent dir means first build
+      if (!file.exists()) deleteRecursivelyOnExit(file)
       graft.sources.WarcSource.write(Tables.documents(s, dir),
         "doc_id", "text", "source", path)
       graft.sources.WarcSource.read(s, path)

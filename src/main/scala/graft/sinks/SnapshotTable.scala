@@ -23,19 +23,31 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * that is the snapshot-isolation guarantee, and what makes time travel
   * ([[readVersion]]) and incremental diffs ([[diff]]) free.
   *
-  * Commit protocol (optimistic, lock-free):
+  * Commit protocol (optimistic, lock-free — the table-format pattern):
   *  1. stage: write the batch to `data/<uuid>/` — private, invisible;
-  *  2. resolve the current latest manifest, build `its dirs + ours`;
-  *  3. claim version N+1 by `create(manifests/vN+1.manifest,
-  *     overwrite=false)` and stream the lines + footer into it.
-  * The create-if-absent is the COMMIT POINT: on HDFS it is atomic at the
-  * NameNode (two claimants, one winner); object stores supply it as a
-  * conditional PUT (If-None-Match). A loser re-reads the winner's
-  * manifest — picking up the winner's data dirs — and retries at N+2, so
-  * concurrent appends serialize without ever losing each other's rows.
-  * A writer that dies mid-write leaves a footerless claim: readers skip
-  * it, and later writers claim past it (the orphaned claim and its
-  * staged dir are garbage, never corruption).
+  *  2. resolve the latest COMPLETE manifest (version B), build the full
+  *     line list `its lines + ours` in a hidden temp file
+  *     (`manifests/.tmp-<uuid>`);
+  *  3. PUBLISH by atomically renaming the temp file to
+  *     `v(B+1).manifest` — fail-if-destination-exists.
+  * The rename is the COMMIT POINT, and because the file is complete
+  * BEFORE it becomes visible, an in-flight commit has no observable
+  * state at all: there is no window in which another writer can resolve
+  * around a slow writer's half-published manifest (the defect of a
+  * create-then-stream claim, caught in the r7 review: a slow writer's
+  * visible-but-footerless claim was leapfrogged and its rows silently
+  * dropped from every later snapshot). A loser's rename fails on the
+  * winner's manifest; it re-resolves — picking up the winner's lines —
+  * and retries at the next version, so concurrent commits serialize
+  * without losing each other. The required primitive is
+  * atomic-rename-without-replace: HDFS gives it natively, object stores
+  * via conditional PUT (If-None-Match); on plain POSIX (the local test
+  * double) the pre-check + rename leaves a microscopic window, which the
+  * post-publish read-back verification narrows further. A writer that
+  * dies mid-commit leaves only a hidden `.tmp-` file and an unreferenced
+  * staged dir — garbage, never corruption. A footerless `v*.manifest`
+  * can therefore only be debris from a store violating the rename
+  * contract; readers still skip it and writers version past it.
   *
   * Scale shape: the manifest carries one LINE per commit (directory
   * paths, not file lists), so resolve cost is O(commits), independent of
@@ -120,14 +132,48 @@ object SnapshotTable {
     }
   }
 
+  /** Latest complete version: walk version numbers DESCENDING and stop at
+    * the first footer-complete manifest — one listing + (normally) one
+    * manifest read, not a read of every manifest ever committed (the r7
+    * review's O(commits²) finding). */
   def latestVersion(spark: SparkSession, table: String): Option[Long] =
-    committedVersions(spark, table).lastOption
+    claimedVersions(spark, table).reverseIterator
+      .find(readManifest(spark, table, _).isDefined)
 
   private def renderLine(dir: String, key: String): String =
     if (key.isEmpty) dir else s"$dir\t$key"
 
-  /** Commit an already-staged data dir: claim the next free version with
-    * create-if-absent, folding in every dir the latest snapshot holds.
+  /** Atomic publish: the full manifest content lands in a hidden temp
+    * file, then renames to `v<version>.manifest` with
+    * fail-if-destination-exists semantics; a read-back verifies the
+    * published bytes are OURS (belt-and-braces for stores whose rename
+    * can replace). Returns false — with the temp cleaned up — when the
+    * version was lost to a concurrent winner. */
+  private def publish(spark: SparkSession, table: String, version: Long,
+      content: String): Boolean = {
+    val f = fs(spark, table)
+    val dst = new org.apache.hadoop.fs.Path(s"$table/manifests/v$version.manifest")
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$table/manifests/.tmp-${java.util.UUID.randomUUID}")
+    val out = f.create(tmp, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val won = !f.exists(dst) &&
+      (try f.rename(tmp, dst) catch { case _: java.io.IOException => false })
+    if (!won) { f.delete(tmp, false); return false }
+    val back = {
+      val in = f.open(dst)
+      try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.mkString finally src.close()
+      } finally in.close()
+    }
+    back == content
+  }
+
+  /** Commit an already-staged data dir: build the next manifest from the
+    * latest complete snapshot's lines + ours, and atomically [[publish]]
+    * it one version up — retrying from a fresh resolve when a concurrent
+    * winner takes the version (their lines fold in on the retry).
     * A non-empty `idempotencyKey` makes the commit EXACTLY-ONCE under
     * re-runs (the COPY INTO load-history pattern): if the latest
     * snapshot already carries a line with the key, the staged dir is NOT
@@ -140,7 +186,6 @@ object SnapshotTable {
       idempotencyKey: String = ""): Commit = {
     require(!idempotencyKey.contains('\n') && !idempotencyKey.contains('\t'),
       "idempotency key must not contain tab/newline")
-    val f = fs(spark, table)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -149,25 +194,16 @@ object SnapshotTable {
         .flatMap(readManifestLines(spark, table, _)).getOrElse(Seq.empty)
       if (idempotencyKey.nonEmpty && base.exists(_._2 == idempotencyKey))
         return Commit(latest.get, base.find(_._2 == idempotencyKey).get._1)
-      val next = (claimedVersions(spark, table).lastOption.getOrElse(0L)) + 1
-      val target = new org.apache.hadoop.fs.Path(s"$table/manifests/v$next.manifest")
-      val claimed = try {
-        // COMMIT POINT: atomic create-if-absent (HDFS NameNode;
-        // conditional PUT on object stores). A concurrent winner makes
-        // this throw — we re-resolve and retry one version later.
-        Some(f.create(target, false))
-      } catch { case _: java.io.IOException => None }
-      claimed match {
-        case Some(out) =>
-          try {
-            val lines = (base.map((renderLine _).tupled) :+
-              renderLine(dataDir, idempotencyKey))
-              .mkString("", "\n", s"\n$Footer\n")
-            out.write(lines.getBytes("UTF-8"))
-          } finally out.close()
-          return Commit(next, dataDir)
-        case None => // lost the race; loop re-reads the winner's manifest
-      }
+      // version past ANY existing manifest file (complete or debris from
+      // a rename-contract-violating store) — never collide with one
+      val next = math.max(latest.getOrElse(0L),
+        claimedVersions(spark, table).lastOption.getOrElse(0L)) + 1
+      val content = (base.map((renderLine _).tupled) :+
+        renderLine(dataDir, idempotencyKey))
+        .mkString("", "\n", s"\n$Footer\n")
+      if (publish(spark, table, next, content))
+        return Commit(next, dataDir)
+      // lost the race; loop re-reads the winner's manifest
     }
     throw new IllegalStateException(
       s"could not commit to $table after $maxAttempts attempts")
@@ -233,11 +269,11 @@ object SnapshotTable {
   private[graft] def commitReplacing(spark: SparkSession, table: String,
       newDirs: Seq[String], replaced: Set[String],
       maxAttempts: Int = 20): Commit = {
-    val f = fs(spark, table)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val base = latestVersion(spark, table)
+      val latest = latestVersion(spark, table)
+      val base = latest
         .flatMap(readManifestLines(spark, table, _)).getOrElse(Seq.empty)
       // concurrent appends survive, WITH their idempotency keys — and so
       // do the keys of the replaced commits (compaction must not re-open
@@ -247,20 +283,12 @@ object SnapshotTable {
         .filter(_.nonEmpty)
       val newLines = newDirs.map(renderLine(_, "")) ++
         replacedKeys.map(k => renderLine(newDirs.head, k))
-      val next = claimedVersions(spark, table).lastOption.getOrElse(0L) + 1
-      val target = new org.apache.hadoop.fs.Path(s"$table/manifests/v$next.manifest")
-      val claimed = try Some(f.create(target, false))
-        catch { case _: java.io.IOException => None }
-      claimed match {
-        case Some(out) =>
-          try {
-            val lines = (newLines ++ kept.map((renderLine _).tupled))
-              .mkString("", "\n", s"\n$Footer\n")
-            out.write(lines.getBytes("UTF-8"))
-          } finally out.close()
-          return Commit(next, newDirs.mkString(","))
-        case None =>
-      }
+      val next = math.max(latest.getOrElse(0L),
+        claimedVersions(spark, table).lastOption.getOrElse(0L)) + 1
+      val content = (newLines ++ kept.map((renderLine _).tupled))
+        .mkString("", "\n", s"\n$Footer\n")
+      if (publish(spark, table, next, content))
+        return Commit(next, newDirs.mkString(","))
     }
     throw new IllegalStateException(
       s"could not commit to $table after $maxAttempts attempts")
@@ -293,7 +321,10 @@ object SnapshotTable {
     * not here. */
   def expire(spark: SparkSession, table: String, keepFrom: Long): Unit = {
     val f = fs(spark, table)
-    val drop = committedVersions(spark, table).filter(_ < keepFrom)
+    val committed = committedVersions(spark, table)
+    require(committed.exists(_ >= keepFrom),
+      s"expire(keepFrom=$keepFrom) would drop every snapshot of $table")
+    val drop = committed.filter(_ < keepFrom)
     val dropped = drop.flatMap(readManifest(spark, table, _)).flatten.toSet
     // referenced-by-survivors: complete manifests >= keepFrom AND any
     // footerless claim's partial dir list (conservative: a dead writer's

@@ -51,6 +51,21 @@ object WarehouseLoad {
     // a fully-consumed stage (crash after purge, or an empty re-run) has
     // nothing to load — and no csv files for the header decode to read
     if (listStagedCsvs(spark, stagePath).isEmpty) return 0L
+    // A warehouse populated by the pre-r7 flat mode(append) layout would
+    // end up with partition dirs BESIDE root-level part files — Spark's
+    // partition discovery then rejects every read ("conflicting directory
+    // structures"). Fail loud with the migration path instead of
+    // corrupting readability (r7 review).
+    val whPath = new org.apache.hadoop.fs.Path(warehouseDir)
+    val whFs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (whFs.exists(whPath) &&
+      whFs.listStatus(whPath).exists(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")))
+      throw new IllegalStateException(
+        s"$warehouseDir holds a legacy FLAT warehouse (root-level parquet " +
+          "files); rewrite it into load_file=<name> partitions before " +
+          "loading with this version (read the flat table, write it " +
+          "partitioned by a synthetic load_file, swap directories)")
     val obs = org.apache.spark.sql.Observation()
     readStaged(spark, stagePath)
       .withColumn("load_file",
@@ -77,16 +92,22 @@ object WarehouseLoad {
     * Each file is purged right after ITS commit (per-file consume-once):
     * a crash mid-sequence leaves later files staged and earlier files
     * both committed and purged — the re-run loads exactly the remainder.
-    * Returns the rows present in the table for this stage's files
-    * (idempotent across re-runs, like COPY's per-file load history).
+    * Returns the rows committed BY THIS CALL: a keyed no-op (crash-window
+    * replay of an already-loaded file) contributes 0 — its rows were
+    * counted by the run that actually loaded it, and counting its
+    * manifest dir instead would over-report arbitrarily once a
+    * compaction has folded the key onto a whole-table rewrite (r7
+    * review).
     */
   def appendSnapshot(spark: SparkSession, stagePath: String,
       table: String): Long = {
     var total = 0L
     listStagedCsvs(spark, stagePath).sortBy(_.getName).foreach { p =>
+      val before = SnapshotTable.latestVersion(spark, table)
       val c = SnapshotTable.append(readStaged(spark, p.toString), table,
         idempotencyKey = p.getName)
-      total += spark.read.parquet(s"$table/${c.dataDir}").count()
+      if (!before.contains(c.version)) // fresh commit, not a keyed no-op
+        total += spark.read.parquet(s"$table/${c.dataDir}").count()
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, false)
     }

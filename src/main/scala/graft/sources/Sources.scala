@@ -209,12 +209,16 @@ final class HttpBarSource(
 
   @volatile private var acc: org.apache.spark.util.CollectionAccumulator[String] = _
 
-  /** "SYMBOL: message" per failed symbol of the LAST materialized fetch
-    * (accumulators fill on action, like the reference's per-symbol log).
+  /** "SYMBOL: message" per failed symbol of the frame built by the last
+    * `fetch` call, DEDUPLICATED: the accumulator fills on every action
+    * over that frame (and transformation-stage accumulator updates also
+    * replay under task retries/speculation), so raw entries can repeat —
+    * the set of failing symbols is exact, their multiplicity is not
+    * (the reference's equivalent is a log line per failure, DAG:202).
     */
   def failedSymbols: Seq[String] = {
     import scala.jdk.CollectionConverters._
-    Option(acc).map(_.value.asScala.toSeq).getOrElse(Seq.empty)
+    Option(acc).map(_.value.asScala.toSeq.distinct).getOrElse(Seq.empty)
   }
 
   def fetch(spark: SparkSession, symbols: DataFrame,
@@ -249,10 +253,10 @@ final class HttpBarSource(
             val lines = try src.getLines().toVector finally src.close()
             if (lines.size < 2) Vector.empty // "No data available" → skip
             else {
-              val header = lines.head.split(",", -1).map(_.trim)
+              val header = HttpBarSource.splitCsvLine(lines.head).map(_.trim)
               val idx = cols.map(header.indexOf(_))
               lines.drop(1).filter(_.nonEmpty).map { ln =>
-                val cells = ln.split(",", -1)
+                val cells = HttpBarSource.splitCsvLine(ln)
                 org.apache.spark.sql.Row.fromSeq(sym +: idx.map(i =>
                   if (i >= 0 && i < cells.length && cells(i).trim.nonEmpty)
                     cells(i).trim else null))
@@ -268,5 +272,36 @@ final class HttpBarSource(
     }(org.apache.spark.sql.Encoders.row(schema))
     rows.toDF()
       .where(to_date(col("Date")).between(lit(start), lit(end)))
+  }
+}
+
+object HttpBarSource {
+
+  /** Minimal RFC-4180 field split: quoted fields may carry commas and
+    * doubled quotes — a provider quoting `"1,234,567"` volumes must not
+    * shift every later column (r7 review; naive split misaligned
+    * silently). Unterminated quotes fall back to taking the rest as one
+    * field — C4: malformed rows degrade, never throw. */
+  private[sources] def splitCsvLine(line: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var i = 0
+    var inQ = false
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') {
+          cur.append('"'); i += 1
+        } else if (c == '"') inQ = false
+        else cur.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case ',' => out += cur.toString; cur.setLength(0)
+        case _   => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toArray
   }
 }

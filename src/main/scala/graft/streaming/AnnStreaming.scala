@@ -31,8 +31,14 @@ object AnnStreaming {
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        Similarity.ivfIngestBatch(batch.toDF(), idCol, vecCol, batchId,
-          indexPath, pretrained, k): Unit
+        // Empty micro-batches are routine (startup, no-data triggers).
+        // Skipping them matters doubly when the quantizer would bootstrap
+        // from this batch: training on zero vectors throws, and a failed
+        // batch 0 replays on restart — a crash loop until data arrives
+        // (r7 review). An empty delta dir carries no information anyway.
+        if (!batch.isEmpty)
+          Similarity.ivfIngestBatch(batch.toDF(), idCol, vecCol, batchId,
+            indexPath, pretrained, k): Unit
       }
       .start()
 }

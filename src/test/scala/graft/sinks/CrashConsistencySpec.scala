@@ -99,10 +99,11 @@ class CrashConsistencySpec extends SparkSpec {
       assert(e.getMessage.contains("injected crash"), e.getMessage)
     } finally MockStoreFileSystem.disarm()
     assert(SnapshotTable.latestVersion(spark, tbl).contains(1L))
-    // recovery: file A's key short-circuits (no duplicate commit), file B
-    // loads, both purge
+    // recovery: file A's key short-circuits (no duplicate commit, its 2
+    // rows were counted by the crashed run), file B's 1 row loads fresh,
+    // both purge
     val n = WarehouseLoad.appendSnapshot(spark, s"mockstore://$tmp/stage", tbl)
-    assert(n == 3L, s"expected 3 rows across the two files, got $n")
+    assert(n == 1L, s"recovery should commit only file B's 1 row, got $n")
     assert(SnapshotTable.latestVersion(spark, tbl).contains(2L),
       "re-run duplicated file A's commit")
     assert(SnapshotTable.read(spark, tbl).count() == 3L)

@@ -102,6 +102,19 @@ class HttpBarSourceSpec extends SparkSpec {
     }
   }
 
+  test("quoted provider CSV: embedded commas and doubled quotes never shift columns") {
+    assert(HttpBarSource.splitCsvLine("2024-01-02,\"1,234,567\",a").toSeq ==
+      Seq("2024-01-02", "1,234,567", "a"))
+    assert(HttpBarSource.splitCsvLine("a,\"he said \"\"hi\"\"\",c").toSeq ==
+      Seq("a", "he said \"hi\"", "c"))
+    assert(HttpBarSource.splitCsvLine("a,\"unterminated,b").toSeq ==
+      Seq("a", "unterminated,b")) // degrade, never throw (C4)
+    assert(HttpBarSource.splitCsvLine("plain,row,3").toSeq ==
+      Seq("plain", "row", "3"))
+    assert(HttpBarSource.splitCsvLine("trailing,empty,").toSeq ==
+      Seq("trailing", "empty", ""))
+  }
+
   test("per-symbol skip-on-error: a 500 ticker is recorded and skipped, the rest fetch") {
     withServer(broken = Set("BBB")) { (tpl, _) =>
       val src = new HttpBarSource(tpl, columns = barColumns)
