@@ -28,26 +28,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *  2. resolve the latest COMPLETE manifest (version B), build the full
   *     line list `its lines + ours` in a hidden temp file
   *     (`manifests/.tmp-<uuid>`);
-  *  3. PUBLISH by atomically renaming the temp file to
-  *     `v(B+1).manifest` — fail-if-destination-exists.
-  * The rename is the COMMIT POINT, and because the file is complete
-  * BEFORE it becomes visible, an in-flight commit has no observable
-  * state at all: there is no window in which another writer can resolve
-  * around a slow writer's half-published manifest (the defect of a
-  * create-then-stream claim, caught in the r7 review: a slow writer's
-  * visible-but-footerless claim was leapfrogged and its rows silently
-  * dropped from every later snapshot). A loser's rename fails on the
-  * winner's manifest; it re-resolves — picking up the winner's lines —
-  * and retries at the next version, so concurrent commits serialize
-  * without losing each other. The required primitive is
-  * atomic-rename-without-replace: HDFS gives it natively, object stores
-  * via conditional PUT (If-None-Match); on plain POSIX (the local test
-  * double) the pre-check + rename leaves a microscopic window, which the
-  * post-publish read-back verification narrows further. A writer that
-  * dies mid-commit leaves only a hidden `.tmp-` file and an unreferenced
-  * staged dir — garbage, never corruption. A footerless `v*.manifest`
-  * can therefore only be debris from a store violating the rename
-  * contract; readers still skip it and writers version past it.
+  *  3. PUBLISH: claim `B+1` via create-if-absent of a hidden lock file
+  *     (the atomic primitive — HDFS NameNode, conditional PUT on object
+  *     stores), rename the complete temp file onto `v(B+1).manifest`,
+  *     drop the lock.
+  * The claim is the COMMIT POINT, and because the manifest file is
+  * complete BEFORE it becomes visible, readers never observe an
+  * in-flight commit (the defect of a create-then-stream claim, caught
+  * in the r7 review: a slow writer's visible-but-footerless claim was
+  * leapfrogged and its rows silently dropped from every later
+  * snapshot). A claim LOSER re-resolves — the winner's manifest appears
+  * within milliseconds, bringing its lines along — and retries the next
+  * version, so concurrent commits serialize without losing each other;
+  * a live claim is never leapfrogged, and a claim whose manifest never
+  * appears is lease-broken after [[lockLeaseMs]] (the holder died
+  * between claim and rename; it never returned success, so nothing is
+  * lost). A writer that dies elsewhere leaves only a hidden `.tmp-`
+  * file and an unreferenced staged dir — garbage, never corruption. A
+  * footerless `v*.manifest` can only be debris from a store violating
+  * the rename contract; readers still skip it and writers version past
+  * it.
   *
   * Scale shape: the manifest carries one LINE per commit (directory
   * paths, not file lists), so resolve cost is O(commits), independent of
@@ -87,8 +87,12 @@ object SnapshotTable {
     }).toSeq.sorted
   }
 
-  /** Every version ever CLAIMED (complete or not) — writers must claim
-    * past a dead writer's footerless manifest, not collide with it. */
+  /** Every version with a PUBLISHED manifest file (complete, or debris
+    * from a rename-contract-violating store) — writers version past
+    * these. Lock files are deliberately NOT counted: an in-flight claim
+    * must be waited out or lease-broken ([[publish]]), never leapfrogged
+    * — leapfrogging a live claim is exactly the lost-update race the
+    * atomic-publish rework removed. */
   private def claimedVersions(spark: SparkSession, table: String): Seq[Long] = {
     val dir = new org.apache.hadoop.fs.Path(s"$table/manifests")
     val f = fs(spark, table)
@@ -143,23 +147,105 @@ object SnapshotTable {
   private def renderLine(dir: String, key: String): String =
     if (key.isEmpty) dir else s"$dir\t$key"
 
-  /** Atomic publish: the full manifest content lands in a hidden temp
-    * file, then renames to `v<version>.manifest` with
-    * fail-if-destination-exists semantics; a read-back verifies the
-    * published bytes are OURS (belt-and-braces for stores whose rename
-    * can replace). Returns false — with the temp cleaned up — when the
-    * version was lost to a concurrent winner. */
+  /** The version to publish against base `latest`: `latest + 1`, bumped
+    * past any footerless DEBRIS manifests sitting directly above it (a
+    * rename-contract-violating store's leftovers — skipping them is safe
+    * only because no COMPLETE manifest lies between the base and the
+    * chosen slot). Critically this derives from the SAME resolve as the
+    * base — the earlier max(latest, claimedMax)+1 used a second, later
+    * listing, so a writer whose base read narrowly preceded a winner's
+    * publish would compute the winner's version + 1 and slide past its
+    * own collision, dropping the winner's lines (the threaded spec
+    * caught the lost commit). */
+  private def nextVersionFor(spark: SparkSession, table: String,
+      latest: Option[Long]): Long = {
+    val f = fs(spark, table)
+    var next = latest.getOrElse(0L) + 1
+    while (f.exists(new org.apache.hadoop.fs.Path(
+        s"$table/manifests/v$next.manifest")) &&
+      readManifest(spark, table, next).isEmpty)
+      next += 1 // debris slot; base unchanged — nothing complete between
+    next
+  }
+
+  /** A claim older than this is a dead writer's and may be lease-broken
+    * by the next claimant. Writers hold the lock only between claim and
+    * rename — milliseconds — so the default is ~four orders of magnitude
+    * of headroom; tests shrink it to exercise the breaker. */
+  @volatile private[graft] var lockLeaseMs: Long = 60000L
+
+  /** Atomic publish of version `version`:
+    *  1. the full manifest content lands in a hidden temp file;
+    *  2. the version is CLAIMED by create-if-absent of
+    *     `.v<version>.lock` — the atomic primitive (HDFS NameNode;
+    *     conditional PUT on object stores), one winner per version;
+    *  3. the owner renames its complete temp file onto
+    *     `v<version>.manifest` (nobody else can — they hold no lock)
+    *     and removes the lock.
+    * Readers never see the lock or the temp; the manifest appears
+    * complete-or-not-at-all. A lock is never LEAPFROGGED (skipping a
+    * live claim is the lost-update race): a claimant finding the lock
+    * held returns false and the caller retries THE SAME version after a
+    * short wait — either the holder's manifest appears (base advances)
+    * or, past [[lockLeaseMs]], the holder is declared dead and its lock
+    * broken; a dead writer never returned success, so nothing is lost.
+    * A read-back verifies the published bytes are ours — belt-and-braces
+    * for stores whose create-if-absent is merely check-then-create (the
+    * local test double). Returns false — temp cleaned up — when the
+    * claim was not won. */
   private def publish(spark: SparkSession, table: String, version: Long,
       content: String): Boolean = {
     val f = fs(spark, table)
     val dst = new org.apache.hadoop.fs.Path(s"$table/manifests/v$version.manifest")
+    val lock = new org.apache.hadoop.fs.Path(s"$table/manifests/.v$version.lock")
     val tmp = new org.apache.hadoop.fs.Path(
       s"$table/manifests/.tmp-${java.util.UUID.randomUUID}")
     val out = f.create(tmp, false)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    val won = !f.exists(dst) &&
+    // The claim MUST be atomic create-if-absent. Hadoop's local
+    // filesystems implement create(overwrite=false) as check-then-create
+    // — two same-box writers can both pass the check (the threaded spec
+    // caught exactly that, losing a commit) — so locally the claim goes
+    // through NIO createFile (O_CREAT|O_EXCL, kernel-atomic). HDFS's
+    // create is NameNode-atomic as-is; object stores use conditional PUT.
+    def tryClaim(): Boolean = f match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem |
+           _: org.apache.hadoop.fs.LocalFileSystem =>
+        try {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(
+            org.apache.hadoop.fs.Path
+              .getPathWithoutSchemeAndAuthority(lock).toString))
+          true
+        } catch { case _: java.io.IOException => false }
+      case _ =>
+        try { f.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
+    val claimed = !f.exists(dst) && {
+      tryClaim() || {
+        // lease-break a DEAD claimant (claim-to-rename is milliseconds;
+        // a lock past the lease can only be a crashed writer's)
+        val stale = try {
+          System.currentTimeMillis() -
+            f.getFileStatus(lock).getModificationTime > lockLeaseMs
+        } catch { case _: java.io.IOException => false /* holder finished */ }
+        stale && f.delete(lock, false) && tryClaim()
+      }
+    }
+    // Re-check the destination UNDER the lock: the pre-check races with a
+    // winner who renamed and released between our check and our claim —
+    // renaming now would OVERWRITE its published manifest on stores whose
+    // rename replaces (the threaded spec caught the lost commit). Only
+    // the lock holder renames, and only after seeing dst absent while
+    // holding the lock, so no publish can clobber another.
+    val won = claimed && !f.exists(dst) &&
       (try f.rename(tmp, dst) catch { case _: java.io.IOException => false })
-    if (!won) { f.delete(tmp, false); return false }
+    if (!won) {
+      if (claimed) f.delete(lock, false) // back off; the version is taken
+      f.delete(tmp, false)
+      return false
+    }
+    f.delete(lock, false)
     val back = {
       val in = f.open(dst)
       try {
@@ -194,16 +280,15 @@ object SnapshotTable {
         .flatMap(readManifestLines(spark, table, _)).getOrElse(Seq.empty)
       if (idempotencyKey.nonEmpty && base.exists(_._2 == idempotencyKey))
         return Commit(latest.get, base.find(_._2 == idempotencyKey).get._1)
-      // version past ANY existing manifest file (complete or debris from
-      // a rename-contract-violating store) — never collide with one
-      val next = math.max(latest.getOrElse(0L),
-        claimedVersions(spark, table).lastOption.getOrElse(0L)) + 1
+      val next = nextVersionFor(spark, table, latest)
       val content = (base.map((renderLine _).tupled) :+
         renderLine(dataDir, idempotencyKey))
         .mkString("", "\n", s"\n$Footer\n")
       if (publish(spark, table, next, content))
         return Commit(next, dataDir)
-      // lost the race; loop re-reads the winner's manifest
+      // lost the race (or a live holder has the version): wait briefly —
+      // either their manifest appears (base advances) or the lease breaks
+      Thread.sleep(20L)
     }
     throw new IllegalStateException(
       s"could not commit to $table after $maxAttempts attempts")
@@ -283,12 +368,12 @@ object SnapshotTable {
         .filter(_.nonEmpty)
       val newLines = newDirs.map(renderLine(_, "")) ++
         replacedKeys.map(k => renderLine(newDirs.head, k))
-      val next = math.max(latest.getOrElse(0L),
-        claimedVersions(spark, table).lastOption.getOrElse(0L)) + 1
+      val next = nextVersionFor(spark, table, latest)
       val content = (newLines ++ kept.map((renderLine _).tupled))
         .mkString("", "\n", s"\n$Footer\n")
       if (publish(spark, table, next, content))
         return Commit(next, newDirs.mkString(","))
+      Thread.sleep(20L) // wait out a live claim holder (see commitStaged)
     }
     throw new IllegalStateException(
       s"could not commit to $table after $maxAttempts attempts")

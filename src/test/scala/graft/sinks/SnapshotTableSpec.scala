@@ -126,6 +126,56 @@ class SnapshotTableSpec extends SparkSpec {
     assert(ids(SnapshotTable.read(spark, t)) == (1L to 10L).toSet)
   }
 
+  test("REAL concurrency: racing writer threads never lose a successful commit") {
+    val t = java.nio.file.Files.createTempDirectory("snap7").toString + "/tbl"
+    // stage everything up front (Spark jobs aren't the subject); then race
+    // the COMMIT protocol itself from many threads
+    val staged = (0 until 12).map { i =>
+      i -> SnapshotTable.stageData(Seq(i.toLong).toDF("id"), t)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val futures = staged.map { case (i, dir) =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            SnapshotTable.commitStaged(spark, t, dir, maxAttempts = 200).version
+        })
+      }
+      val versions = futures.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      // every commit that returned success is in the final snapshot —
+      // the invariant the r7 review's lost-update race violated
+      assert(ids(SnapshotTable.read(spark, t)) == (0L until 12L).toSet,
+        "a successfully-committed writer's rows are missing")
+      // commits serialized: 12 distinct versions, and each version v's
+      // snapshot is a strict superset of v-1's
+      assert(versions.toSet.size == 12)
+      val sorted = versions.sorted
+      assert(sorted == (1L to 12L), s"non-contiguous versions: $sorted")
+      (2L to 12L).foreach { v =>
+        val prev = ids(SnapshotTable.readVersion(spark, t, v - 1))
+        val cur = ids(SnapshotTable.readVersion(spark, t, v))
+        assert(prev.subsetOf(cur), s"v$v dropped rows committed at v${v - 1}")
+      }
+    } finally pool.shutdownNow()
+  }
+
+  test("a dead claimant's lock is lease-broken; a live one is waited out, never leapfrogged") {
+    val t = java.nio.file.Files.createTempDirectory("snap8").toString + "/tbl"
+    SnapshotTable.append((1L to 3L).toDF("id"), t) // v1
+    // a writer died between claim and rename: orphaned lock for v2
+    new java.io.File(s"$t/manifests").mkdirs()
+    val lock = new java.io.File(s"$t/manifests/.v2.lock")
+    lock.createNewFile()
+    lock.setLastModified(System.currentTimeMillis() - 10000L)
+    val oldLease = SnapshotTable.lockLeaseMs
+    SnapshotTable.lockLeaseMs = 1000L // the 10 s-old lock is dead
+    try {
+      val c = SnapshotTable.append((4L to 5L).toDF("id"), t)
+      assert(c.version == 2L, "dead claim must be lease-broken, not leapfrogged")
+      assert(ids(SnapshotTable.read(spark, t)) == (1L to 5L).toSet)
+    } finally SnapshotTable.lockLeaseMs = oldLease
+  }
+
   test("a dead writer's footerless claim is skipped by readers and leapt by writers") {
     val t = java.nio.file.Files.createTempDirectory("snap3").toString + "/tbl"
     SnapshotTable.append((1L to 4L).toDF("id"), t)
