@@ -176,6 +176,50 @@ class SnapshotTableSpec extends SparkSpec {
     } finally SnapshotTable.lockLeaseMs = oldLease
   }
 
+  test("randomized op sequences: table state always equals the model") {
+    for (seed <- Seq(11, 42, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val t = java.nio.file.Files.createTempDirectory(s"snap_rnd$seed")
+        .toString + "/tbl"
+      var model = Set.empty[Long]
+      var keys = Vector.empty[String]
+      var nextId = 0L
+      def freshBatch(): Seq[Long] = {
+        val n = rnd.nextInt(4) + 1
+        val ids = (nextId until nextId + n); nextId += n; ids
+      }
+      for (step <- 0 until 14) {
+        rnd.nextInt(5) match {
+          case 0 | 1 => // plain append
+            val ids = freshBatch()
+            SnapshotTable.append(ids.toDF("id"), t)
+            model ++= ids
+          case 2 => // keyed append with a NEW key
+            val ids = freshBatch()
+            val k = s"k$step"
+            SnapshotTable.append(ids.toDF("id"), t, idempotencyKey = k)
+            keys :+= k; model ++= ids
+          case 3 if keys.nonEmpty => // re-delivered key: must be a no-op
+            SnapshotTable.append(freshBatch().toDF("id"), t,
+              idempotencyKey = keys(rnd.nextInt(keys.size)))
+          case 4 if model.nonEmpty => // maintenance mid-stream
+            SnapshotTable.compact(spark, t, numFiles = rnd.nextInt(2) + 1)
+          case _ => ()
+        }
+        if (model.nonEmpty)
+          assert(ids(SnapshotTable.read(spark, t)) == model,
+            s"seed=$seed step=$step diverged from the model")
+      }
+      if (model.nonEmpty) {
+        // retention to the latest snapshot must not change what readers see
+        SnapshotTable.expire(spark, t,
+          SnapshotTable.latestVersion(spark, t).get)
+        assert(ids(SnapshotTable.read(spark, t)) == model,
+          s"seed=$seed: expire changed the latest snapshot")
+      }
+    }
+  }
+
   test("a dead writer's footerless claim is skipped by readers and leapt by writers") {
     val t = java.nio.file.Files.createTempDirectory("snap3").toString + "/tbl"
     SnapshotTable.append((1L to 4L).toDF("id"), t)
