@@ -725,6 +725,35 @@ object SparkEntry {
       graft.sinks.SnapshotTable.diff(s, table, 1L, 2L)
     },
 
+    // Zone-map DATA SKIPPING over the snapshot table: one commit per
+    // source shard (the partitioned append stream a lakehouse receives),
+    // each carrying a min/max sidecar; a source-ranged read prunes
+    // commit DIRECTORIES before any parquet footer opens and applies the
+    // residual filter to the survivors. The oracle is the plain
+    // full-scan filter — zone maps prune, never decide, so the results
+    // must be identical; a pruning bug that drops a live dir loses rows
+    // and hash-fails.
+    "q_snapshot_skipping" -> q { (s, dir) =>
+      import graft.sinks.SnapshotTable
+      val file = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_snapskip_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode))
+      val table = file.getPath
+      if (SnapshotTable.latestVersion(s, table).isEmpty) {
+        deleteRecursivelyOnExit(file)
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          col("source"), length(col("text")).cast(LongType).as("n_chars"))
+        (0 until 20).foreach { k =>
+          SnapshotTable.appendWithStats(
+            docs.where(col("source") === s"src$k"), table,
+            statsCols = Seq("source"))
+        }
+      }
+      val (df, _, _) = SnapshotTable.readWhere(s, table, "source",
+        "src3", "src5")
+      df.select(col("doc_id"), col("source"), col("n_chars"))
+    },
+
     // Tokenizer DECODE + round-trip audit, closing the encode lifecycle:
     // ids -> symbols via the driver-side model (Bpe.symbolTable) and the
     // invariant decode(encode(text)) == text's \w+ tokens joined on ""
@@ -4949,6 +4978,10 @@ object SparkEntry {
     "q_snapshot_table_diff" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+
+    "q_snapshot_skipping" ->
+      """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents WHERE source BETWEEN 'src3' AND 'src5'""".stripMargin,
 
     "q_ann_incremental" -> ivfIncrementalOracleSql(annIncrQueryVec,
       k = 10, nprobe = 2),

@@ -397,6 +397,99 @@ object SnapshotTable {
     commitReplacing(spark, table, Seq(rel), dirs.toSet)
   }
 
+  // ------------------------------------------------- zone-map skipping
+
+  /** Stage a batch WITH a zone-map sidecar: one tiny `.stats` file per
+    * data dir carrying min/max for `statsCols` (numeric/date/string
+    * ordering, nulls ignored). The sidecar rides the same commit as the
+    * data — a dir and its stats are visible together or not at all. */
+  private[graft] def stageDataWithStats(df: DataFrame, table: String,
+      statsCols: Seq[String]): String = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    val rel = stageData(df, table)
+    // min/max under STRING ordering — the SAME ordering the readWhere
+    // residual filter uses, so the prune window is sound for every
+    // column (a numeric-ordered min/max rendered to string would prune
+    // dirs that still contain lexically-in-range rows: min=9,max=100
+    // lexically excludes "20")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c).cast("string")).as(s"min_$c"),
+        max(col(c).cast("string")).as(s"max_$c")))
+    // one tiny driver-side row: per-column min/max of the staged batch
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val f = fs(df.sparkSession, table)
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(s"$table/$rel/.stats"), false)
+    try {
+      val lines = statsCols.zipWithIndex.map { case (c, i) =>
+        val lo = Option(r.get(2 * i)).map(_.toString).getOrElse("")
+        val hi = Option(r.get(2 * i + 1)).map(_.toString).getOrElse("")
+        s"$c\t$lo\t$hi"
+      }.mkString("", "\n", "\n")
+      out.write(lines.getBytes("UTF-8"))
+    } finally out.close()
+    rel
+  }
+
+  /** [[append]] with a zone-map sidecar for later [[readWhere]] pruning. */
+  def appendWithStats(df: DataFrame, table: String, statsCols: Seq[String],
+      idempotencyKey: String = ""): Commit = {
+    val rel = stageDataWithStats(df, table, statsCols)
+    commitStaged(df.sparkSession, table, rel, idempotencyKey = idempotencyKey)
+  }
+
+  private def dirStats(spark: SparkSession, table: String,
+      dir: String): Map[String, (String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(s"$table/$dir/.stats")
+    val f = fs(spark, table)
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      val lines = try {
+        val src = scala.io.Source.fromInputStream(in, "UTF-8")
+        try src.getLines().toVector finally src.close()
+      } finally in.close()
+      lines.flatMap(_.split("\t", -1) match {
+        case Array(c, lo, hi) if lo.nonEmpty && hi.nonEmpty => Some(c -> (lo, hi))
+        case _ => None
+      }).toMap
+    }
+  }
+
+  /** The latest snapshot restricted to rows where `column` falls in
+    * [`lo`, `hi`] (string-comparable bounds: the stats are stored as the
+    * column's string rendering — exact for strings and for fixed-width
+    * digit encodings like ISO dates; numeric columns compare via the
+    * cast in the residual filter, the zone map just prunes).
+    *
+    * DIRECTORY-level data skipping, the lakehouse zone-map: commit dirs
+    * whose sidecar says `max < lo || min > hi` are dropped from the scan
+    * BEFORE any parquet footer is opened — at 100 TB, a time-ordered
+    * append stream makes most commits prunable for a time-ranged query,
+    * and the decision costs one tiny sidecar read per commit, not a
+    * footer per FILE. Dirs without a sidecar (plain [[append]]) are
+    * conservatively kept. The residual filter still applies (zone maps
+    * prune, never decide), so results are EXACTLY the full-scan
+    * filter's. Returns (pruned frame, dirs scanned, dirs total) so
+    * callers/specs can see the skipping happen.
+    */
+  def readWhere(spark: SparkSession, table: String, column: String,
+      lo: String, hi: String): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val dirs = readManifest(spark, table,
+      latestVersion(spark, table).getOrElse(throw new IllegalArgumentException(
+        s"$table has no committed version"))).get
+    val kept = dirs.filter { d =>
+      dirStats(spark, table, d).get(column) match {
+        case Some((mn, mx)) => !(mx < lo || mn > hi) // prunable window
+        case None => true // no sidecar: must scan
+      }
+    }
+    val df = readDirs(spark, table, kept)
+      .where(col(column).cast("string").between(lo, hi))
+    (df, kept.size, dirs.size)
+  }
+
   /** Retention maintenance: drop every committed manifest with version
     * < `keepFrom`, then delete data dirs that only those manifests
     * referenced (a dir still named by ANY surviving manifest — complete

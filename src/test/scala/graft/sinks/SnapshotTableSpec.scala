@@ -1,6 +1,7 @@
 package graft.sinks
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Manifest-pointer snapshot table: append/read/time-travel/diff, the
   * two-writer interleaving (readers never observe a torn table, losers
@@ -174,6 +175,30 @@ class SnapshotTableSpec extends SparkSpec {
       assert(c.version == 2L, "dead claim must be lease-broken, not leapfrogged")
       assert(ids(SnapshotTable.read(spark, t)) == (1L to 5L).toSet)
     } finally SnapshotTable.lockLeaseMs = oldLease
+  }
+
+  test("zone-map skipping: ranged reads scan only matching commit dirs, results exact") {
+    val t = java.nio.file.Files.createTempDirectory("snap_zm").toString + "/tbl"
+    // one commit per day shard, ISO dates (fixed width ⇒ lexical ==
+    // chronological), plus one stats-less commit that must stay scanned
+    (1 to 8).foreach { d =>
+      val day = f"2024-01-0$d"
+      SnapshotTable.appendWithStats(
+        Seq((d.toLong, day), (d + 100L, day)).toDF("id", "day"),
+        t, statsCols = Seq("day"))
+    }
+    SnapshotTable.append(Seq((999L, "2024-01-03")).toDF("id", "day"), t)
+    val (df, scanned, total) = SnapshotTable.readWhere(spark, t, "day",
+      "2024-01-03", "2024-01-05")
+    assert(total == 9)
+    assert(scanned == 4, // days 3,4,5 + the sidecar-less commit
+      s"zone map scanned $scanned of $total dirs")
+    // results identical to the full-scan filter (zone maps prune, never decide)
+    val expect = SnapshotTable.read(spark, t)
+      .where(col("day").between("2024-01-03", "2024-01-05"))
+      .select("id").as[Long].collect().toSet
+    assert(df.select("id").as[Long].collect().toSet == expect)
+    assert(expect == Set(3L, 103L, 4L, 104L, 5L, 105L, 999L))
   }
 
   test("randomized op sequences: table state always equals the model") {
