@@ -698,6 +698,35 @@ object SparkEntry {
             .as("framing_ok"))
     },
 
+    // JSONL corpus round trip with fault injection — documents land as
+    // jsonl shards, a planted shard of broken lines (truncated JSON, a
+    // non-JSON line, valid JSON with a mistyped doc_id) lands beside
+    // them, and the PERMISSIVE re-read must route exactly the planted
+    // lines to the corrupt-record column while every clean row survives.
+    // PROPERTY oracle: the output must equal `documents` read directly —
+    // a dropped row, a mangled escape, a corrupt line leaking through,
+    // or a silent type coercion all hash-fail.
+    "q_jsonl_ingest" -> q { (s, dir) =>
+      val file = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_jsonl_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode))
+      val path = file.getPath
+      if (!file.exists()) { // once per application; hook reclaims it
+        deleteRecursivelyOnExit(file)
+        graft.sources.JsonlSource.write(Tables.documents(s, dir), path)
+        val bad = new java.io.File(file, "part-corrupt.json")
+        java.nio.file.Files.write(bad.toPath,
+          java.util.Arrays.asList(
+            """{"doc_id": 999999, "text": "truncat""",
+            """this line is not json at all""",
+            """{"doc_id": "not-a-number", "text": "typed wrong"}"""),
+          java.nio.charset.StandardCharsets.UTF_8)
+      }
+      val schema = Tables.documents(s, dir).schema
+      graft.sources.JsonlSource.good(
+        graft.sources.JsonlSource.read(s, path, schema))
+    },
+
     // Snapshot-table CDC: two committed versions of an append-only
     // manifest-pointer table (SnapshotTable — snapshot isolation over
     // plain parquet, no table format), diffed at the MANIFEST level: the
@@ -1446,6 +1475,25 @@ object SparkEntry {
       Dedup.dropSpanDuplicated(Tables.documents(s, dir), "doc_id", "text",
         k = 8, maxPermyriad = 2000L)
         .select(col("doc_id"), length(col("text")).as("text_len"))
+    },
+
+    // Paragraph-level boilerplate dedup (the C4 line-dedup / RefinedWeb
+    // pass): a paragraph whose exact digest occurs in >2 distinct docs is
+    // boilerplate and removed EVERYWHERE; survivors reassemble in order.
+    // The fixture corpus has no newlines, so paragraphs are synthesized
+    // as 12-token chunks — a deterministic transform the oracle replays
+    // verbatim. Bit-exact: md5 digests and string reassembly, no floats.
+    "q_paragraph_dedup" -> q { (s, dir) =>
+      val w = 12
+      val toked = Tables.documents(s, dir).select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\w+"), lit(0)).as("t"))
+      val paraed = toked.select(col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0), ((size(col("t")) - lit(1)) / lit(w)).cast(IntegerType)),
+            i => array_join(slice(col("t"), i * lit(w) + lit(1), lit(w)), " ")),
+          "\n").as("text"))
+      Dedup.dedupParagraphs(paraed, "doc_id", "text", "\n", maxDocFreq = 2L)
     },
 
     // Duplicate clusters: near-dup pairs (n-gram Jaccard) grouped into
@@ -4986,6 +5034,11 @@ object SparkEntry {
     "q_ann_incremental" -> ivfIncrementalOracleSql(annIncrQueryVec,
       k = 10, nprobe = 2),
 
+    // PROPERTY oracle: the jsonl round trip must reproduce `documents`
+    // exactly; the planted corrupt shard must leave no trace
+    "q_jsonl_ingest" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
     "q_warc_ingest" ->
       """SELECT doc_id,
         |  'http://' || source || '.example/doc/' || doc_id AS url,
@@ -5680,6 +5733,36 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(length(d.text) AS INT) AS text_len
         |FROM documents d JOIN spans s ON d.doc_id = s.doc_id
         |WHERE s.dup_permyriad <= 2000""".stripMargin,
+
+    // Replays the 12-token paragraph synthesis, then the boilerplate
+    // pass: df > 2 digests drop everywhere, ordered reassembly on chr(10).
+    "q_paragraph_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents),
+        |pd AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, CAST((len(t)-1)//12 AS INT)),
+        |      i -> array_to_string(list_slice(t, i*12+1, i*12+12), ' ')) AS ps
+        |  FROM tk),
+        |paras0 AS (
+        |  SELECT doc_id, unnest(ps) AS para,
+        |    unnest(generate_series(0, len(ps)-1)) AS pos FROM pd),
+        |paras AS (
+        |  SELECT doc_id, pos, para, md5(para) AS pdigest
+        |  FROM paras0 WHERE para <> ''),
+        |boiler AS (
+        |  SELECT pdigest FROM (
+        |    SELECT pdigest, count(DISTINCT doc_id) AS df FROM paras GROUP BY 1)
+        |  WHERE df > 2),
+        |flagged AS (
+        |  SELECT p.doc_id, p.pos, p.para, (b.pdigest IS NULL) AS keep
+        |  FROM paras p LEFT JOIN boiler b USING (pdigest))
+        |SELECT doc_id,
+        |  coalesce(string_agg(para, chr(10) ORDER BY pos)
+        |             FILTER (WHERE keep), '') AS clean_text,
+        |  count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM flagged GROUP BY doc_id""".stripMargin,
 
     "q_dedup_groups" ->
       s"""WITH RECURSIVE $jaccardPairsCtes,

@@ -1135,4 +1135,68 @@ object Dedup {
       .select(col("vec_id"), col("centroid_id"),
         coalesce(col("__dropped"), lit(false)).as("is_dropped"))
   }
+
+  /** Paragraph-level exact dedup — the C4 / RefinedWeb boilerplate pass
+    * that document-level dedup cannot express: a navigation bar, cookie
+    * banner or license header repeats across MILLIONS of otherwise-unique
+    * pages, so no whole-document digest ever collides, yet the repeated
+    * paragraphs dominate the token stream. Split each document on the
+    * LITERAL separator `sep`, drop every non-empty paragraph whose exact
+    * md5 digest occurs in more than `maxDocFreq` distinct documents
+    * (dropped EVERYWHERE, including its first occurrence — boilerplate
+    * has no canonical owner), and reassemble the survivors in original
+    * order. Within-document repeats of a non-viral paragraph are kept:
+    * the unit of evidence is the distinct-document count, not the
+    * occurrence count.
+    *
+    * Returns one row per document with at least one non-empty paragraph:
+    * (`idCol`, clean_text, n_paras, n_removed). A document whose every
+    * paragraph is boilerplate survives with clean_text = '' and
+    * n_removed = n_paras — the length/quality gate downstream is the
+    * right place to drop it, not a silent disappearance here.
+    *
+    * Scale shape (100 TB):
+    *  - the paragraph explode is narrow (no shuffle);
+    *  - the boilerplate set is ONE aggregation keyed by the 16-byte
+    *    digest (distinct-doc counting partially aggregates map-side;
+    *    paragraph bodies are column-pruned out of it);
+    *  - paragraphs drop via a LEFT join against that digest set — sized
+    *    by the number of DISTINCT viral paragraphs, not their occurrence
+    *    count, so AQE broadcasts it in practice and the corpus never
+    *    re-shuffles for the probe. The viral paragraph that would make a
+    *    shingle-index bucket quadratic is, by construction, IN the build
+    *    side here rather than exploding a join bucket;
+    *  - reassembly is ONE shuffle by document id; order is restored by
+    *    an in-row sort of the collected (pos, para) structs, bounded by
+    *    the document size like every other per-doc array in this file.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      sep: String, maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val paras = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .where(col("para") =!= "")
+      .withColumn("pdigest", md5(col("para")))
+    val boiler = paras
+      .groupBy(col("pdigest"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+      .where(col("doc_freq") > maxDocFreq)
+      .select(col("pdigest"), lit(true).as("__boiler"))
+    paras.join(boiler, Seq("pdigest"), "left_outer")
+      .select(col(idCol), col("pos"), col("para"),
+        col("__boiler").isNull.as("keep"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"), col("keep"), col("para")))),
+              x => x.getField("keep")),
+            x => x.getField("para")),
+          sep).as("clean_text"),
+        count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
 }
