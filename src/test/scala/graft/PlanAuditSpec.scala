@@ -306,7 +306,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("token") && p.contains("IN ("),
       s"term predicate missing from the postings scan:\n$p")
   }
+
+  test("q_paragraph_dedup: boiler set broadcasts; bodies shuffle once") {
+    val p = plan("q_paragraph_dedup")
+    // the viral-digest probe must be a broadcast join, never a sort-merge
+    // that re-shuffles every paragraph body by digest
+    assert(p.contains("BroadcastHashJoin"),
+      s"boilerplate digest set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"paragraph bodies re-shuffled for the digest probe:\n$p")
+    // exchanges: two digest-only legs (partial-distinct expand) + ONE
+    // carrying the paragraph bodies to reassembly — 3 total
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3,
+      s"expected <=3 hash exchanges (2 digest-only + 1 reassembly), got $exchanges:\n$p")
+  }
 }
+
 
 /** AQE must split a skewed shuffle partition at runtime (OptimizeSkewedJoin)
   * — the complement of ops.Skew's compile-time salting: salting handles the
