@@ -49,10 +49,31 @@ object JsonlSource {
     * whole-stage-codegen pass.
     */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    validate(schema)
+    parse(spark.read.text(path), schema)
+  }
+
+  /** Structured-streaming twin of [[read]]: the directory watched as a
+    * stream — new jsonl shards dropped into `path` arrive as micro-batches
+    * under the IDENTICAL permissive corrupt-routing contract (stream ≡
+    * batch by construction: the parse is the same expression tree over
+    * the same text scan). Pair with `Trigger.AvailableNow` for
+    * catch-up-then-stop ingest, exactly like the repo's other streaming
+    * twins.
+    */
+  def readStream(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    validate(schema)
+    parse(spark.readStream.text(path), schema)
+  }
+
+  private def validate(schema: StructType): Unit =
     require(!schema.fieldNames.contains(CorruptCol),
       s"pass the record schema only; $CorruptCol is appended internally")
+
+  private def parse(lines: DataFrame, schema: StructType): DataFrame = {
     val full = schema.add(CorruptCol, StringType, nullable = true)
-    spark.read.text(path)
+    lines
       .where(length(col("value")) > 0)
       .select(from_json(col("value"), full,
         Map("mode" -> "PERMISSIVE",

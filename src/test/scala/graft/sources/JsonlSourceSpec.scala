@@ -85,6 +85,31 @@ class JsonlSourceSpec extends SparkSpec {
     assert(back.except(src).isEmpty && src.except(back).isEmpty)
   }
 
+  test("streaming twin: shards arrive as micro-batches with identical corrupt routing") {
+    val d = tmpDir()
+    writeLines(d, "shard0.jsonl",
+      """{"id": 1, "text": "first"}""",
+      """broken line""")
+    val ckpt = new java.io.File(tmpDir(), "ckpt")
+    val q = JsonlSource.readStream(spark, d.getPath, schema)
+      .writeStream.format("memory").queryName("jsonl_stream_out")
+      .option("checkpointLocation", ckpt.getPath)
+      .start()
+    try {
+      q.processAllAvailable()
+      // a shard dropped AFTER the stream started is picked up incrementally
+      writeLines(d, "shard1.jsonl", """{"id": 2, "text": "second"}""")
+      q.processAllAvailable()
+      val out = spark.table("jsonl_stream_out")
+      assert(JsonlSource.good(out).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq(1L -> "first", 2L -> "second"))
+      // stream ≡ batch: the same corrupt contract, line for line
+      assert(JsonlSource.corrupt(out).count() ===
+        JsonlSource.corrupt(JsonlSource.read(spark, d.getPath, schema)).count())
+    } finally q.stop()
+  }
+
   test("the record schema must not smuggle the corrupt column") {
     intercept[IllegalArgumentException] {
       JsonlSource.read(spark, "/nonexistent",
