@@ -334,7 +334,11 @@ object Bench {
     // round-7 addition: near-dup connected components — the skew study
     // (boilerplate-heavy corpus) needs the CC path itself on the row,
     // not only the canonical-keep composition over it
-    "q_dedup_groups")
+    "q_dedup_groups",
+    // round-8 addition: paragraph-level boilerplate dedup — claims one
+    // digest aggregation + broadcast probe + one reassembly shuffle; the
+    // boilerplate-heavy fixture gives it real cross-doc repetition
+    "q_paragraph_dedup")
 
   /** Study-only query: SemDeDup at its documented OPERATING POINT — the
     * cluster count grows with the corpus so mean cluster size (and with

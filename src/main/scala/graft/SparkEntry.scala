@@ -50,6 +50,22 @@ object SparkEntry {
       del(root)
     }))
 
+  /** The paragraph-dedup queries' shared fixture: the corpus has no
+    * newlines, so paragraphs are synthesized as 12-token chunks — a
+    * deterministic transform the DuckDB oracles replay verbatim
+    * (list_slice over the same `\w+` token stream). */
+  private def synthParagraphDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = 12
+    val toked = Tables.documents(s, dir).select(col("doc_id"),
+      regexp_extract_all(col("text"), lit("\\w+"), lit(0)).as("t"))
+    toked.select(col("doc_id"),
+      array_join(
+        transform(
+          sequence(lit(0), ((size(col("t")) - lit(1)) / lit(w)).cast(IntegerType)),
+          i => array_join(slice(col("t"), i * lit(w) + lit(1), lit(w)), " ")),
+        "\n").as("text"))
+  }
+
   /** Driver-testdata fixtures for the end-to-end pipeline query: the
     * constituent list derives from `supplier` ("S<k>") and bars derive from
     * `lineitem` ([[graft.etl.StockBars]]) — both reproducible in DuckDB
@@ -1484,16 +1500,22 @@ object SparkEntry {
     // as 12-token chunks — a deterministic transform the oracle replays
     // verbatim. Bit-exact: md5 digests and string reassembly, no floats.
     "q_paragraph_dedup" -> q { (s, dir) =>
-      val w = 12
-      val toked = Tables.documents(s, dir).select(col("doc_id"),
-        regexp_extract_all(col("text"), lit("\\w+"), lit(0)).as("t"))
-      val paraed = toked.select(col("doc_id"),
-        array_join(
-          transform(
-            sequence(lit(0), ((size(col("t")) - lit(1)) / lit(w)).cast(IntegerType)),
-            i => array_join(slice(col("t"), i * lit(w) + lit(1), lit(w)), " ")),
-          "\n").as("text"))
-      Dedup.dedupParagraphs(paraed, "doc_id", "text", "\n", maxDocFreq = 2L)
+      Dedup.dedupParagraphs(synthParagraphDocs(s, dir), "doc_id", "text",
+        "\n", maxDocFreq = 2L)
+    },
+
+    // Incremental paragraph pass (append cadence): history = docs < 250
+    // bootstrapped into a paragraph-frequency index; batch = the rest,
+    // cleaned against index + in-batch combined evidence. Exercises all
+    // three boilerplate sources: frequency accumulated in history alone,
+    // index + batch crossing the threshold together, and templates
+    // repeating inside the batch with no history at all.
+    "q_paragraph_dedup_incremental" -> q { (s, dir) =>
+      val all = synthParagraphDocs(s, dir)
+      val index = Dedup.paragraphIndex(all.where(col("doc_id") < 250),
+        "doc_id", "text", "\n")
+      Dedup.dedupParagraphsIncremental(all.where(col("doc_id") >= 250),
+        index, "doc_id", "text", "\n", maxDocFreq = 2L).docs
     },
 
     // Duplicate clusters: near-dup pairs (n-gram Jaccard) grouped into
@@ -2830,6 +2852,15 @@ object SparkEntry {
       TextAnalysis.buildVocab(Tables.documents(s, dir), minCount = 5L)
     },
 
+    // Tokenizer-coverage audit: per-doc out-of-vocabulary token share
+    // against the minCount-floored corpus vocabulary — the acceptance
+    // check before a corpus-wide encode. Integer permyriad; bit-exact.
+    "q_oov_rate" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.oovRate(docs, "doc_id", "text",
+        TextAnalysis.buildVocab(docs, minCount = 5L))
+    },
+
     // Declarative data-quality gate: every row-level rule folds into ONE
     // scan (conditional counters in a single hash-agg), plus one
     // aggregation for key uniqueness and one anti-join for referential
@@ -3109,6 +3140,35 @@ object SparkEntry {
     * md5 window digests, same interval-union running-max sweep, integer
     * permyriad. `spans` exposes the full per-doc stats frame.
     */
+  /** DuckDB twin of [[synthParagraphDocs]] + the paragraph explode
+    * ([[graft.ops.Dedup.dedupParagraphs]]'s paragraphFrame): yields
+    * `paras(doc_id, pos, para, pdigest)` over the synthesized 12-token
+    * paragraphs. */
+  private val paragraphSynthCtes: String =
+    """tk AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents),
+      |pd AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, CAST((len(t)-1)//12 AS INT)),
+      |      i -> array_to_string(list_slice(t, i*12+1, i*12+12), ' ')) AS ps
+      |  FROM tk),
+      |paras0 AS (
+      |  SELECT doc_id, unnest(ps) AS para,
+      |    unnest(generate_series(0, len(ps)-1)) AS pos FROM pd),
+      |paras AS (
+      |  SELECT doc_id, pos, para, md5(para) AS pdigest
+      |  FROM paras0 WHERE para <> '')""".stripMargin
+
+  /** Ordered survivor reassembly over a `flagged(doc_id, pos, para, keep)`
+    * CTE — the shared tail of both paragraph-dedup oracles. */
+  private val paragraphReassembleSql: String =
+    """SELECT doc_id,
+      |  coalesce(string_agg(para, chr(10) ORDER BY pos)
+      |             FILTER (WHERE keep), '') AS clean_text,
+      |  count(*) AS n_paras,
+      |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+      |FROM flagged GROUP BY doc_id""".stripMargin
+
   private def duplicatedSpansCtes(k: Int): String = {
     val wtext = (Seq("tok") ++ (1 until k).map(i => s"lead(tok,$i) OVER w"))
       .mkString(" || ' ' || ")
@@ -5737,19 +5797,7 @@ object SparkEntry {
     // Replays the 12-token paragraph synthesis, then the boilerplate
     // pass: df > 2 digests drop everywhere, ordered reassembly on chr(10).
     "q_paragraph_dedup" ->
-      """WITH tk AS (
-        |  SELECT doc_id, regexp_extract_all(text, '\w+') AS t FROM documents),
-        |pd AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(0, CAST((len(t)-1)//12 AS INT)),
-        |      i -> array_to_string(list_slice(t, i*12+1, i*12+12), ' ')) AS ps
-        |  FROM tk),
-        |paras0 AS (
-        |  SELECT doc_id, unnest(ps) AS para,
-        |    unnest(generate_series(0, len(ps)-1)) AS pos FROM pd),
-        |paras AS (
-        |  SELECT doc_id, pos, para, md5(para) AS pdigest
-        |  FROM paras0 WHERE para <> ''),
+      s"""WITH $paragraphSynthCtes,
         |boiler AS (
         |  SELECT pdigest FROM (
         |    SELECT pdigest, count(DISTINCT doc_id) AS df FROM paras GROUP BY 1)
@@ -5757,12 +5805,27 @@ object SparkEntry {
         |flagged AS (
         |  SELECT p.doc_id, p.pos, p.para, (b.pdigest IS NULL) AS keep
         |  FROM paras p LEFT JOIN boiler b USING (pdigest))
-        |SELECT doc_id,
-        |  coalesce(string_agg(para, chr(10) ORDER BY pos)
-        |             FILTER (WHERE keep), '') AS clean_text,
-        |  count(*) AS n_paras,
-        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
-        |FROM flagged GROUP BY doc_id""".stripMargin,
+        |$paragraphReassembleSql""".stripMargin,
+
+    // Incremental twin: index evidence from docs < 250, batch evidence
+    // from the rest; boilerplate when the SUM crosses the threshold
+    // (combined > 2 subsumes the in-batch-alone case).
+    "q_paragraph_dedup_incremental" ->
+      s"""WITH $paragraphSynthCtes,
+        |hf AS (
+        |  SELECT pdigest, count(DISTINCT doc_id) AS idx_freq
+        |  FROM paras WHERE doc_id < 250 GROUP BY 1),
+        |bp AS (SELECT * FROM paras WHERE doc_id >= 250),
+        |bf AS (
+        |  SELECT pdigest, count(DISTINCT doc_id) AS batch_freq
+        |  FROM bp GROUP BY 1),
+        |boiler AS (
+        |  SELECT bf.pdigest FROM bf LEFT JOIN hf USING (pdigest)
+        |  WHERE coalesce(hf.idx_freq, 0) + bf.batch_freq > 2),
+        |flagged AS (
+        |  SELECT p.doc_id, p.pos, p.para, (b.pdigest IS NULL) AS keep
+        |  FROM bp p LEFT JOIN boiler b USING (pdigest))
+        |$paragraphReassembleSql""".stripMargin,
 
     "q_dedup_groups" ->
       s"""WITH RECURSIVE $jaccardPairsCtes,
@@ -6409,5 +6472,23 @@ object SparkEntry {
         |SELECT token, n,
         |  CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS BIGINT)
         |    AS token_id
-        |FROM counts""".stripMargin)
+        |FROM counts""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH vocab AS (
+        |  SELECT token FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS token
+        |    FROM documents)
+        |  GROUP BY token HAVING count(*) >= 5),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS token
+        |  FROM documents)
+        |SELECT t.doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(floor(10000 * sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |             / count(*)) AS BIGINT) AS oov_permyriad
+        |FROM tok t LEFT JOIN vocab v USING (token)
+        |GROUP BY t.doc_id""".stripMargin)
 }

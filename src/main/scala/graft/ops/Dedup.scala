@@ -1173,18 +1173,32 @@ object Dedup {
   def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
       sep: String, maxDocFreq: Long): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
-    val paras = docs
+    val paras = paragraphFrame(docs, idCol, textCol, sep)
+    val boiler = paras
+      .groupBy(col("pdigest"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+      .where(col("doc_freq") > maxDocFreq)
+      .select(col("pdigest"))
+    reassembleParagraphs(paras, boiler, idCol, sep)
+  }
+
+  /** One row per non-empty paragraph: (`idCol`, pos, para, pdigest). */
+  private def paragraphFrame(docs: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    docs
       .select(col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "para")))
       .where(col("para") =!= "")
       .withColumn("pdigest", md5(col("para")))
-    val boiler = paras
-      .groupBy(col("pdigest"))
-      .agg(countDistinct(col(idCol)).as("doc_freq"))
-      .where(col("doc_freq") > maxDocFreq)
-      .select(col("pdigest"), lit(true).as("__boiler"))
-    paras.join(boiler, Seq("pdigest"), "left_outer")
+
+  /** Drop paragraphs whose digest is in `boiler` (a `pdigest` column),
+    * reassemble survivors per doc in original order — the shared tail of
+    * the batch and incremental paragraph passes. */
+  private def reassembleParagraphs(paras: DataFrame, boiler: DataFrame,
+      idCol: String, sep: String): DataFrame =
+    paras.join(boiler.select(col("pdigest"), lit(true).as("__boiler")),
+        Seq("pdigest"), "left_outer")
       .select(col(idCol), col("pos"), col("para"),
         col("__boiler").isNull.as("keep"))
       .groupBy(col(idCol))
@@ -1198,5 +1212,64 @@ object Dedup {
           sep).as("clean_text"),
         count(lit(1)).as("n_paras"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+
+  /** Per-digest distinct-document paragraph frequencies — the persisted
+    * index of the incremental paragraph pass, and the bootstrap for an
+    * existing corpus: (pdigest, doc_freq). 24-byte rows; the corpus
+    * bodies never enter it. */
+  def paragraphIndex(docs: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    paragraphFrame(docs, idCol, textCol, sep)
+      .groupBy(col("pdigest"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+
+  /** Cleaned batch + the index delta to persist. */
+  final case class ParagraphDedupResult(docs: DataFrame, indexDelta: DataFrame)
+
+  /** Incremental [[dedupParagraphs]] — the append-cadence form (same
+    * contract family as [[ingestExactIncremental]]): clean ONE batch of
+    * new documents against the accumulated paragraph-frequency `index`
+    * ([[paragraphIndex]] schema), where a paragraph is boilerplate when
+    * its index frequency PLUS its distinct-doc frequency in this batch
+    * exceeds `maxDocFreq`. Returns the cleaned batch and the batch's own
+    * frequency delta — persist it (sum `doc_freq` per digest, or just
+    * append and aggregate at read) so the next batch sees this one.
+    *
+    * Honest semantics, both inherent to incremental cleaning:
+    *  - NOT retroactive: a paragraph that crosses the threshold at batch
+    *    N is removed from batch N onward; copies already emitted in
+    *    earlier batches stay emitted (re-clean the corpus with the batch
+    *    operator when that matters).
+    *  - batch ids must be NEW documents: the distinct-doc evidence is
+    *    summed across batches, so re-ingesting a document under the same
+    *    id still counts it twice (the exact-dedup ingest upstream is the
+    *    guard that makes this moot in the composed pipeline).
+    *
+    * Scale shape: O(|batch|) everywhere except one streamed scan of the
+    * index — the batch's digest set is BROADCAST against it (a batch's
+    * distinct paragraphs are bounded; the index, ~one row per distinct
+    * corpus paragraph, is the big side and never shuffles), so the join
+    * is exchange-free on the index side. Everything else (delta
+    * aggregation, reassembly) touches batch rows only.
+    */
+  def dedupParagraphsIncremental(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, sep: String,
+      maxDocFreq: Long): ParagraphDedupResult = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val paras = paragraphFrame(batch, idCol, textCol, sep)
+    val delta = paras.groupBy(col("pdigest"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"))
+    // combined evidence, without shuffling the index: digests the index
+    // has seen get index + batch counts (broadcast inner join); digests
+    // new in this batch stand on their batch count alone
+    val fromIndex = index
+      .join(broadcast(delta.select(col("pdigest"),
+        col("doc_freq").as("batch_freq"))), Seq("pdigest"))
+      .where(col("doc_freq") + col("batch_freq") > maxDocFreq)
+      .select(col("pdigest"))
+    val fromBatch = delta.where(col("doc_freq") > maxDocFreq)
+      .select(col("pdigest"))
+    val boiler = fromIndex.unionByName(fromBatch).distinct()
+    ParagraphDedupResult(reassembleParagraphs(paras, boiler, idCol, sep), delta)
   }
 }

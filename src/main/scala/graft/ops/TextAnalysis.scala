@@ -409,6 +409,34 @@ object TextAnalysis {
       .select(col("token"), col("n"), col("token_id"))
   }
 
+  /** Out-of-vocabulary audit against a [[buildVocab]]-shaped vocabulary
+    * (a `token` column): per document, how much of the token stream a
+    * tokenizer trained on that vocabulary would fail to cover — THE
+    * acceptance check before an expensive corpus-wide encode, and the
+    * drift monitor when yesterday's vocabulary meets today's crawl.
+    * Returns (doc_id, n_tokens, n_oov, oov_permyriad) with the rate in
+    * integer permyriad (bit-exact across engines; docs with zero tokens
+    * are absent — they have no coverage to measure).
+    *
+    * Scale shape: the vocabulary is broadcast (it is minCount-floored
+    * and therefore bounded); the corpus explodes narrowly and shuffles
+    * ONCE, by document id, for the per-doc counts — the same single
+    * corpus exchange every signal matrix in this file pays.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .join(broadcast(vocab.select(col("token"), lit(true).as("__in"))),
+        Seq("token"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        floor(lit(10000L) * col("n_oov") / col("n_tokens"))
+          .cast(LongType).as("oov_permyriad"))
+
   /** CCNet-style unigram language-model quality score: each document's
     * average per-token log-probability under the corpus's own unigram
     * distribution (low = rare-token-heavy gibberish, high = fluent common

@@ -78,4 +78,56 @@ class ParagraphDedupSpec extends SparkSpec {
       Dedup.dedupParagraphs(docs(1L -> "x"), "doc_id", "text", "\n", 0L)
     }
   }
+
+  // ---- incremental pass ----
+
+  private def runInc(batch: org.apache.spark.sql.DataFrame,
+      index: org.apache.spark.sql.DataFrame, maxDocFreq: Long = 2L) = {
+    val r = Dedup.dedupParagraphsIncremental(batch, index, "doc_id", "text",
+      "\n", maxDocFreq)
+    (r.docs.collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap,
+      r.indexDelta.collect().map(x => x.getString(0) -> x.getLong(1)).toMap)
+  }
+
+  private def index(rows: (String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("para", "doc_freq").select(md5(col("para")).as("pdigest"),
+      col("doc_freq"))
+  }
+
+  test("incremental: index evidence pushes a once-in-batch paragraph over the threshold") {
+    // BOILER has 2 historical docs; one more in this batch → 3 > 2: removed.
+    // FRESH has 2 historical docs and none needed — absent from batch.
+    val (out, delta) = runInc(
+      docs(10L -> "BOILER\nkeep one", 11L -> "keep two"),
+      index("BOILER" -> 2L, "FRESH" -> 2L))
+    assert(out(10L) === (("keep one", 2L, 1L)))
+    assert(out(11L) === (("keep two", 1L, 0L)))
+    // the delta is the BATCH's evidence only (3 batch paragraphs, each in
+    // one doc; FRESH is not echoed back from the index)
+    assert(delta.size === 3 && delta.values.forall(_ === 1L))
+  }
+
+  test("incremental: an in-batch template needs no history to be removed") {
+    val (out, _) = runInc(
+      docs(1L -> "TPL\na", 2L -> "TPL\nb", 3L -> "TPL\nc"),
+      index(), maxDocFreq = 2L)
+    assert(out(1L) === (("a", 2L, 1L)))
+    assert(out(3L) === (("c", 2L, 1L)))
+  }
+
+  test("incremental: combined evidence at exactly the threshold is kept") {
+    val (out, _) = runInc(
+      docs(1L -> "edge\nx"), index("edge" -> 1L), maxDocFreq = 2L)
+    assert(out(1L) === (("edge\nx", 2L, 0L))) // 1 + 1 = 2, not > 2
+  }
+
+  test("incremental: the delta counts distinct batch docs per digest") {
+    val (_, delta) = runInc(
+      docs(1L -> "p\np", 2L -> "p\nq"), index(), maxDocFreq = 5L)
+    val pd = spark.sql("SELECT md5('p') h, md5('q') g").collect()(0)
+    assert(delta(pd.getString(0)) === 2L) // in-doc repeat counts once
+    assert(delta(pd.getString(1)) === 1L)
+  }
 }
