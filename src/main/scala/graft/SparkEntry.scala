@@ -622,6 +622,16 @@ object SparkEntry {
         minCount = 3L)
     },
 
+    // Bigram LM quality score — the order-SENSITIVE perplexity proxy
+    // (unigram scores are permutation-invariant). Conditional P(b|a)
+    // with the 0.5 floors on rare continuations/contexts; bit-exact via
+    // the shared deterministic ln + 2^32 fixed-point sums. minCount = 3
+    // exercises both floor paths at sf0.01.
+    "q_bigram_logprob" -> q { (s, dir) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id",
+        minCount = 3L)
+    },
+
     // Learned quality-classifier inference (fastText/CCNet shape): hashed
     // unigram+bigram features -> bucket weight table -> mean-pooled
     // linear logit + keep decision. Weights derive from the bucket id by
@@ -1516,6 +1526,13 @@ object SparkEntry {
         "doc_id", "text", "\n")
       Dedup.dedupParagraphsIncremental(all.where(col("doc_id") >= 250),
         index, "doc_id", "text", "\n", maxDocFreq = 2L).docs
+    },
+
+    // WITHIN-doc line dedup (C4's narrow pass): keep the first occurrence
+    // of each distinct line inside a document — no cross-doc evidence, so
+    // the plan is a ZERO-exchange narrow projection (plan-audited).
+    "q_line_dedup" -> q { (s, dir) =>
+      Dedup.dedupLinesInDoc(synthParagraphDocs(s, dir), "doc_id", "text", "\n")
     },
 
     // Duplicate clusters: near-dup pairs (n-gram Jaccard) grouped into
@@ -4337,6 +4354,44 @@ object SparkEntry {
     * shared [[graft.functions.ExactMath]] stages, and the 2^32 fixed-point
     * per-document fold — bit-exact raw doubles.
     */
+  /** Oracle for `q_bigram_logprob`: replays the full conditional model —
+    * lead-window bigrams, C(a,b)/C(a·) with both 0.5 floors, the shared
+    * deterministic ln, the 2^32 fixed-point fold — bit-exact doubles.
+    */
+  private def bigramLogProbOracleSql(minCount: Long): String =
+    s"""WITH tok0 AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS tok,
+       |    unnest(generate_series(0,
+       |      len(regexp_extract_all(lower(text), '\\w+'))-1)) AS pos
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id, tok AS a,
+       |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+       |  FROM tok0 QUALIFY b IS NOT NULL),
+       |tfb AS (SELECT doc_id, a, b, count(*) AS tf FROM bi GROUP BY 1, 2, 3),
+       |cab AS (SELECT a, b, sum(tf) AS cnt_ab FROM tfb GROUP BY 1, 2),
+       |ca AS (SELECT a, sum(cnt_ab) AS cnt_a FROM cab GROUP BY 1
+       |       HAVING sum(cnt_ab) >= $minCount),
+       |cb AS (SELECT * FROM cab WHERE cnt_ab >= $minCount),
+       |tot AS (SELECT sum(cnt_ab) AS n_total FROM cab),
+       |m0 AS (
+       |  SELECT tfb.doc_id, tfb.tf,
+       |    CASE WHEN cb.cnt_ab IS NOT NULL
+       |      THEN CAST(cb.cnt_ab AS DOUBLE) / CAST(ca.cnt_a AS DOUBLE)
+       |    WHEN ca.cnt_a IS NOT NULL THEN 0.5 / CAST(ca.cnt_a AS DOUBLE)
+       |    ELSE 0.5 / CAST(n_total AS DOUBLE) END AS __p_x
+       |  FROM tfb LEFT JOIN cb USING (a, b) LEFT JOIN ca USING (a)
+       |  CROSS JOIN tot),
+       |${graft.functions.ExactMath.lnCtes("m0", "__p_x", "__lnp", "ml")},
+       |sc AS (SELECT doc_id,
+       |    sum(CAST(floor(__lnp * 4294967296.0) AS BIGINT) * tf) AS fxs,
+       |    sum(tf) AS n_bigrams
+       |  FROM ml GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(sc.fxs AS DOUBLE) / 4294967296.0 / sc.n_bigrams AS avg_logprob
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+
   private def unigramLogProbOracleSql(minCount: Long): String =
     s"""WITH tok0 AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\w+')) AS token
@@ -5071,6 +5126,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
     "q_unigram_logprob" -> unigramLogProbOracleSql(minCount = 3L),
+
+    "q_bigram_logprob" -> bigramLogProbOracleSql(minCount = 3L),
 
     "q_bpe_merges" -> bpeMergesBatchedOracleSql(m = 12, maxBatch = 6,
       scanDepth = 12),
@@ -5826,6 +5883,21 @@ object SparkEntry {
         |  SELECT p.doc_id, p.pos, p.para, (b.pdigest IS NULL) AS keep
         |  FROM bp p LEFT JOIN boiler b USING (pdigest))
         |$paragraphReassembleSql""".stripMargin,
+
+    // Keep-first via a (doc, line) occurrence rank; reassembly on pos.
+    "q_line_dedup" ->
+      s"""WITH $paragraphSynthCtes,
+        |rk AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY doc_id, para ORDER BY pos) AS rn
+        |  FROM paras)
+        |SELECT doc_id,
+        |  string_agg(para, chr(10) ORDER BY pos) FILTER (WHERE rn = 1)
+        |    AS clean_text,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_removed
+        |FROM rk GROUP BY doc_id""".stripMargin,
 
     "q_dedup_groups" ->
       s"""WITH RECURSIVE $jaccardPairsCtes,

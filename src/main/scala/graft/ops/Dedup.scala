@@ -1182,6 +1182,41 @@ object Dedup {
     reassembleParagraphs(paras, boiler, idCol, sep)
   }
 
+  /** WITHIN-document line dedup — C4's other text-level pass: keep the
+    * FIRST occurrence of each distinct line inside a document, drop the
+    * repeats, preserve order. The complement of [[dedupParagraphs]]
+    * (cross-corpus evidence, three exchanges): in-doc repetition needs
+    * no other document's evidence, so this is a ZERO-SHUFFLE narrow
+    * projection — split, keep-first filter, rejoin, all in-row.
+    *
+    * The keep-first filter is `array_position` inside a lambda —
+    * O(lines²) string comparisons per document, the same in-row bound as
+    * every per-doc array op in this file (a document's line count is
+    * bounded; the corpus is not). `lines` is staged as a column first:
+    * Spark's subexpression elimination does not reach lambda bodies, and
+    * an inline split would re-tokenize per element (O(lines³) chars).
+    *
+    * Returns (`idCol`, clean_text, n_lines, n_removed) for every doc
+    * with at least one non-empty line; empty lines are dropped from both
+    * the output and the counts, as in [[dedupParagraphs]].
+    */
+  def dedupLinesInDoc(docs: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame =
+    docs
+      .select(col(idCol),
+        filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
+          l => l =!= "").as("lines"))
+      .where(size(col("lines")) > 0)
+      .select(col(idCol),
+        col("lines"),
+        filter(col("lines"), (x, i) =>
+          array_position(col("lines"), x) === (i + lit(1)).cast(LongType))
+          .as("kept"))
+      .select(col(idCol),
+        array_join(col("kept"), sep).as("clean_text"),
+        size(col("lines")).cast(LongType).as("n_lines"),
+        (size(col("lines")) - size(col("kept"))).cast(LongType).as("n_removed"))
+
   /** One row per non-empty paragraph: (`idCol`, pos, para, pdigest). */
   private def paragraphFrame(docs: DataFrame, idCol: String, textCol: String,
       sep: String): DataFrame =

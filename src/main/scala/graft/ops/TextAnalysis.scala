@@ -454,6 +454,71 @@ object TextAnalysis {
     * floor), so the corpus itself shuffles only for the (doc, token)
     * aggregation it already pays in any tf pipeline.
     */
+  /** Bigram language-model quality score — the step up from
+    * [[unigramLogProb]] a real perplexity filter takes: each document's
+    * average conditional log-probability ln P(b|a) under the corpus's
+    * own bigram counts. A unigram score is permutation-invariant —
+    * shuffled-word gibberish scores exactly like the fluent text it was
+    * shuffled from; word ORDER is what a bigram sees, so this is the
+    * cheapest score that separates them.
+    *
+    * Model (all counts over within-document adjacent `\w+` token pairs):
+    * P(b|a) = C(a,b)/C(a·) when C(a,b) >= minCount; 0.5/C(a·) when the
+    * context is known but the continuation is rare/unseen; 0.5/N_bigrams
+    * when the context itself is rare (both floors mirror the unigram
+    * op's 0.5 convention). C(a·) = Σ_b C(a,b), the proper conditional
+    * normalizer (rows sum to 1 over kept continuations).
+    *
+    * Bit-exact across engines like its unigram sibling: ExactMath ln,
+    * 2^32 fixed-point integer sums, order-independent.
+    *
+    * Scale shape: one corpus repartition by doc id feeds the bigram
+    * `lead` window AND the (doc, a, b) aggregation (no second corpus
+    * shuffle); the model tables are minCount-floored and broadcast —
+    * at a vocabulary where the floored bigram table outgrows broadcast,
+    * the joins degrade to shuffles of 3-column count rows, never bodies.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String = "text",
+      minCount: Long = 1L): DataFrame = {
+    val par = graft.Conf.sizedShufflePartitions(docs, rowMultiplier = 2.0)
+    val toks = docs.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = toks
+      .select(col("doc_id"), col("tok").as("a"),
+        lead(col("tok"), 1).over(w).as("b"))
+      .where(col("b").isNotNull)
+    val tfb = bi.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val cab = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cnt_ab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("cnt_ab")).as("cnt_a"))
+      .where(col("cnt_a") >= minCount)
+    val cb = cab.where(col("cnt_ab") >= minCount)
+    val totals = cab.select(sum(col("cnt_ab")).as("n_total")) // 1-row scalar
+    val px = tfb.join(broadcast(cb), Seq("a", "b"), "left_outer")
+      .join(broadcast(ca), Seq("a"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .withColumn("__p_x",
+        when(col("cnt_ab").isNotNull, // implies cnt_a >= cnt_ab >= minCount
+          col("cnt_ab").cast(DoubleType) / col("cnt_a").cast(DoubleType))
+          .when(col("cnt_a").isNotNull,
+            lit(0.5) / col("cnt_a").cast(DoubleType))
+          .otherwise(lit(0.5) / col("n_total").cast(DoubleType)))
+    val fxScale = 4294967296.0 // 2^32, as in unigramLogProb
+    val scored = graft.functions.ExactMath.lnColumn(px, "__p_x", "__lnp")
+      .withColumn("__fx",
+        floor(col("__lnp") * lit(fxScale)).cast(LongType) * col("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__fx")).as("__fxs"), sum(col("tf")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__fxs").cast(DoubleType) / lit(fxScale) / col("n_bigrams"))
+          .as("avg_logprob"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_logprob"))
+  }
+
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String = "text",
       minCount: Long = 1L): DataFrame = {
     val tf = docs

@@ -64,7 +64,8 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_doc_chunks / q_text_repetition / q_pii_redact / q_zorder_key: shuffle-free narrow plans") {
-    Seq("q_doc_chunks", "q_text_repetition", "q_pii_redact", "q_zorder_key")
+    Seq("q_doc_chunks", "q_text_repetition", "q_pii_redact", "q_zorder_key",
+      "q_line_dedup")
       .foreach { n =>
         val p = plan(n)
         assert(!p.contains("Exchange"),

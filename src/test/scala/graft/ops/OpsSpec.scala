@@ -539,6 +539,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p1(1L).get == out(1L)._2.get && p1(2L).get == out(2L)._2.get)
   }
 
+  test("bigram logprob: hand-checked values, both floors, partition invariance") {
+    val df = Seq(
+      (1L, "x y x y z"), // bigrams: (x,y)x2 (y,x) (y,z); C(x.)=3 C(y.)=2 N=5
+      (2L, "x y"),
+      (3L, "w")).toDF("doc_id", "text") // 1 token: no bigram, null score
+    def run(minCount: Long) = TextAnalysis
+      .bigramLogProb(df, "doc_id", minCount = minCount)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    val m1 = run(1L)
+    assert(m1(1L)._1 == 4L && m1(2L)._1 == 1L)
+    assert(m1(3L) == ((0L, None)), "single-token doc: zero bigrams, null score")
+    // p(y|x)=3/3, p(x|y)=1/2, p(z|y)=1/2 → avg = ln(0.5)/2
+    assert(math.abs(m1(1L)._2.get - math.log(0.5) / 2.0) < 1e-8)
+    assert(math.abs(m1(2L)._2.get - 0.0) < 1e-8) // ln(1)
+    // rare-continuation floor: minCount=2 drops (y,x),(y,z) → 0.5/C(y.)
+    val m2 = run(2L)
+    assert(math.abs(m2(1L)._2.get - math.log(0.25) / 2.0) < 1e-8)
+    // rare-CONTEXT floor: minCount=3 drops context y → 0.5/N = 0.1
+    val m3 = run(3L)
+    assert(math.abs(m3(1L)._2.get - math.log(0.1) / 2.0) < 1e-8)
+    // order sensitivity — the property unigram scoring cannot have:
+    // same bag of words, different adjacency, different score
+    val ord = Seq((1L, "x y x y"), (2L, "x x y y")).toDF("doc_id", "text")
+    val s = TextAnalysis.bigramLogProb(ord, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(1L) != s(2L), "bigram score must see word order")
+    // bit-identical across partitionings (fixed-point sums are order-free)
+    val p1 = TextAnalysis.bigramLogProb(df.repartition(7), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(p1(1L) == m1(1L)._2 && p1(2L) == m1(2L)._2)
+  }
+
   test("quality classifier: hand-replayed weights, empty doc, invariance") {
     val df = Seq(
       (1L, "good clean prose"), // 3 unigrams + 2 bigrams = 5 features

@@ -79,6 +79,31 @@ class ParagraphDedupSpec extends SparkSpec {
     }
   }
 
+  // ---- within-doc line dedup ----
+
+  private def runLines(df: org.apache.spark.sql.DataFrame) =
+    Dedup.dedupLinesInDoc(df, "doc_id", "text", "\n")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("line dedup keeps the FIRST occurrence and preserves order") {
+    val out = runLines(docs(1L -> "a\nb\na\nc\nb", 2L -> "solo"))
+    assert(out(1L) === (("a\nb\nc", 5L, 2L)))
+    assert(out(2L) === (("solo", 1L, 0L)))
+  }
+
+  test("line dedup is strictly within-doc: cross-doc repeats untouched") {
+    val out = runLines(docs(1L -> "shared\nmine", 2L -> "shared\nyours"))
+    assert(out(1L) === (("shared\nmine", 2L, 0L)))
+    assert(out(2L) === (("shared\nyours", 2L, 0L)))
+  }
+
+  test("line dedup drops empty lines; an all-empty doc is absent") {
+    val out = runLines(docs(1L -> "a\n\na\n", 2L -> "\n\n"))
+    assert(out(1L) === (("a", 2L, 1L)))
+    assert(!out.contains(2L))
+  }
+
   // ---- incremental pass ----
 
   private def runInc(batch: org.apache.spark.sql.DataFrame,
