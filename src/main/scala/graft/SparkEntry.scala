@@ -57,7 +57,7 @@ object SparkEntry {
   private def synthParagraphDocs(s: SparkSession, dir: String): DataFrame = {
     val w = 12
     val toked = Tables.documents(s, dir).select(col("doc_id"),
-      regexp_extract_all(col("text"), lit("\\w+"), lit(0)).as("t"))
+      TextAnalysis.tokens(col("text")).as("t"))
     toked.select(col("doc_id"),
       array_join(
         transform(

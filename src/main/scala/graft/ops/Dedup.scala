@@ -1267,8 +1267,9 @@ object Dedup {
     * ([[paragraphIndex]] schema), where a paragraph is boilerplate when
     * its index frequency PLUS its distinct-doc frequency in this batch
     * exceeds `maxDocFreq`. Returns the cleaned batch and the batch's own
-    * frequency delta — persist it (sum `doc_freq` per digest, or just
-    * append and aggregate at read) so the next batch sees this one.
+    * frequency delta — persist it (plain append is fine: an index with
+    * several rows per digest is summed internally before probing) so the
+    * next batch sees this one.
     *
     * Honest semantics, both inherent to incremental cleaning:
     *  - NOT retroactive: a paragraph that crosses the threshold at batch
@@ -1294,10 +1295,15 @@ object Dedup {
     val paras = paragraphFrame(batch, idCol, textCol, sep)
     val delta = paras.groupBy(col("pdigest"))
       .agg(countDistinct(col(idCol)).as("doc_freq"))
+    // accept the appended-deltas shape too: sum per digest FIRST, or an
+    // index holding (X,1),(X,1) would be probed row-by-row and silently
+    // under-remove (each row alone below the threshold, the sum above it)
+    val summed = index.groupBy(col("pdigest"))
+      .agg(sum(col("doc_freq")).as("doc_freq"))
     // combined evidence, without shuffling the index: digests the index
     // has seen get index + batch counts (broadcast inner join); digests
     // new in this batch stand on their batch count alone
-    val fromIndex = index
+    val fromIndex = summed
       .join(broadcast(delta.select(col("pdigest"),
         col("doc_freq").as("batch_freq"))), Seq("pdigest"))
       .where(col("doc_freq") + col("batch_freq") > maxDocFreq)

@@ -496,8 +496,12 @@ object TextAnalysis {
       .where(col("cnt_a") >= minCount)
     val cb = cab.where(col("cnt_ab") >= minCount)
     val totals = cab.select(sum(col("cnt_ab")).as("n_total")) // 1-row scalar
-    val px = tfb.join(broadcast(cb), Seq("a", "b"), "left_outer")
-      .join(broadcast(ca), Seq("a"), "left_outer")
+    // no broadcast HINT on the model tables: AQE broadcasts them while
+    // they fit and falls back to shuffled joins of 3-column count rows
+    // when a huge vocabulary outgrows the limit — a forced hint would
+    // turn that documented degradation into a driver OOM
+    val px = tfb.join(cb, Seq("a", "b"), "left_outer")
+      .join(ca, Seq("a"), "left_outer")
       .crossJoin(broadcast(totals))
       .withColumn("__p_x",
         when(col("cnt_ab").isNotNull, // implies cnt_a >= cnt_ab >= minCount

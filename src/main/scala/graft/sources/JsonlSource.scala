@@ -73,21 +73,36 @@ object JsonlSource {
 
   private def parse(lines: DataFrame, schema: StructType): DataFrame = {
     val full = schema.add(CorruptCol, StringType, nullable = true)
+    // A line holding the JSON literal `null` (a classic buggy-serializer
+    // output) or only whitespace parses to a NULL STRUCT, not a malformed
+    // record — from_json raises no error and fills no corrupt column. The
+    // fallback struct routes those lines to [[CorruptCol]] too, keeping
+    // the one-row-per-line contract airtight.
+    val nullRow = struct(
+      schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)).toSeq :+
+        col("value").as(CorruptCol): _*)
     lines
       .where(length(col("value")) > 0)
-      .select(from_json(col("value"), full,
+      .select(col("value"), from_json(col("value"), full,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> CorruptCol)).as("r"))
+      .select(coalesce(col("r"), nullRow).as("r"))
       .select(col("r.*"))
   }
 
-  /** Fail-fast jsonl read: any unparseable or mistyped line raises. */
+  /** Fail-fast jsonl read: any unparseable or mistyped line raises —
+    * including null-struct lines (a bare `null` / whitespace), which
+    * FAILFAST alone accepts as a silent null record. */
   def readStrict(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.read.text(path)
       .where(length(col("value")) > 0)
-      .select(from_json(col("value"), schema,
+      .select(col("value"), from_json(col("value"), schema,
         Map("mode" -> "FAILFAST")).as("r"))
+      .select(when(col("r").isNull,
+        raise_error(concat(lit("Malformed jsonl line (null record): "),
+          col("value"))))
+        .otherwise(col("r")).as("r"))
       .select(col("r.*"))
 
   /** Cleanly-parsed rows, corrupt-record column dropped. */

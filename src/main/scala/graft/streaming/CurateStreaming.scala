@@ -54,8 +54,12 @@ object CurateStreaming {
     readDeltas(spark, s"$indexPath/digests", beforeBatch, digestSchema),
     readDeltas(spark, s"$indexPath/banded", beforeBatch, bandedSchema))
 
-  private def readDeltas(spark: SparkSession, path: String, before: Long,
-      schema: StructType): DataFrame = {
+  /** Batch-bounded delta read shared by the streaming sinks: explicit
+    * schema (batch_id from the partition paths) so a crash-truncated
+    * newest batch directory prunes away instead of breaking schema
+    * inference on every recovery replay. */
+  private[streaming] def readDeltas(spark: SparkSession, path: String,
+      before: Long, schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p) || fs.listStatus(p).isEmpty)

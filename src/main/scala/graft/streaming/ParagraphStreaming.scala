@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
@@ -43,20 +43,10 @@ object ParagraphStreaming {
     * frequency). Empty frame when nothing has been ingested.
     */
   def loadIndex(spark: SparkSession, indexPath: String,
-      beforeBatch: Long): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) || fs.listStatus(p).isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), deltaSchema)
-    else
-      // EXPLICIT schema: a crash can leave the newest batch directory
-      // with zero readable data files (see CurateStreaming.readDeltas)
-      spark.read.schema(deltaSchema.add(StructField("batch_id", LongType)))
-        .parquet(indexPath)
-        .where(col("batch_id") < beforeBatch)
-        .groupBy(col("pdigest"))
-        .agg(sum(col("doc_freq")).as("doc_freq"))
-  }
+      beforeBatch: Long): DataFrame =
+    CurateStreaming.readDeltas(spark, indexPath, beforeBatch, deltaSchema)
+      .groupBy(col("pdigest"))
+      .agg(sum(col("doc_freq")).as("doc_freq"))
 
   /** One micro-batch body, exposed for deterministic-replay testing: the
     * streaming query below delegates here verbatim.
@@ -83,7 +73,8 @@ object ParagraphStreaming {
       sep: String = "\n", maxDocFreq: Long = 1L): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
         ingestBatch(batch.toDF(), batchId, idCol, textCol, sep, maxDocFreq,
           indexPath, outPath)
       }

@@ -63,7 +63,7 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("q_doc_chunks / q_text_repetition / q_pii_redact / q_zorder_key: shuffle-free narrow plans") {
+  test("q_doc_chunks / q_text_repetition / q_pii_redact / q_zorder_key / q_line_dedup: shuffle-free narrow plans") {
     Seq("q_doc_chunks", "q_text_repetition", "q_pii_redact", "q_zorder_key",
       "q_line_dedup")
       .foreach { n =>
@@ -323,7 +323,6 @@ class PlanAuditSpec extends SparkSpec {
       s"expected <=3 hash exchanges (2 digest-only + 1 reassembly), got $exchanges:\n$p")
   }
 }
-
 
 /** AQE must split a skewed shuffle partition at runtime (OptimizeSkewedJoin)
   * — the complement of ops.Skew's compile-time salting: salting handles the

@@ -62,6 +62,22 @@ class JsonlSourceSpec extends SparkSpec {
     }
   }
 
+  test("a bare `null` or whitespace line routes as corrupt, never a phantom row") {
+    // from_json parses these to a NULL STRUCT with no corrupt record —
+    // the routing fallback must catch what the parser does not flag
+    val d = tmpDir()
+    writeLines(d, "a.jsonl", """{"id": 1, "text": "real"}""", "null", "   ")
+    val df = JsonlSource.read(spark, d.getPath, schema)
+    assert(JsonlSource.good(df).count() === 1, "phantom all-null row leaked")
+    val raw = JsonlSource.corrupt(df)
+      .select(JsonlSource.CorruptCol).collect().map(_.getString(0)).toSet
+    assert(raw === Set("null", "   "), s"raw lines not preserved: $raw")
+    // and strict mode raises on them instead of yielding a null record
+    intercept[SparkException] {
+      JsonlSource.readStrict(spark, d.getPath, schema).collect()
+    }
+  }
+
   test("schema evolution: a missing field reads as null, not corrupt") {
     val d = tmpDir()
     writeLines(d, "old.jsonl", """{"id": 7}""") // old shard: no text field
