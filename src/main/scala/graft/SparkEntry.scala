@@ -66,6 +66,27 @@ object SparkEntry {
         "\n").as("text"))
   }
 
+  /** The snapshot-table queries' shared app-scoped fixture: version 1 =
+    * even doc_ids, version 2 adds the odds (committed once per
+    * application; the hook reclaims the directory). Returns the table
+    * path. */
+  private def snapshotTwoVersionFixture(s: SparkSession, dir: String): String = {
+    val file = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_snap_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(dir.hashCode))
+    val table = file.getPath
+    if (graft.sinks.SnapshotTable.latestVersion(s, table).isEmpty) {
+      deleteRecursivelyOnExit(file)
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      graft.sinks.SnapshotTable.append(
+        docs.where(col("doc_id") % 2 === 0), table)
+      graft.sinks.SnapshotTable.append(
+        docs.where(col("doc_id") % 2 === 1), table)
+    }
+    table
+  }
+
   /** Driver-testdata fixtures for the end-to-end pipeline query: the
     * constituent list derives from `supplier` ("S<k>") and bars derive from
     * `lineitem` ([[graft.etl.StockBars]]) — both reproducible in DuckDB
@@ -764,20 +785,19 @@ object SparkEntry {
     // recomputed directly — any commit/isolation/diff defect (lost dir,
     // reread base, torn manifest) hash-fails.
     "q_snapshot_table_diff" -> q { (s, dir) =>
-      val file = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_snap_${s.sparkContext.applicationId}_" +
-          Integer.toHexString(dir.hashCode))
-      val table = file.getPath
-      if (graft.sinks.SnapshotTable.latestVersion(s, table).isEmpty) {
-        deleteRecursivelyOnExit(file)
-        val docs = Tables.documents(s, dir).select(col("doc_id"),
-          length(col("text")).cast(LongType).as("n_chars"))
-        graft.sinks.SnapshotTable.append(
-          docs.where(col("doc_id") % 2 === 0), table)
-        graft.sinks.SnapshotTable.append(
-          docs.where(col("doc_id") % 2 === 1), table)
-      }
-      graft.sinks.SnapshotTable.diff(s, table, 1L, 2L)
+      graft.sinks.SnapshotTable.diff(s, snapshotTwoVersionFixture(s, dir),
+        1L, 2L)
+    },
+
+    // Time travel: read version 1 AFTER version 2 is committed — the
+    // snapshot-isolation read path at a pinned version (the v2 data dirs
+    // must be invisible through the v1 manifest). Shares the app-scoped
+    // two-version fixture. PROPERTY oracle: exactly the even half of
+    // `documents` — a leaked v2 dir, a torn manifest, or a latest-wins
+    // resolve all hash-fail.
+    "q_snapshot_time_travel" -> q { (s, dir) =>
+      graft.sinks.SnapshotTable.readVersion(s,
+        snapshotTwoVersionFixture(s, dir), 1L)
     },
 
     // Zone-map DATA SKIPPING over the snapshot table: one commit per
@@ -5143,6 +5163,10 @@ object SparkEntry {
     "q_snapshot_table_diff" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+
+    "q_snapshot_time_travel" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 2 = 0""".stripMargin,
 
     "q_snapshot_skipping" ->
       """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
