@@ -385,6 +385,8 @@ class PlanSweepSpec extends SparkSpec {
   //    (n_nodes, n_edges, n_triangles) into the single stats row
   //  - q_unigram_logprob cross-joins the 1-ROW broadcast corpus token
   //    total onto the (doc, token) frame
+  //  - q_bigram_logprob likewise cross-joins the 1-ROW broadcast bigram
+  //    total (the rare-context smoothing floor) onto the (doc, a, b) frame
   //  - q_pagerank cross-joins the 1-ROW broadcast dangling-mass carrier
   //    into each round's rank projection (the fusion that removed the
   //    per-iteration driver scalar job — r4 verdict item 4)
@@ -393,7 +395,8 @@ class PlanSweepSpec extends SparkSpec {
   //    before the map-side ring filter
   private val cartesianOk =
     Set("q_ann_recall", "q_bm25_search", "q_ann_quantized", "q_triangle_count",
-      "q_unigram_logprob", "q_pagerank", "q_mixture_temperature")
+      "q_unigram_logprob", "q_bigram_logprob", "q_pagerank",
+      "q_mixture_temperature")
 
   test("no accidental cartesian or nested-loop joins in any driver query") {
     val problems = scala.collection.mutable.ListBuffer.empty[String]
