@@ -335,10 +335,12 @@ object Bench {
     // (boilerplate-heavy corpus) needs the CC path itself on the row,
     // not only the canonical-keep composition over it
     "q_dedup_groups",
-    // round-8 addition: paragraph-level boilerplate dedup — claims one
-    // digest aggregation + broadcast probe + one reassembly shuffle; the
-    // boilerplate-heavy fixture gives it real cross-doc repetition
-    "q_paragraph_dedup")
+    // round-8 additions: paragraph-level boilerplate dedup — claims one
+    // digest aggregation + broadcast probe + one reassembly shuffle (the
+    // boilerplate-heavy fixture gives it real cross-doc repetition) —
+    // and the bigram LM score — claims ONE corpus window pass feeding
+    // all four consumers through the checkpointed tf table
+    "q_paragraph_dedup", "q_bigram_logprob")
 
   /** Study-only query: SemDeDup at its documented OPERATING POINT — the
     * cluster count grows with the corpus so mean cluster size (and with

@@ -479,7 +479,17 @@ object TextAnalysis {
     * the joins degrade to shuffles of 3-column count rows, never bodies.
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String = "text",
-      minCount: Long = 1L): DataFrame = {
+      minCount: Long = 1L): DataFrame =
+    bigramLogProbCached(docs, idCol, textCol, minCount).df
+
+  /** [[bigramLogProb]] with the internally-checkpointed (doc, a, b, tf)
+    * frame handed out for release ([[graft.ops.Checkpoints.CachedResult]])
+    * — the variant a long-running caller must use, or executor storage
+    * accumulates one tf table per call until ContextCleaner GC. Consume
+    * `df`, then `release()`. */
+  def bigramLogProbCached(docs: DataFrame, idCol: String,
+      textCol: String = "text",
+      minCount: Long = 1L): graft.ops.Checkpoints.CachedResult = {
     val par = graft.Conf.sizedShufflePartitions(docs, rowMultiplier = 2.0)
     val toks = docs.repartition(par, col(idCol))
       .select(col(idCol).as("doc_id"),
@@ -489,8 +499,14 @@ object TextAnalysis {
       .select(col("doc_id"), col("tok").as("a"),
         lead(col("tok"), 1).over(w).as("b"))
       .where(col("b").isNotNull)
+    // the corpus-wide window + aggregation feeds FOUR consumers (the
+    // scoring join side, both model tables, the totals scalar) — lazily
+    // localCheckpoint so it computes once per action instead of four
+    // times (the semanticDedup pattern; blocks belong to the first
+    // materializing action)
     val tfb = bi.groupBy(col("doc_id"), col("a"), col("b"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val cab = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cnt_ab"))
     val ca = cab.groupBy(col("a")).agg(sum(col("cnt_ab")).as("cnt_a"))
       .where(col("cnt_a") >= minCount)
@@ -518,9 +534,11 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"),
         (col("__fxs").cast(DoubleType) / lit(fxScale) / col("n_bigrams"))
           .as("avg_logprob"))
-    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+    val out = docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_logprob"))
+    graft.ops.Checkpoints.CachedResult(out, Seq(tfb))
   }
 
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String = "text",
