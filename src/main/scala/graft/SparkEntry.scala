@@ -1636,6 +1636,18 @@ object SparkEntry {
         round(graft.functions.VectorFunctions.l2NormF32(col("embedding")), 4).as("l2_norm"))
     },
 
+    // Element-wise mean pooling per label (the chunk-embeddings →
+    // doc-embedding step). Bit-exact: 2^24 fixed-point longs sum
+    // order-free; one fixed-order double division per element. The
+    // centroid array is exploded to scalar rows for the compare (the
+    // gate sorts rows by every column; arrays don't sort).
+    "q_embed_meanpool" -> q { (s, dir) =>
+      Similarity.meanPool(Tables.embeddings(s, dir), "label", "embedding")
+        .select(col("group_id"), col("n_vectors"),
+          posexplode(col("centroid")).as(Seq("pos", "v")))
+        .withColumn("pos", col("pos").cast(LongType))
+    },
+
     // LSH bucket assignment (rows-only: seeded hyperplanes not in DuckDB).
     "q_ann_lsh_buckets" -> q { (s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir), "vec_id", "embedding", planes = 12)
@@ -5943,6 +5955,22 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
         |LIMIT 10""".stripMargin,
+
+    "q_embed_meanpool" ->
+      """WITH ex AS (
+        |  SELECT label AS group_id, pos,
+        |    CAST(floor(CAST(x AS DOUBLE) * 16777216.0) AS BIGINT) AS fx
+        |  FROM (SELECT label, unnest(embedding) AS x,
+        |          unnest(generate_series(0, len(embedding)-1)) AS pos
+        |        FROM embeddings)),
+        |g AS (
+        |  SELECT group_id, pos, sum(fx) AS fxs, count(*) AS n
+        |  FROM ex GROUP BY 1, 2),
+        |nv AS (SELECT group_id, CAST(max(n) AS BIGINT) AS n_vectors
+        |       FROM g GROUP BY 1)
+        |SELECT g.group_id, nv.n_vectors, g.pos,
+        |  CAST(fxs AS DOUBLE) / 16777216.0 / CAST(n AS DOUBLE) AS v
+        |FROM g JOIN nv USING (group_id)""".stripMargin,
 
     "q_embed_norms" ->
       """SELECT vec_id, label,

@@ -503,4 +503,42 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"), col("cos_sim"), col("centroid_id"))
   }
+
+  /** Element-wise mean pooling of embedding vectors per group — the
+    * chunk-embeddings → document-embedding step (and the class-centroid
+    * builder): a long document is embedded in chunks, and downstream
+    * dedup/search wants ONE vector per document. Returns
+    * (group_id, centroid: array<double>, n_vectors).
+    *
+    * Bit-exact across engines and partitionings: each float element is
+    * scaled by 2^24 and floored to a LONG before summing — a float's
+    * 24-bit mantissa times 2^24 is exact in double, so the floor is
+    * deterministic, and integer sums commute (a naive float mean is
+    * accumulation-order-dependent and non-reproducible under AQE
+    * re-planning). The division back to double is one fixed-order
+    * operation per element.
+    *
+    * Scale shape: narrow explode, then ONE aggregation keyed by
+    * (group, position) — groups × dim keys, map-side combined — and one
+    * group-keyed reassembly; ragged vectors average over the elements
+    * present at each position.
+    */
+  def meanPool(vecs: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val fx = 16777216.0 // 2^24
+    vecs
+      .select(col(groupCol).as("group_id"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("group_id"), col("pos"))
+      .agg(sum(floor(col("x").cast(DoubleType) * lit(fx)).cast(LongType))
+          .as("fxs"),
+        count(lit(1)).as("n"))
+      .groupBy(col("group_id"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("fxs").cast(DoubleType) / lit(fx) / col("n").cast(DoubleType))
+              .as("v")))),
+          _.getField("v")).as("centroid"),
+        max(col("n")).as("n_vectors"))
+  }
 }

@@ -219,6 +219,25 @@ class SimilaritySpec extends SparkSpec {
     assert(top(1) == 2L)   // then the near one
   }
 
+  test("meanPool: hand-checked centroid, ragged vectors, partition invariance") {
+    val df = Seq(
+      (0, Array(1.0f, 3.0f)),
+      (0, Array(3.0f, 5.0f)),
+      (1, Array(2.0f)),          // ragged: pos 1 absent
+      (1, Array(4.0f, 8.0f))).toDF("label", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.meanPool(d, "label", "embedding")
+        .collect().map(r => r.getInt(0) ->
+          ((r.getSeq[Double](1).toList, r.getLong(2)))).toMap
+    val out = run(df)
+    // exactly-representable floats: fixed-point mean == plain mean
+    assert(out(0) === ((List(2.0, 4.0), 2L)))
+    // ragged: pos 0 averages 2 vectors, pos 1 only the one present
+    assert(out(1) === ((List(3.0, 8.0), 2L)))
+    // bit-identical under re-partitioning (integer sums commute)
+    assert(run(df.repartition(7)) === out)
+  }
+
   test("cosine: identical=1, orthogonal=0, opposite=-1") {
     val c = vecs.select(col("vec_id"),
       Similarity.cosine(Similarity.toDoubleVec(col("embedding")),
