@@ -604,6 +604,16 @@ object SparkEntry {
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     },
 
+    // Chunk-level mixed-language detection: 20-token chunks voted by the
+    // stopword-profile langId; per doc the majority language (count
+    // argmax, language-string tiebreak) and the minority-chunk share in
+    // integer permyriad — the signal a whole-document argmax cannot see.
+    // The oracle replays the chunking, all five overlap scores, and the
+    // tiebreak CASE chain.
+    "q_lang_mixture" -> q { (s, dir) =>
+      TextAnalysis.langMixture(Tables.documents(s, dir), "doc_id", "text")
+    },
+
     "q_lang_profile" -> q { (s, dir) =>
       Tables.documents(s, dir)
         .groupBy(col("lang"))
@@ -5145,6 +5155,60 @@ object SparkEntry {
         |       ELSE 'de' END AS lang_detected,
         |  fingerprint
         |FROM scored""".stripMargin,
+
+    "q_lang_mixture" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+        |  FROM documents),
+        |cd AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, CAST((len(t)-1)//20 AS INT)),
+        |      i -> list_slice(t, i*20+1, i*20+20)) AS cs
+        |  FROM tk),
+        |ne AS (
+        |  SELECT doc_id, c FROM (SELECT doc_id, unnest(cs) AS c FROM cd)
+        |  WHERE len(c) > 0),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(c, x -> x IN
+        |      ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |      / len(c) AS s_en,
+        |    CAST(len(list_filter(c, x -> x IN
+        |      ('der','die','das','und','ist','nicht','ein','zu','mit','den'))) AS DOUBLE)
+        |      / len(c) AS s_de,
+        |    CAST(len(list_filter(c, x -> x IN
+        |      ('le','la','les','et','est','un','une','des','que','pour'))) AS DOUBLE)
+        |      / len(c) AS s_fr,
+        |    CAST(len(list_filter(c, x -> x IN
+        |      ('el','la','los','y','es','un','una','que','de','por'))) AS DOUBLE)
+        |      / len(c) AS s_es,
+        |    CAST(len(list_filter(c, x -> x IN
+        |      ('de','le','shi','bu','wo','you','zai','ta','men','zhe'))) AS DOUBLE)
+        |      / len(c) AS s_zh
+        |  FROM ne),
+        |lg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN m IS NULL OR NOT (m > 0e0) THEN 'und'
+        |         WHEN s_zh = m THEN 'zh' WHEN s_fr = m THEN 'fr'
+        |         WHEN s_es = m THEN 'es' WHEN s_en = m THEN 'en'
+        |         ELSE 'de' END AS lang
+        |  FROM (SELECT doc_id, greatest(s_en, s_de, s_fr, s_es, s_zh) AS m,
+        |          s_en, s_de, s_fr, s_es, s_zh FROM sc)),
+        |pl AS (SELECT doc_id, lang, count(*) AS cnt FROM lg GROUP BY 1, 2),
+        |win AS (
+        |  SELECT doc_id, lang, cnt,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY cnt DESC, lang DESC) AS rk,
+        |    sum(cnt) OVER (PARTITION BY doc_id) AS n_chunks,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_langs
+        |  FROM pl)
+        |SELECT doc_id,
+        |  CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(n_langs AS BIGINT) AS n_langs,
+        |  lang AS majority_lang,
+        |  CAST(floor(10000 * (n_chunks - cnt) / n_chunks) AS BIGINT)
+        |    AS minority_pm
+        |FROM win WHERE rk = 1""".stripMargin,
 
     "q_lang_profile" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,

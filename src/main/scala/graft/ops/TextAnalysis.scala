@@ -126,6 +126,45 @@ object TextAnalysis {
     when(best.getField("score") > 0.0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Mixed-language detection — the curation signal [[langId]] alone
+    * cannot produce: a document that interleaves two languages gets ONE
+    * whole-document argmax and slides through a per-language pipeline,
+    * but chunk-level voting exposes it. Tokens split into fixed
+    * `chunkTokens`-token chunks, each chunk language-ID'd, then per doc:
+    * chunk count, distinct detected languages, the majority language
+    * (count argmax, language-string tiebreak), and the minority-chunk
+    * share in integer permyriad — the "how mixed" gate value.
+    *
+    * Scale shape: the chunk explode is narrow and the per-chunk argmax
+    * is in-row; the corpus shuffles ONCE at (doc, lang) grain — ≤
+    * profiles+1 rows per doc — and the doc-grain reassembly reuses that
+    * partitioning's tiny output. Docs with zero tokens are absent.
+    */
+  def langMixture(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 20): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val w = chunkTokens
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("t"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), ((size(col("t")) - lit(1)) / lit(w)).cast(IntegerType)),
+          i => slice(col("t"), i * lit(w) + lit(1), lit(w)))).as("c"))
+      .where(size(col("c")) > 0)
+    chunks
+      .select(col("doc_id"), langIdFromTokens(col("c")).as("lang"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_chunks"),
+        countDistinct(col("lang")).as("n_langs"),
+        max(struct(col("cnt"), col("lang"))).as("__m"))
+      .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+        col("__m").getField("lang").as("majority_lang"),
+        floor(lit(10000L) * (col("n_chunks") - col("__m").getField("cnt"))
+          / col("n_chunks")).cast(LongType).as("minority_pm"))
+  }
+
   /** Repetition statistics from a materialized tokens column — the
     * Gopher-style "excess duplication" quality signal: word-salad and
     * boilerplate-looped documents show a high duplicate-token fraction.

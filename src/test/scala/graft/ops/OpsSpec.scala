@@ -558,6 +558,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p1(1L).get == out(1L)._2.get && p1(2L).get == out(2L)._2.get)
   }
 
+  test("lang mixture: chunk voting exposes a doc the whole-doc argmax hides") {
+    // 4-token chunks: doc 1 = two English chunks + one German chunk;
+    // doc 2 monolingual; doc 3 stopword-free → every chunk 'und'
+    val en = "the of and to"
+    val de = "der und ist zu"
+    val df = Seq(
+      (1L, s"$en $en $de"),
+      (2L, s"$en $en"),
+      (3L, "qqq www eee rrr")).toDF("doc_id", "text")
+    val out = TextAnalysis.langMixture(df, "doc_id", "text", chunkTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((3L, 2L, "en", 3333L))) // 1 of 3 chunks minority
+    assert(out(2L) === ((2L, 1L, "en", 0L)))
+    assert(out(3L) === ((1L, 1L, "und", 0L)))
+    // the whole-doc argmax on doc 1 reads plain 'en' — mixture is the
+    // only signal that sees the German third
+    val whole = df.where(col("doc_id") === 1L)
+      .select(TextAnalysis.langId(col("text"))).head().getString(0)
+    assert(whole === "en")
+  }
+
   test("bigram logprob: hand-checked values, both floors, partition invariance") {
     val df = Seq(
       (1L, "x y x y z"), // bigrams: (x,y)x2 (y,x) (y,z); C(x.)=3 C(y.)=2 N=5
