@@ -516,6 +516,12 @@ object TextAnalysis {
     * shuffle); the model tables are minCount-floored and broadcast —
     * at a vocabulary where the floored bigram table outgrows broadcast,
     * the joins degrade to shuffles of 3-column count rows, never bodies.
+    *
+    * One-shot form: the checkpointed tf table's release handle is
+    * dropped, so its blocks free on ContextCleaner GC after the caller's
+    * frame reference dies (the bench's inter-query `System.gc()` is
+    * exactly that trigger). A caller invoking this repeatedly in one
+    * long-lived job must use [[bigramLogProbCached]] and `release()`.
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String = "text",
       minCount: Long = 1L): DataFrame =

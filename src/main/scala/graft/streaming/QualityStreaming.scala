@@ -22,7 +22,14 @@ import graft.ops.TextAnalysis
   */
 object QualityStreaming {
 
-  /** One micro-batch body, exposed for deterministic-replay testing. */
+  /** One micro-batch body, exposed for deterministic-replay testing.
+    * A batch with NO tokenizable tokens (CJK-only, emoji, empty bodies —
+    * the worst coverage collapse there is) logs `oov_permyriad = NULL`,
+    * never 0: zero would read as perfect coverage to an alert watching
+    * the headline column at exactly the moment coverage vanished.
+    * `n_docs` counts MEASURABLE docs (zero-token docs have no coverage
+    * to measure and are absent from the per-doc audit by contract).
+    */
   def monitorBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, vocab: DataFrame, outPath: String): Unit = {
     val perDoc = TextAnalysis.oovRate(batch, idCol, textCol, vocab)
@@ -30,9 +37,12 @@ object QualityStreaming {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_oov")).as("n_oov"))
-      .select(col("n_docs"), col("n_tokens"), col("n_oov"),
-        coalesce(floor(lit(10000L) * col("n_oov") / col("n_tokens"))
-          .cast("long"), lit(0L)).as("oov_permyriad"))
+      .select(col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(col("n_tokens") > 0,
+          floor(lit(10000L) * col("n_oov") / col("n_tokens")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("oov_permyriad"))
       .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
   }
 
@@ -41,16 +51,44 @@ object QualityStreaming {
     * `spark.read.parquet(outPath)` — (batch_id, n_docs, n_tokens,
     * n_oov, oov_permyriad). */
   def oovMonitorStream(docs: DataFrame, idCol: String, textCol: String,
-      vocab: DataFrame, outPath: String, checkpoint: String): StreamingQuery =
+      vocab: DataFrame, outPath: String, checkpoint: String): StreamingQuery = {
+    // freeze the vocabulary ONCE: frames are lazy, so an un-persisted
+    // buildVocab-shaped vocab would re-run its full corpus aggregation
+    // inside every micro-batch before re-broadcasting. Blocks release
+    // with the session (or the caller unpersists after stop()).
+    val frozen = vocab.persist()
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
-        monitorBatch(batch.toDF(), batchId, idCol, textCol, vocab, outPath)
+        monitorBatch(batch.toDF(), batchId, idCol, textCol, frozen, outPath)
       }
       .start()
+  }
 
-  /** Convenience: the drift log as one frame, newest first. */
-  def driftLog(spark: SparkSession, outPath: String): DataFrame =
-    spark.read.parquet(outPath).orderBy(col("batch_id").desc)
+  private val logSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_docs",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_oov",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("oov_permyriad",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch_id",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Convenience: the drift log as one frame, newest first. Tolerates
+    * "no batches yet" (a monitor's read path must not crash the poller
+    * that races the first commit): empty frame, documented schema. */
+  def driftLog(spark: SparkSession, outPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), logSchema)
+    else
+      spark.read.schema(logSchema).parquet(outPath)
+        .orderBy(col("batch_id").desc)
+  }
 }

@@ -27,12 +27,37 @@ class QualityStreamingSpec extends SparkSpec {
       input.addData((3L, "known NEWTOK"), (4L, "words OTHERTOK"))
       q.processAllAvailable()
       val log = QualityStreaming.driftLog(spark, s"$dir/out")
-        .collect().map(r => r.getAs[Int]("batch_id").toLong ->
+        .collect().map(r => r.getAs[Long]("batch_id") ->
           ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
             r.getAs[Long]("n_oov"), r.getAs[Long]("oov_permyriad")))).toMap
       assert(log(0L) === ((2L, 4L, 0L, 0L)))
       assert(log(1L) === ((2L, 4L, 2L, 5000L)), "drift batch must read 50%")
     } finally q.stop()
+  }
+
+  test("an unmeasurable batch logs NULL rate, never a healthy-looking 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("oovnull").toString
+    val vocab = Seq("ok").toDF("token")
+    // no \w+ token anywhere: coverage has collapsed entirely
+    QualityStreaming.monitorBatch(
+      Seq((1L, "!!! ---"), (2L, "")).toDF("doc_id", "text"), 0L,
+      "doc_id", "text", vocab, s"$dir/out")
+    val r = QualityStreaming.driftLog(spark, s"$dir/out").collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_docs") === 0L) // measurable docs only
+    assert(r(0).getAs[Long]("n_tokens") === 0L &&
+      r(0).getAs[Long]("n_oov") === 0L)
+    assert(r(0).isNullAt(r(0).fieldIndex("oov_permyriad")),
+      "collapsed coverage must not read as 0 = perfect")
+  }
+
+  test("driftLog tolerates 'no batches yet'") {
+    val empty = QualityStreaming.driftLog(spark,
+      java.nio.file.Files.createTempDirectory("oovempty").toString + "/nope")
+    assert(empty.count() === 0)
+    assert(empty.columns.toSet ===
+      Set("n_docs", "n_tokens", "n_oov", "oov_permyriad", "batch_id"))
   }
 
   test("replaying a batch regenerates its row (exactly-once)") {
