@@ -604,6 +604,17 @@ object SparkEntry {
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     },
 
+    // Corpus-relative length gate (Gopher rule with exact order-statistic
+    // bounds): keep docs inside [P5, P95] of the corpus's own token-count
+    // distribution. The double literals round-trip through CAST('…' AS
+    // DOUBLE) in the oracle so ceil(p·n) sees the identical IEEE product
+    // on both engines (a bare DuckDB decimal literal would be DECIMAL
+    // arithmetic and can ceil differently).
+    "q_length_gate" -> q { (s, dir) =>
+      TextAnalysis.lengthGate(Tables.documents(s, dir), "doc_id", "text",
+        pLo = 0.05, pHi = 0.95)
+    },
+
     // Chunk-level mixed-language detection: 20-token chunks voted by the
     // stopword-profile langId; per doc the majority language (count
     // argmax, language-string tiebreak) and the minority-chunk share in
@@ -5155,6 +5166,26 @@ object SparkEntry {
         |       ELSE 'de' END AS lang_detected,
         |  fingerprint
         |FROM scored""".stripMargin,
+
+    "q_length_gate" ->
+      """WITH lens AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |freq AS (SELECT n_tokens, count(*) AS cnt FROM lens GROUP BY 1),
+        |cum AS (
+        |  SELECT n_tokens, sum(cnt) OVER (ORDER BY n_tokens) AS cum FROM freq),
+        |nn AS (SELECT count(*) AS n FROM lens),
+        |b AS (
+        |  SELECT
+        |    min(CASE WHEN cum >= ceil(CAST('0.05' AS DOUBLE) * n)
+        |        THEN n_tokens END) AS len_lo,
+        |    min(CASE WHEN cum >= ceil(CAST('0.95' AS DOUBLE) * n)
+        |        THEN n_tokens END) AS len_hi
+        |  FROM cum CROSS JOIN nn)
+        |SELECT l.doc_id, l.n_tokens, b.len_lo, b.len_hi
+        |FROM lens l CROSS JOIN b
+        |WHERE l.n_tokens BETWEEN b.len_lo AND b.len_hi""".stripMargin,
 
     "q_lang_mixture" ->
       """WITH tk AS (

@@ -126,6 +126,45 @@ object TextAnalysis {
     when(best.getField("score") > 0.0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Corpus-relative length gate — the Gopher length rule done right:
+    * fixed length bounds rot as the corpus mix shifts, so the bounds
+    * here are EXACT order statistics of the corpus itself (keep docs
+    * whose token count lies within [pLo, pHi] of the length
+    * distribution). Returns the kept docs with the thresholds attached:
+    * (doc_id, n_tokens, len_lo, len_hi).
+    *
+    * The k-th order statistic at 100 TB without sorting the corpus: the
+    * DISTINCT-length frequency table (one tiny aggregation — the length
+    * domain is a few thousand values no matter the corpus size) gets a
+    * cumulative count; the thresholds are the first lengths whose
+    * cumulative count reaches ceil(p·n). The single-partition window
+    * over that table is domain-bounded BY CONSTRUCTION — the same
+    * justification as the packing buckets — and the corpus itself is
+    * touched only by two narrow passes (length projection, broadcast
+    * filter).
+    */
+  def lengthGate(docs: DataFrame, idCol: String, textCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val lens = docs.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).as("n_tokens"))
+    val freq = lens.groupBy(col("n_tokens")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bounds = freq
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(freq.agg(sum(col("cnt")).as("n"))))
+      .agg(
+        min(when(col("cum") >= ceil(lit(pLo) * col("n")), col("n_tokens")))
+          .as("len_lo"),
+        min(when(col("cum") >= ceil(lit(pHi) * col("n")), col("n_tokens")))
+          .as("len_hi"))
+    lens.crossJoin(broadcast(bounds))
+      .where(col("n_tokens").between(col("len_lo"), col("len_hi")))
+      .select(col("doc_id"), col("n_tokens"), col("len_lo"), col("len_hi"))
+  }
+
   /** Mixed-language detection — the curation signal [[langId]] alone
     * cannot produce: a document that interleaves two languages gets ONE
     * whole-document argmax and slides through a per-language pipeline,

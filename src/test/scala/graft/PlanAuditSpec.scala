@@ -393,10 +393,13 @@ class PlanSweepSpec extends SparkSpec {
   //  - q_mixture_temperature cross-joins the 1-ROW broadcast Σ-weight
   //    total onto the per-domain counts frame (rows = #domains, tiny)
   //    before the map-side ring filter
+  //  - q_length_gate cross-joins two 1-ROW broadcasts (the corpus count
+  //    onto the domain-bounded frequency table; the thresholds row onto
+  //    the length projection)
   private val cartesianOk =
     Set("q_ann_recall", "q_bm25_search", "q_ann_quantized", "q_triangle_count",
       "q_unigram_logprob", "q_bigram_logprob", "q_pagerank",
-      "q_mixture_temperature")
+      "q_mixture_temperature", "q_length_gate")
 
   test("no accidental cartesian or nested-loop joins in any driver query") {
     val problems = scala.collection.mutable.ListBuffer.empty[String]

@@ -558,6 +558,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(p1(1L).get == out(1L)._2.get && p1(2L).get == out(2L)._2.get)
   }
 
+  test("length gate: exact order-statistic bounds, duplicate-mass ties") {
+    // token counts 1..10 → n=10; ceil(0.2·10)=2 → lo=2; ceil(0.8·10)=8 → hi=8
+    val docs = (1 to 10).map(i => (i.toLong, (1 to i).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lengthGate(docs, "doc_id", "text", 0.2, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).sorted.toSeq === (2L to 8L))
+    assert(out.forall(t => t._3 == 2L && t._4 == 8L))
+    // duplicate mass: lengths (1,1,1,9), n=4, pLo=0.5 → cum(len 1)=3 ≥ 2:
+    // the low bound lands ON the duplicated value
+    val dup = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, (1 to 9).map("x" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val d = TextAnalysis.lengthGate(dup, "doc_id", "text", 0.5, 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(d.keySet === Set(1L, 2L, 3L, 4L) && d(1L) === ((1L, 9L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lengthGate(dup, "doc_id", "text", 0.9, 0.1)
+    }
+  }
+
   test("lang mixture: chunk voting exposes a doc the whole-doc argmax hides") {
     // 4-token chunks: doc 1 = two English chunks + one German chunk;
     // doc 2 monolingual; doc 3 stopword-free → every chunk 'und'
