@@ -447,6 +447,10 @@ object TextAnalysis {
       (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
     val df = tf.where(col("token").isin(t: _*))
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // the broadcast HINT on df is BOUNDED, unlike the corpus-derived
+    // vocabulary tables above: df is pruned to the query's own terms
+    // before the join, so it holds at most |terms| rows regardless of
+    // corpus size — a forced hint here can never outgrow the driver
     val matched = tf.where(col("token").isin(t: _*))
       .join(broadcast(df), Seq("token"))
       .join(dl, Seq("doc_id"))
@@ -496,8 +500,14 @@ object TextAnalysis {
     * integer permyriad (bit-exact across engines; docs with zero tokens
     * are absent — they have no coverage to measure).
     *
-    * Scale shape: the vocabulary is broadcast (it is minCount-floored
-    * and therefore bounded); the corpus explodes narrowly and shuffles
+    * Scale shape: the vocabulary join is AQE-gated, NOT hint-forced — a
+    * minCount-floored vocabulary still grows with corpus size (the web's
+    * long tail), so AQE broadcasts it while it fits and falls back to a
+    * shuffled join of 2-column token rows when it doesn't; a forced hint
+    * would turn that documented degradation into a driver OOM (the same
+    * policy as [[bigramLogProb]]'s model tables, and this op is also run
+    * per-micro-batch by the streaming drift monitor, where a driver OOM
+    * kills the whole query). The corpus explodes narrowly and shuffles
     * ONCE, by document id, for the per-doc counts — the same single
     * corpus exchange every signal matrix in this file pays.
     */
@@ -506,7 +516,7 @@ object TextAnalysis {
     docs
       .select(col(idCol).as("doc_id"),
         explode(tokens(lower(col(textCol)))).as("token"))
-      .join(broadcast(vocab.select(col("token"), lit(true).as("__in"))),
+      .join(vocab.select(col("token"), lit(true).as("__in")),
         Seq("token"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -634,7 +644,11 @@ object TextAnalysis {
     val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
     val totals = counts.select(sum(col("cnt")).as("n_total")) // 1-row scalar
     val lm = counts.where(col("cnt") >= minCount)
-    val px = tf.join(broadcast(lm), Seq("token"), "left_outer")
+    // no broadcast HINT on the corpus-derived model table (same policy as
+    // bigramLogProb and oovRate): AQE broadcasts it while it fits and
+    // degrades to a shuffled join of 2-column count rows when a huge
+    // vocabulary outgrows the limit — a forced hint would OOM the driver
+    val px = tf.join(lm, Seq("token"), "left_outer")
       .crossJoin(broadcast(totals))
       .withColumn("__p_x",
         when(col("cnt").isNotNull,

@@ -81,8 +81,12 @@ object JsonlSource {
     val nullRow = struct(
       schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)).toSeq :+
         col("value").as(CorruptCol): _*)
+    // no pre-filter on empty lines: a zero-length line is NOT valid JSON,
+    // so under the one-row-per-line contract it must surface as a corrupt
+    // row (raw line = ""), not vanish — from_json yields a NULL struct for
+    // it, and the nullRow fallback routes it like any other null-struct
+    // line (bare `null`, whitespace-only)
     lines
-      .where(length(col("value")) > 0)
       .select(col("value"), from_json(col("value"), full,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> CorruptCol)).as("r"))
@@ -91,12 +95,13 @@ object JsonlSource {
   }
 
   /** Fail-fast jsonl read: any unparseable or mistyped line raises —
-    * including null-struct lines (a bare `null` / whitespace), which
-    * FAILFAST alone accepts as a silent null record. */
+    * including null-struct lines (a bare `null`, whitespace-only, or
+    * EMPTY line), which FAILFAST alone accepts as a silent null record.
+    * Empty lines are deliberately NOT pre-filtered: in a fail-fast
+    * context a blank line is a broken producer like any other. */
   def readStrict(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.read.text(path)
-      .where(length(col("value")) > 0)
       .select(col("value"), from_json(col("value"), schema,
         Map("mode" -> "FAILFAST")).as("r"))
       .select(when(col("r").isNull,

@@ -487,3 +487,69 @@ class RuntimeFilterSpec extends SparkSpec {
     }
   }
 }
+
+/** The corpus-derived vocabulary tables in TextAnalysis (oovRate's vocab,
+  * unigramLogProb's lm) must be AQE-GATED, never hint-forced: a
+  * minCount-floored vocabulary still grows with corpus size, and a forced
+  * broadcast() hint would turn the documented shuffle fallback into a
+  * driver OOM (r8 advice; the bigram model tables were fixed in r8 — this
+  * guards the whole family). Both directions are asserted: AQE broadcasts
+  * while the table fits, and the SAME code degrades to a shuffled join —
+  * with identical results — when the broadcast path is unavailable.
+  */
+class VocabJoinFallbackSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.ops.TextAnalysis
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // run so the AQE final plan is the inspectable one
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("oovRate: AQE broadcasts a small vocab, falls back to shuffle above the limit") {
+    val vocab = TextAnalysis.buildVocab(docs, "text", minCount = 2L)
+      .select("token")
+    val c = spark.conf
+    val saved = c.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val small = finalPlan(TextAnalysis.oovRate(docs, "doc_id", "text", vocab))
+      assert(small.contains("BroadcastHashJoin"),
+        s"AQE did not broadcast a fitting vocab:\n$small")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // vocab "outgrew" it
+      val big = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+      val bigPlan = finalPlan(big)
+      assert(!bigPlan.contains("BroadcastHashJoin"),
+        s"vocab join still broadcast with the hint path closed:\n$bigPlan")
+      // degraded plan, identical answer
+      c.unset("spark.sql.autoBroadcastJoinThreshold")
+      val ref = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+      assert(big.except(ref).isEmpty && ref.except(big).isEmpty)
+    } finally saved match {
+      case Some(v) => c.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => c.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("unigramLogProb: model-table join degrades to shuffle with identical scores") {
+    val c = spark.conf
+    val saved = c.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = TextAnalysis.unigramLogProb(docs, "doc_id", minCount = 2L)
+      val plan = finalPlan(shuffled)
+      // the 1-row totals scalar legitimately stays a broadcast nested-loop
+      // cross join; the TOKEN-keyed lm join must not be a broadcast hash join
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"lm join still broadcast with the hint path closed:\n$plan")
+      c.unset("spark.sql.autoBroadcastJoinThreshold")
+      val ref = TextAnalysis.unigramLogProb(docs, "doc_id", minCount = 2L)
+      assert(shuffled.except(ref).isEmpty && ref.except(shuffled).isEmpty,
+        "shuffled-fallback scores drifted from the broadcast-path scores")
+    } finally saved match {
+      case Some(v) => c.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => c.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

@@ -78,6 +78,29 @@ class JsonlSourceSpec extends SparkSpec {
     }
   }
 
+  test("an EMPTY line routes as corrupt (raw line \"\"), never silently dropped") {
+    // the r8 advice gap: zero-length lines were pre-filtered, so they
+    // vanished even in fail-fast mode — one row per PHYSICAL line now
+    // includes the degenerate line
+    val d = tmpDir()
+    writeLines(d, "a.jsonl", """{"id": 1, "text": "real"}""", "",
+      """{"id": 2, "text": "also real"}""")
+    val df = JsonlSource.read(spark, d.getPath, schema)
+    assert(df.count() === 3, "one row per physical line, empty included")
+    assert(JsonlSource.good(df).count() === 2)
+    val raw = JsonlSource.corrupt(df)
+      .select(JsonlSource.CorruptCol).collect().map(_.getString(0)).toSeq
+    assert(raw === Seq(""), s"empty line not routed as corrupt: $raw")
+    // and strict mode raises on it instead of dropping it (surfaced as
+    // the raise_error guard's SparkRuntimeException: FAILFAST itself
+    // accepts the empty line as a silent null record)
+    val e = intercept[Exception] {
+      JsonlSource.readStrict(spark, d.getPath, schema).collect()
+    }
+    assert(e.isInstanceOf[org.apache.spark.SparkThrowable],
+      s"unexpected failure type: $e")
+  }
+
   test("schema evolution: a missing field reads as null, not corrupt") {
     val d = tmpDir()
     writeLines(d, "old.jsonl", """{"id": 7}""") // old shard: no text field
