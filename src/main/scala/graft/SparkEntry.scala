@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.ExactNum.exactSum
 import graft.etl.{StockBars, StockEtl}
-import graft.ops.{AsOfJoin, Bpe, Dedup, Layout, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis}
+import graft.ops.{AsOfJoin, Bpe, Dedup, Ids, Layout, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 plus the LLM-data-pipeline extensions, each with an
@@ -390,17 +390,19 @@ object SparkEntry {
     // Exact interpolated percentiles per group — WITHOUT the built-in
     // `percentile` aggregate: that is an ObjectHashAggregate materializing
     // a per-group value map (4.7 s at sf0.1, and its buffers grow with
-    // group cardinality at 100 TB). This formulation is one window
-    // sort-shuffle + one codegen'd hash aggregate: rank each row, pick the
-    // two bracketing values per quantile, interpolate with DuckDB's own
-    // quantile_cont formula lo·(⌈h⌉−h) + hi·(h−⌊h⌋).
+    // group cardinality at 100 TB). And WITHOUT a
+    // `PARTITION BY l_returnflag` window for the ranks (r8 verdict): 3
+    // distinct flags would sort the whole corpus in 3 tasks regardless of
+    // cluster size. Ids.groupRank range-partitions on (flag, price)
+    // instead — parallelism set by data volume — then one codegen'd hash
+    // aggregate picks the two bracketing values per quantile and
+    // interpolates with DuckDB's own quantile_cont formula
+    // lo·(⌈h⌉−h) + hi·(h−⌊h⌋).
     "q_percentiles" -> q { (s, dir) =>
-      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-      val wAll = Window.partitionBy(col("l_returnflag"))
-      val ranked = Tables.lineitem(s, dir)
-        .select(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(wOrd).cast(LongType))
-        .withColumn("n", count(lit(1)).over(wAll))
+      val ranked = Ids.groupRank(
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", Seq("l_extendedprice"), idCol = "rn", nCol = "n")
       val qs = Seq(0.25, 0.5, 0.75)
       val bracketAggs = qs.zipWithIndex.flatMap { case (qv, i) =>
         val h = (col("n") - 1) * lit(qv)
@@ -531,12 +533,11 @@ object SparkEntry {
     "q_approx_percentiles" -> q { (s, dir) =>
       val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_extendedprice"))
-      // exact percentiles: identical bracket interpolation to q_percentiles
-      val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-      val wAll = Window.partitionBy(col("l_returnflag"))
-      val ranked = li
-        .withColumn("rn", row_number().over(wOrd).cast(LongType))
-        .withColumn("n", count(lit(1)).over(wAll))
+      // exact percentiles: identical bracket interpolation to q_percentiles,
+      // ranks via Ids.groupRank (r8 verdict: a PARTITION BY l_returnflag
+      // window would sort the corpus in 3 tasks at any cluster size)
+      val ranked = Ids.groupRank(li, "l_returnflag",
+        Seq("l_extendedprice"), idCol = "rn", nCol = "n")
       val qs = Seq(0.5, 0.95)
       val bracketAggs = qs.zipWithIndex.flatMap { case (qv, i) =>
         val h = (col("n") - 1) * lit(qv)

@@ -24,6 +24,40 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Ids {
 
+  /** Append `idCol` = 1-based rank WITHIN each `groupCol` group under
+    * `orderCols`, plus `nCol` = the group's row count — the distributed
+    * replacement for `row_number() OVER (PARTITION BY g ORDER BY …)` when
+    * `g` has CONSTANT cardinality (a returnflag, a status code): that
+    * window sorts the whole corpus in #groups tasks regardless of cluster
+    * size, the quiet 100-TB straggler. Here the corpus range-partitions on
+    * (group, orderCols) — parallelism set by data volume, not group count
+    * — via [[globalRank]], and per-group ranks are recovered by
+    * subtracting each group's start offset.
+    *
+    * The offset table is one row per group; its cumulative sum runs as a
+    * single-partition window over #groups rows — bounded BY THE SAME
+    * assumption that makes this op necessary (constant group cardinality).
+    * For high-cardinality groups use a plain window instead: it already
+    * parallelizes by group.
+    *
+    * Ranks among `orderCols` ties are arbitrary-but-consistent (same
+    * caveat as [[globalRank]]): extend the ordering until unique if rank
+    * positions must be deterministic.
+    */
+  def groupRank(df: DataFrame, groupCol: String, orderCols: Seq[String],
+      idCol: String = "rn", nCol: String = "n"): DataFrame = {
+    val ranked = globalRank(df, groupCol +: orderCols, "__grk")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as(nCol))
+    // group offsets: Σ counts over groups strictly before this one under
+    // the SAME binary ordering globalRank range-partitioned by
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(groupCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = counts.withColumn("__off", coalesce(sum(col(nCol)).over(w), lit(0L)))
+    ranked.join(broadcast(offs), Seq(groupCol))
+      .withColumn(idCol, col("__grk") - col("__off") + 1)
+      .drop("__grk", "__off")
+  }
+
   /** Append `idCol` = 0-based global rank under `orderCols` (extend the
     * ordering until UNIQUE or ranks are nondeterministic).
     */

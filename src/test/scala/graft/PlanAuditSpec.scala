@@ -553,3 +553,55 @@ class VocabJoinFallbackSpec extends SparkSpec {
     }
   }
 }
+
+/** No timed query may plan a window PARTITIONed solely by a
+  * constant-cardinality key over its input: `PARTITION BY l_returnflag`
+  * sorts the whole corpus in 3 tasks no matter how many executors exist —
+  * the quiet 100-TB straggler the r8 verdict flagged in
+  * q_approx_percentiles (since re-homed onto Ids.groupRank, alongside
+  * q_percentiles which shared the shape). This sweep pins the fix and
+  * stops the shape from reappearing.
+  */
+class ConstantCardinalityWindowSpec extends SparkSpec {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+
+  // categorical columns whose distinct-value count is a CONSTANT of the
+  // schema (3–5 values at any scale factor)
+  private val constCard = Set("l_returnflag", "l_linestatus", "o_orderstatus",
+    "o_orderpriority", "event_type", "lang", "r_name", "c_mktsegment")
+
+  // documented exceptions:
+  //  - q_rank_functions: the per-priority GLOBAL rank/dense_rank/
+  //    percent_rank/cume_dist surface — the query exists to pin those
+  //    semantics against the oracle, and every output row needs its
+  //    group's total order by definition
+  //  - q_anomaly_zscore: the window input is the (event_type, hour)
+  //    aggregate — bounded by hours × 5 types, not by corpus size; the
+  //    corpus-scale work happened in the preceding hash aggregation
+  private val windowOk = Set("q_rank_functions", "q_anomaly_zscore")
+
+  test("no corpus window is partitioned only by a constant-cardinality key") {
+    val problems = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_ == "q_pipeline_verify") // runs a full pipeline with sinks
+      .filterNot(windowOk)
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+        plan.foreach {
+          case w: LWindow if w.partitionSpec.nonEmpty &&
+              w.partitionSpec.forall {
+                case a: AttributeReference => constCard(a.name)
+                case _ => false
+              } =>
+            problems += s"$name: Window partitioned by " +
+              w.partitionSpec.map(_.sql).mkString(", ")
+          case _ =>
+        }
+      }
+    assert(problems.isEmpty,
+      "constant-parallelism window plans found (re-home onto Ids.groupRank " +
+        "or whitelist with a bounded-input justification):\n" +
+        problems.mkString("\n"))
+  }
+}
