@@ -811,6 +811,39 @@ object SparkEntry {
         1L, 2L)
     },
 
+    // URL canonicalization + registered-domain extraction (ops.Urls) —
+    // the key derivation every domain-keyed curation stage groups by.
+    // Messy URLs are CONSTRUCTED deterministically from doc_id (mixed
+    // case, userinfo, default/explicit ports, tracking params, fragments
+    // — both engines build the identical string), then Spark applies the
+    // operator chain while DuckDB replays the documented rule list
+    // regexp-for-regexp: any rule drift hash-fails row-level.
+    "q_url_canonical" -> q { (s, dir) =>
+      val d = col("doc_id")
+      def istr(c: Column) = c.cast(StringType)
+      val host0 = when(d % 5 === 0, lit("WWW.Example.COM"))
+        .when(d % 5 === 1, lit("News.BBC.co.uk"))
+        .when(d % 5 === 2, concat(lit("blog"), istr(d % 7), lit(".GitHub.IO")))
+        .when(d % 5 === 3,
+          concat(lit("sub"), istr(d % 5), lit(".site"), istr(d % 3), lit(".org")))
+        .otherwise(lit("User:pw@Files.Example.net"))
+      val url = concat(
+        when(d % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://"), host0,
+        when(d % 3 === 0, lit(":80"))
+          .when(d % 3 === 1, lit(":8080")).otherwise(lit("")),
+        when(d % 4 === 0, lit("")).otherwise(concat(lit("/Docs/"), istr(d))),
+        when(d % 3 === 0, lit("?b=2&utm_source=feed&a=1"))
+          .when(d % 3 === 1,
+            concat(lit("?z="), istr(d % 9), lit("&gclid=XYZ&ref&y=1")))
+          .otherwise(lit("")),
+        when(d % 2 === 1, concat(lit("#Sec"), istr(d % 4))).otherwise(lit("")))
+      graft.ops.Urls.withUrlKeys(
+          Tables.documents(s, dir).select(d, url.as("url")), "url")
+        .select(col("doc_id"), col("url"), col("canonical_url"),
+          col("host"), col("registered_domain"))
+    },
+
     // Time travel: read version 1 AFTER version 2 is committed — the
     // snapshot-isolation read path at a pinned version (the v2 data dirs
     // must be invisible through the v1 manifest). Shares the app-scoped
@@ -5287,6 +5320,81 @@ object SparkEntry {
     // exactly; the planted corrupt shard must leave no trace
     "q_jsonl_ingest" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    // Rule-replay oracle: DuckDB constructs the IDENTICAL messy URL and
+    // replays the canonicalization rule list regexp-for-regexp
+    "q_url_canonical" -> {
+      val psl2 = graft.ops.Urls.publicSuffixes2.map(s => s"'$s'").mkString(", ")
+      val psl3 = graft.ops.Urls.publicSuffixes3.map(s => s"'$s'").mkString(", ")
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+         |    (CASE doc_id % 5
+         |       WHEN 0 THEN 'WWW.Example.COM'
+         |       WHEN 1 THEN 'News.BBC.co.uk'
+         |       WHEN 2 THEN 'blog' || (doc_id % 7) || '.GitHub.IO'
+         |       WHEN 3 THEN 'sub' || (doc_id % 5) || '.site' || (doc_id % 3) || '.org'
+         |       ELSE 'User:pw@Files.Example.net' END) ||
+         |    (CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':8080' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN '' ELSE '/Docs/' || doc_id END) ||
+         |    (CASE doc_id % 3 WHEN 0 THEN '?b=2&utm_source=feed&a=1'
+         |       WHEN 1 THEN '?z=' || (doc_id % 9) || '&gclid=XYZ&ref&y=1'
+         |       ELSE '' END) ||
+         |    (CASE WHEN doc_id % 2 = 1 THEN '#Sec' || (doc_id % 4) ELSE '' END)
+         |      AS url
+         |  FROM documents),
+         |p2 AS (
+         |  SELECT doc_id, url,
+         |    regexp_replace(trim(url), '#.*$$', '') AS nofrag FROM u),
+         |p3 AS (
+         |  SELECT *,
+         |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+         |    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+         |  FROM p2),
+         |p4 AS (
+         |  SELECT *, regexp_extract(rest, '^([^/?]*)', 1) AS auth FROM p3),
+         |p5 AS (
+         |  SELECT *,
+         |    regexp_replace(lower(auth), '^[^@]*@', '') AS hostport,
+         |    substr(rest, length(auth) + 1) AS pathq
+         |  FROM p4),
+         |p6 AS (
+         |  SELECT *,
+         |    CASE WHEN sch = 'http' THEN regexp_replace(hostport, ':80$$', '')
+         |         WHEN sch = 'https' THEN regexp_replace(hostport, ':443$$', '')
+         |         ELSE hostport END AS hp,
+         |    CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+         |         ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+         |    CASE WHEN strpos(pathq, '?') > 0
+         |         THEN regexp_replace(pathq, '^[^?]*\\?', '') ELSE '' END AS q
+         |  FROM p5),
+         |p7 AS (
+         |  SELECT *, list_sort(list_filter(string_split(q, '&'),
+         |      p -> p <> '' AND NOT regexp_matches(p,
+         |        '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)(=|$$)'))) AS kept
+         |  FROM p6),
+         |canon AS (
+         |  SELECT doc_id, url,
+         |    sch || '://' || hp || path ||
+         |      (CASE WHEN len(kept) > 0
+         |        THEN '?' || array_to_string(kept, '&') ELSE '' END)
+         |      AS canonical_url,
+         |    regexp_replace(hostport, ':[0-9]+$$', '') AS host
+         |  FROM p7),
+         |rd AS (
+         |  SELECT *,
+         |    regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS last2,
+         |    regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS last3,
+         |    regexp_extract(host, '([^.]+(?:\\.[^.]+){3})$$', 1) AS last4
+         |  FROM canon)
+         |SELECT doc_id, url, canonical_url, host,
+         |  CASE WHEN regexp_matches(host, '^\\d{1,3}(\\.\\d{1,3}){3}$$') THEN host
+         |       ELSE nullif(
+         |         CASE WHEN last3 IN ($psl3) THEN last4
+         |              WHEN last2 IN ($psl2) THEN last3
+         |              ELSE last2 END, '') END AS registered_domain
+         |FROM rd""".stripMargin
+    },
 
     "q_warc_ingest" ->
       """SELECT doc_id,
