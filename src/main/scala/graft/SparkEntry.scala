@@ -844,6 +844,38 @@ object SparkEntry {
           col("host"), col("registered_domain"))
     },
 
+    // HTML main-content extraction (ops.Html) — the WARC→text bridge.
+    // Each document is RENDERED into a full page (head/title, style,
+    // script, comment, header, nav, main div with the text as two <p>
+    // paragraphs, aside, footer — every boilerplate channel the rule
+    // list strips), then extracted. PROPERTY oracle: DuckDB derives the
+    // expected output from `documents.text` DIRECTLY (first-8-tokens
+    // paragraph + remainder, density-gated) — extraction must INVERT the
+    // rendering, so a leaked nav item, a swallowed entity, or a wrong
+    // block separator hash-fails without the oracle parsing any HTML.
+    "q_html_extract" -> q { (s, dir) =>
+      val t = split(col("text"), "\\s+")
+      val p1 = array_join(slice(t, 1, 8), " ")
+      val p2 = array_join(slice(t, 9, 1 << 20), " ")
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast(StringType),
+        lit("</title>\n<style>body { color: red }</style>\n" +
+          "<script>var x = 1 < 2; alert(\"leak\");</script>\n</head><body>\n" +
+          "<!-- note: <p>fake</p> -->\n<header><h1>Site "), col("source"),
+        lit("</h1></header>\n<nav><a href=\"/\">Home</a> " +
+          "<a href=\"/a\">About</a></nav>\n<div id=\"main\">\n<p>"), p1,
+        lit("</p>\n<p>"), p2,
+        lit("</p>\n</div>\n<aside>Related &amp; sponsored</aside>\n" +
+          "<footer>&copy; 2024</footer>\n</body></html>"))
+      val out = Tables.documents(s, dir)
+        .select(col("doc_id"), html.as("__html"))
+        .select(col("doc_id"),
+          graft.ops.Html.mainContent(col("__html")).as("main_text"))
+      out.select(col("doc_id"), col("main_text"),
+        size(split(col("main_text"), "\n\n")).cast(LongType).as("n_blocks"),
+        length(col("main_text")).cast(LongType).as("n_chars_out"))
+    },
+
     // Time travel: read version 1 AFTER version 2 is committed — the
     // snapshot-isolation read path at a pinned version (the v2 data dirs
     // must be invisible through the v1 manifest). Shares the app-scoped
@@ -5320,6 +5352,26 @@ object SparkEntry {
     // exactly; the planted corrupt shard must leave no trace
     "q_jsonl_ingest" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents""",
+
+    // PROPERTY oracle: extraction must invert the page rendering — the
+    // expected main text derives from documents.text directly (8-token
+    // first paragraph + remainder, 3-word density gate), no HTML parsed
+    "q_html_extract" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(t) - 8 >= 3
+        |    THEN array_to_string(t[1:8], ' ') || chr(10) || chr(10) ||
+        |         array_to_string(t[9:len(t)], ' ')
+        |    ELSE array_to_string(t[1:8], ' ') END AS main_text,
+        |  CAST(CASE WHEN len(t) - 8 >= 3 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS n_blocks,
+        |  CAST(strlen(CASE WHEN len(t) - 8 >= 3
+        |    THEN array_to_string(t[1:8], ' ') || chr(10) || chr(10) ||
+        |         array_to_string(t[9:len(t)], ' ')
+        |    ELSE array_to_string(t[1:8], ' ') END) AS BIGINT) AS n_chars_out
+        |FROM tok""".stripMargin,
 
     // Rule-replay oracle: DuckDB constructs the IDENTICAL messy URL and
     // replays the canonicalization rule list regexp-for-regexp

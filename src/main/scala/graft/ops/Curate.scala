@@ -56,6 +56,10 @@ object Curate {
     * @param evalSet      held-out eval docs for decontamination (same
     *                     schema); pass an empty frame to skip
     * @param minQuality   [[TextAnalysis.qualityScore]] threshold in [0,1]
+    * @param htmlInput    when true, `textCol` holds raw HTML (a WARC
+    *                     crawl): [[Html.mainContent]] extraction runs
+    *                     before any other stage, so dedup/quality see
+    *                     content, never markup
     * @param splits       per-myriad split weights (sum 10000)
     * @param packBudget   token budget per packed training bin
     * @param report       when true, each counted stage is persisted
@@ -68,7 +72,7 @@ object Curate {
     *                     lazy plan and observability is the caller's
     *                     metrics layer.
     */
-  def run(docs: DataFrame, idCol: String, textCol: String,
+  def run(docs0: DataFrame, idCol: String, textCol: String,
       evalSet: DataFrame,
       minJaccard: Double = 0.5, maxDocFreq: Long = 20L,
       minShared: Long = 3L,
@@ -78,7 +82,18 @@ object Curate {
       splits: Seq[(String, Int)] =
         Seq(("train", 9000), ("val", 500), ("test", 500)),
       packBudget: Long = 2048L, packBuckets: Int = 32,
+      htmlInput: Boolean = false,
       report: Boolean = true): Curated = {
+    // raw-crawl front end: when the corpus arrives as HTML (a WARC scan),
+    // main-content extraction runs FIRST — every downstream signal (the
+    // dedup digests, shingles, quality tokens) must describe the CONTENT,
+    // not the markup (two pages with identical articles but different nav
+    // chrome are duplicates; tag soup must not count against quality).
+    // Pure projection: rows are neither dropped nor added, so the report's
+    // stage counts are unchanged in meaning.
+    val docs = if (htmlInput)
+      docs0.withColumn(textCol, Html.mainContent(col(textCol)))
+    else docs0
     val intermediates = scala.collection.mutable.ListBuffer.empty[DataFrame]
     // persist-then-count: each count touches only its OWN stage (the
     // parent is already cached), never the whole pipeline prefix
