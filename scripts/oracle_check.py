@@ -67,12 +67,27 @@ def cmp_cell(a, b):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional 3rd arg: comma-separated query-name filter — also the
+    # chunking hook for full-sweep drivers (one fresh process per chunk
+    # keeps long heavy-oracle sequences from accumulating allocator state)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
+    # bounded memory + a spill dir: the generated-kernel oracles (IVF CTE
+    # chains) can balloon past RAM headroom under 32 threads; capping +
+    # spilling turns an OutOfMemoryException into a slower-but-green run
+    con.execute("SET threads=8")
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/graft_duck_tmp'")
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; ScaleFixture sweep fixtures are
+        # Spark-written directories — glob the latter
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
+                   if os.path.isdir(os.path.join(out_dir, d))
+                   and (only is None or d in only))
     failures = []
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
