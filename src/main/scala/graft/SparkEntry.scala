@@ -2312,22 +2312,30 @@ object SparkEntry {
         LIMIT 20""")
     },
 
-    // TPC-H Q18 shape (large-volume orders): aggregate-HAVING over the
-    // fact table, then top-100 — the plan must keep the HAVING filter on
-    // the partial-aggregated side and finish with TakeOrderedAndProject.
-    // Quantities are integer-valued, so the sum is exact cross-engine.
+    // TPC-H Q18 shape (large-volume orders), CANONICAL formulation (r9):
+    // the fact table aggregates FIRST on its own key with the HAVING
+    // applied before any join — the original joined-then-grouped form
+    // carried (c_name, o_orderdate, o_totalprice, …) as group keys
+    // through the full-corpus aggregation, a wide-key shuffle of every
+    // row for a filter that keeps a handful. Here the join inputs are the
+    // HAVING survivors (AQE broadcasts them), and the result is identical
+    // because every original group key is functionally determined by
+    // o_orderkey. Finishes with TakeOrderedAndProject. Quantities are
+    // integer-valued, so the sum is exact cross-engine.
     "q_sql_tpch_q18" -> q { (s, dir) =>
       Tables.customer(s, dir).createOrReplaceTempView("v_customer")
       Tables.orders(s, dir).createOrReplaceTempView("v_orders")
       Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
       s.sql("""
         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-          sum(CAST(l_quantity AS BIGINT)) AS total_qty
-        FROM v_customer
-        JOIN v_orders ON c_custkey = o_custkey
-        JOIN v_lineitem ON l_orderkey = o_orderkey
-        GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
-        HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+          total_qty
+        FROM (
+          SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+          FROM v_lineitem
+          GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS BIGINT)) > 250) big
+        JOIN v_orders ON o_orderkey = l_orderkey
+        JOIN v_customer ON c_custkey = o_custkey
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100""")
     },
