@@ -85,9 +85,16 @@ def main():
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d))
-                   and (only is None or d in only))
+    discovered = sorted(d for d in os.listdir(out_dir)
+                        if os.path.isdir(os.path.join(out_dir, d)))
+    if only is not None:
+        unknown = sorted(only - set(discovered))
+        if unknown:
+            # a typo'd or never-dumped name must FAIL the chunk, not
+            # silently shrink it to a false all-green
+            print(f"unknown query names in filter: {unknown}")
+            sys.exit(1)
+    names = [d for d in discovered if only is None or d in only]
     failures = []
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))

@@ -263,8 +263,10 @@ object ScaleFixture {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 || (args.length == 3 &&
-        (args(2) == "skew" || args(1) == "sweep")),
+    val sweepMode = args.length >= 2 && args(1) == "sweep"
+    require(
+      if (sweepMode) args.length == 3 && args(2).forall(_.isDigit)
+      else args.length == 2 || (args.length == 3 && args(2) == "skew"),
       "usage: ScaleFixture <outDir> <mult> [skew] | <outDir> sweep <seed>")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -274,7 +276,7 @@ object ScaleFixture {
       .config("spark.sql.ansi.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args(1) == "sweep") writeSweepFixture(spark, args(0), args(2).toLong)
+    if (sweepMode) writeSweepFixture(spark, args(0), args(2).toLong)
     else writeAll(spark, args(0), args(1).toInt, skewed = args.length == 3)
     spark.stop()
   }

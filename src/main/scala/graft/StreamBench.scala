@@ -48,9 +48,14 @@ object StreamBench {
     val pool = Tables.documents(spark, sfDir)
       .select("text").collect().map(_.getString(0))
 
-    def scratch(tag: String): String = {
-      val f = java.nio.file.Files.createTempDirectory(s"graft_sb_$tag").toFile
-      f.deleteOnExit(); f.getPath
+    def scratch(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft_sb_$tag").toFile.getPath
+
+    def deleteRecursively(path: String): Unit = {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(new java.io.File(path))
     }
 
     def batchRows(size: Int, salt: String, idBase: Long): Seq[(Long, String)] =
@@ -73,12 +78,18 @@ object StreamBench {
           q.processAllAvailable()
           base += 1000000L
         }
+        // build the batch BEFORE the clock starts: driver-side row
+        // construction is not micro-batch latency
+        val timedRows = batchRows(size, "timed", base)
         val t0 = System.nanoTime()
-        mem.addData(batchRows(size, "timed", base))
+        mem.addData(timedRows)
         q.processAllAvailable()
         val dt = (System.nanoTime() - t0) / 1e9
         (dt, size / dt)
-      } finally q.stop()
+      } finally {
+        q.stop()
+        Seq(idx, out, ck).foreach(deleteRecursively)
+      }
     }
 
     val sizes = Seq(250, 500, 1000, 2000, 4000)

@@ -49,24 +49,38 @@ object Html {
   private def dropBlock(c: Column, tag: String): Column =
     regexp_replace(c, s"(?is)<$tag\\b[^>]*>.*?</$tag\\s*>", "")
 
-  /** All markup removed, entities decoded, whitespace normalized —
-    * rules 1–8. Blank-line boundaries (`\n\n`) mark block structure for
-    * [[mainContent]]'s density gate. NULL in, NULL out. */
-  def htmlToText(html: Column): Column = {
+  /** Rules 1–4: comments, head, code blocks, and structural boilerplate
+    * blocks removed — the markup that still remains is CONTENT markup.
+    * Shared by [[htmlToText]] and [[linkDensityPermyriad]] so both
+    * measure the same text universe. */
+  private def stripNonContent(html: Column): Column = {
     var c = regexp_replace(html, "(?s)<!--.*?-->", "")
     c = dropBlock(c, "head")
     Seq("script", "style", "noscript", "template",
       "nav", "header", "footer", "aside").foreach { t => c = dropBlock(c, t) }
-    c = regexp_replace(c,
-      "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|blockquote|pre)\\b[^>]*/?>",
-      "\n")
-    c = regexp_replace(c, "(?s)<[^>]*>", "")
-    c = regexp_replace(c, "&nbsp;", " ")
+    c
+  }
+
+  /** Rule 7's entity decode, exposed for per-fragment reuse. */
+  private def decodeEntities(c0: Column): Column = {
+    var c = regexp_replace(c0, "&nbsp;", " ")
     c = regexp_replace(c, "&lt;", "<")
     c = regexp_replace(c, "&gt;", ">")
     c = regexp_replace(c, "&quot;", "\"")
     c = regexp_replace(c, "&#39;|&apos;", "'")
-    c = regexp_replace(c, "&amp;", "&") // LAST: see rule 7
+    regexp_replace(c, "&amp;", "&") // LAST: see rule 7
+  }
+
+  /** All markup removed, entities decoded, whitespace normalized —
+    * rules 1–8. Blank-line boundaries (`\n\n`) mark block structure for
+    * [[mainContent]]'s density gate. NULL in, NULL out. */
+  def htmlToText(html: Column): Column = {
+    var c = stripNonContent(html)
+    c = regexp_replace(c,
+      "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|blockquote|pre)\\b[^>]*/?>",
+      "\n")
+    c = regexp_replace(c, "(?s)<[^>]*>", "")
+    c = decodeEntities(c)
     c = regexp_replace(c, "\r", "")
     c = regexp_replace(c, "[ \t]+", " ")
     c = regexp_replace(c, " ?\n ?", "\n")
@@ -91,14 +105,20 @@ object Html {
     * permyriad — THE classic boilerplate signal (link farms and nav
     * remnants score high, prose scores low); pair with [[mainContent]]
     * as a page-level keep/drop gate. NULL when the page has no visible
-    * text. */
+    * text.
+    *
+    * Numerator and denominator measure the SAME text universe: anchors
+    * are extracted from the boilerplate-stripped page (an anchor inside
+    * a removed `<nav>` contributes no visible text, so it must not
+    * count), each anchor's inner text is tag-stripped, entity-decoded,
+    * and whitespace-removed exactly like the denominator — so the value
+    * is a true fraction, ≤ 10000. */
   def linkDensityPermyriad(html: Column): Column = {
-    val anchorTexts = regexp_extract_all(html,
+    val anchorTexts = regexp_extract_all(stripNonContent(html),
       lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1))
-    // strip nested inline tags from each anchor's inner text
     val anchorLen = aggregate(
-      transform(anchorTexts,
-        a => length(regexp_replace(a, "(?s)<[^>]*>", ""))),
+      transform(anchorTexts, a => length(regexp_replace(
+        decodeEntities(regexp_replace(a, "(?s)<[^>]*>", "")), "\\s", ""))),
       lit(0), (acc, x) => acc + x)
     val total = length(regexp_replace(htmlToText(html), "\\s", ""))
     when(total > 0,

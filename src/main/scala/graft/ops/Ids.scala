@@ -49,13 +49,17 @@ object Ids {
     val ranked = globalRank(df, groupCol +: orderCols, "__grk")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as(nCol))
     // group offsets: Σ counts over groups strictly before this one under
-    // the SAME binary ordering globalRank range-partitioned by
+    // the SAME ordering globalRank range-partitioned by (ascending,
+    // nulls first — which is also why the offset window and the
+    // null-safe join below keep a NULL group as its own group, exactly
+    // like the PARTITION BY window this op replaces)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(groupCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offs = counts.withColumn("__off", coalesce(sum(col(nCol)).over(w), lit(0L)))
-    ranked.join(broadcast(offs), Seq(groupCol))
+      .withColumnRenamed(groupCol, "__g")
+    ranked.join(broadcast(offs), col(groupCol) <=> col("__g"))
       .withColumn(idCol, col("__grk") - col("__off") + 1)
-      .drop("__grk", "__off")
+      .drop("__g", "__grk", "__off")
   }
 
   /** Append `idCol` = 0-based global rank under `orderCols` (extend the

@@ -519,13 +519,19 @@ class VocabJoinFallbackSpec extends SparkSpec {
         s"AQE did not broadcast a fitting vocab:\n$small")
       c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // vocab "outgrew" it
       val big = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
-      val bigPlan = finalPlan(big)
+      // collect the fallback rows WHILE the threshold is closed — an
+      // except() after restoring the conf would re-plan both sides on
+      // the broadcast path and prove nothing
+      val shuffledRows = big.orderBy("doc_id").collect().toSeq
+      val bigPlan = big.queryExecution.executedPlan.toString
       assert(!bigPlan.contains("BroadcastHashJoin"),
         s"vocab join still broadcast with the hint path closed:\n$bigPlan")
       // degraded plan, identical answer
       c.unset("spark.sql.autoBroadcastJoinThreshold")
-      val ref = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
-      assert(big.except(ref).isEmpty && ref.except(big).isEmpty)
+      val refRows = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+        .orderBy("doc_id").collect().toSeq
+      assert(shuffledRows === refRows,
+        "shuffled-fallback rows drifted from the broadcast-path rows")
     } finally saved match {
       case Some(v) => c.set("spark.sql.autoBroadcastJoinThreshold", v)
       case None => c.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -538,14 +544,17 @@ class VocabJoinFallbackSpec extends SparkSpec {
     try {
       c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val shuffled = TextAnalysis.unigramLogProb(docs, "doc_id", minCount = 2L)
-      val plan = finalPlan(shuffled)
+      // rows collected under the closed threshold (see oovRate test)
+      val shuffledRows = shuffled.orderBy("doc_id").collect().toSeq
+      val plan = shuffled.queryExecution.executedPlan.toString
       // the 1-row totals scalar legitimately stays a broadcast nested-loop
       // cross join; the TOKEN-keyed lm join must not be a broadcast hash join
       assert(!plan.contains("BroadcastHashJoin"),
         s"lm join still broadcast with the hint path closed:\n$plan")
       c.unset("spark.sql.autoBroadcastJoinThreshold")
-      val ref = TextAnalysis.unigramLogProb(docs, "doc_id", minCount = 2L)
-      assert(shuffled.except(ref).isEmpty && ref.except(shuffled).isEmpty,
+      val refRows = TextAnalysis.unigramLogProb(docs, "doc_id", minCount = 2L)
+        .orderBy("doc_id").collect().toSeq
+      assert(shuffledRows === refRows,
         "shuffled-fallback scores drifted from the broadcast-path scores")
     } finally saved match {
       case Some(v) => c.set("spark.sql.autoBroadcastJoinThreshold", v)

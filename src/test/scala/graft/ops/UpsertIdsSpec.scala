@@ -101,4 +101,28 @@ class IdsSpec extends SparkSpec {
     val ids = Ids.globalRank(df, Seq("k")).select("rid").as[Long].collect().sorted
     assert(ids.toSeq == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("groupRank equals the per-group window rank, NULL group included") {
+    // NULL group key: the PARTITION BY window keeps it as its own
+    // partition — groupRank must too (r9 review: an inner equi-join on
+    // the group key silently dropped NULL-group rows)
+    val df = Seq(
+      (Some("A"), 30L), (Some("A"), 10L), (Some("A"), 20L),
+      (Some("B"), 5L), (Some("B"), 15L),
+      (None, 7L), (None, 3L))
+      .toDF("g", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val expected = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .select("g", "v", "rn", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = Ids.groupRank(df, "g", Seq("v"))
+      .select("g", "v", "rn", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    assert(got.size === 7, "no row may vanish (NULL group)")
+  }
 }
