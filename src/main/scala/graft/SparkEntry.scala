@@ -87,6 +87,31 @@ object SparkEntry {
     table
   }
 
+  /** Planted-PII fixture: document text extended with emails / ids /
+    * phones / IPv4 literals by doc_id arithmetic (odd-non-multiple docs
+    * stay clean) — shared by q_pii_planted and q_pii_scan; the DuckDB
+    * oracle constructs the identical string. */
+  private def piiPlantedText: Column = {
+    val d = col("doc_id")
+    def istr(c: Column) = c.cast(StringType)
+    concat(col("text"),
+      when(d % 2 === 0,
+        concat(lit(" reach user"), istr(d % 50),
+          lit("@mail.example.com"))).otherwise(lit("")),
+      when(d % 3 === 0, lit(" call (555) 234-5678"))
+        .when(d % 3 === 1, lit(" call 555-234-5678"))
+        .otherwise(lit("")),
+      when(d % 7 === 0, lit(" ssn 123-45-6789")).otherwise(lit("")),
+      when(d % 5 === 0,
+        concat(lit(" from 10."), istr(d % 200), lit(".3."),
+          istr(d % 250))).otherwise(lit("")))
+  }
+
+  /** Rule kind from its sentinel: `<EMAIL>` → `email` (the
+    * [[TextAnalysis.piiScanReport]] column-naming convention). */
+  private def piiKind(sentinel: String): String =
+    sentinel.replaceAll("[<>]", "").toLowerCase(java.util.Locale.ROOT)
+
   /** Driver-testdata fixtures for the end-to-end pipeline query: the
     * constituent list derives from `supplier` ("S<k>") and bars derive from
     * `lineitem` ([[graft.etl.StockBars]]) — both reproducible in DuckDB
@@ -874,6 +899,120 @@ object SparkEntry {
       out.select(col("doc_id"), col("main_text"),
         size(split(col("main_text"), "\n\n")).cast(LongType).as("n_blocks"),
         length(col("main_text")).cast(LongType).as("n_chars_out"))
+    },
+
+    // robots.txt policy gate (ops.Policy) — the compliance filter a
+    // crawl-derived corpus applies before any content stage (r8 verdict
+    // gap #3). Three per-host robots bodies exercise the whole grammar
+    // (comments, multi-UA groups, a specific-agent group that must shadow
+    // every star group, allow-overrides, wildcard + empty rules to drop),
+    // page paths are constructed from doc_id. PROPERTY oracle: DuckDB
+    // derives the allow/deny matrix from doc_id arithmetic directly, so
+    // any parse/group-resolution/longest-match defect hash-fails without
+    // the oracle reading a single robots line.
+    "q_robots_filter" -> q { (s, dir) =>
+      import s.implicits._
+      val robots = Seq(
+        ("h0.example.com",
+          "# site rules\nUser-agent: *\nDisallow: /private/\n" +
+            "Allow: /private/ok/\nDisallow: /tmp\n\n" +
+            "User-agent: badbot\nDisallow: /"),
+        ("h1.example.com",
+          "User-agent: graftbot\nDisallow: /blog/\n\n" +
+            "User-agent: *\nDisallow: /"),
+        ("h2.example.com",
+          "User-agent: other\nUser-agent: *\nDisallow: /\n" +
+            "Allow: /public/\nDisallow: /*.pdf$")).toDF("host", "body")
+      val rules = graft.ops.Policy.parseRobots(robots, "host", "body",
+        agent = "graftbot")
+      val d = col("doc_id")
+      val path = when(d % 8 === 0, lit("/private/x.html"))
+        .when(d % 8 === 1, lit("/private/ok/y"))
+        .when(d % 8 === 2, lit("/tmp/z"))
+        .when(d % 8 === 3, lit("/tmpfile"))
+        .when(d % 8 === 4, lit("/public/a"))
+        .when(d % 8 === 5, lit("/"))
+        .when(d % 8 === 6, lit("/blog/post"))
+        .otherwise(lit("/docs/readme"))
+      val pages = Tables.documents(s, dir).select(d,
+        concat(lit("h"), (d % 4).cast(StringType), lit(".example.com"))
+          .as("host"),
+        path.as("path"))
+      graft.ops.Policy.applyRobots(pages, rules)
+        .select(col("doc_id"), col("host"), col("path"),
+          col("robots_allowed"))
+    },
+
+    // License + robots-directive detection (ops.Policy) — each document
+    // is rendered into a page whose license anchor (CC BY/BY-NC-SA/CC0/
+    // BY-ND, a non-CC rel=license, or none) and robots META tag vary by
+    // doc_id; the policy gate composes both channels. PROPERTY oracle:
+    // the full signal set derives from doc_id arithmetic — a regexp that
+    // over- or under-matches, a wrong family mapping, or a clearance flag
+    // flipped hash-fails row-level.
+    "q_license_detect" -> q { (s, dir) =>
+      val d = col("doc_id")
+      val meta = when(d % 3 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+        .when(d % 3 === 1, lit("<meta name=\"robots\" content=\"noai\">"))
+        .otherwise(lit(""))
+      val anchor = when(d % 6 === 0, lit("<a rel=\"license\" " +
+          "href=\"https://creativecommons.org/licenses/by/4.0/\">CC BY</a>"))
+        .when(d % 6 === 1, lit("<a href=\"http://creativecommons.org/" +
+          "licenses/by-nc-sa/3.0/\">rights</a>"))
+        .when(d % 6 === 2, lit("<a href=\"https://creativecommons.org/" +
+          "publicdomain/zero/1.0/\">CC0</a>"))
+        .when(d % 6 === 3,
+          lit("<a rel=\"license\" href=\"https://example.com/terms\">t</a>"))
+        .when(d % 6 === 4, lit(""))
+        .otherwise(lit("<a href=\"https://creativecommons.org/licenses/" +
+          "by-nd/2.5/it/\">BY-ND</a>"))
+      val html = concat(lit("<html><head>"), meta,
+        lit("</head><body><p>body</p>"), anchor, lit("</body></html>"))
+      val page = Tables.documents(s, dir)
+        .select(d, html.as("__html"))
+      val signed = graft.ops.Policy.withLicenseSignals(
+        graft.ops.Policy.withRobotsDirectives(page, "__html"), "__html")
+      signed.select(col("doc_id"), col("license_url"),
+        col("license_family"), col("license_commercial"),
+        col("license_derivatives"), col("robots_noindex"),
+        col("robots_noai"),
+        (!col("robots_noindex") && !col("robots_noai") &&
+          col("license_commercial")).as("policy_keep"))
+    },
+
+    // PII scrub with POSITIVE hits (TextAnalysis.webRedactionRules) —
+    // q_pii_redact proves the no-op identity on the clean corpus; this
+    // query plants emails/ids/phones/IPs into the text by doc_id
+    // arithmetic (some documents stay clean) so every detector fires and
+    // the sequential-order contract (ID before PHONE, IP before IDNUM,
+    // digit-free sentinels) is exercised with real matches. RULE-REPLAY
+    // oracle: DuckDB constructs the identical text and runs the same five
+    // patterns (common Java/RE2 subset) in the same order — any dialect
+    // drift, wrong rule order, or sentinel re-match hash-fails.
+    "q_pii_planted" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), piiPlantedText.as("pii_text"))
+      val rules = TextAnalysis.webRedactionRules
+      val counted = rules.foldLeft(docs) { case (df0, (pat, sen)) =>
+        df0.withColumn("n_" + piiKind(sen),
+          TextAnalysis.matchCount(col("pii_text"), pat))
+      }
+      val nCols = rules.map { case (_, sen) => col("n_" + piiKind(sen)) }
+      counted.select(col("doc_id") +:
+        TextAnalysis.redact(col("pii_text"), rules).as("redacted") +:
+        nCols :+ nCols.reduce(_ + _).as("pii_total"): _*)
+    },
+
+    // PII scrub report (TextAnalysis.piiScanReport) — the per-source
+    // audit a curation run publishes: per-rule counts computed in the
+    // scan's codegen pass, ONE map-side-combined aggregation (only tiny
+    // per-source partials shuffle). Same planted fixture as
+    // q_pii_planted; DuckDB groups the replayed per-row counts.
+    "q_pii_scan" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), piiPlantedText.as("pii_text"))
+      TextAnalysis.piiScanReport(docs, "pii_text", "source")
     },
 
     // Time travel: read version 1 AFTER version 2 is committed — the
@@ -5455,6 +5594,124 @@ object SparkEntry {
          |              ELSE last2 END, '') END AS registered_domain
          |FROM rd""".stripMargin
     },
+
+    // PROPERTY oracle: the allow/deny matrix derives from doc_id
+    // arithmetic — the oracle never reads a robots line, so any parse,
+    // group-resolution, or longest-match defect on the Spark side
+    // hash-fails
+    "q_robots_filter" ->
+      """SELECT doc_id,
+        |  'h' || (doc_id % 4) || '.example.com' AS host,
+        |  CASE doc_id % 8 WHEN 0 THEN '/private/x.html'
+        |    WHEN 1 THEN '/private/ok/y' WHEN 2 THEN '/tmp/z'
+        |    WHEN 3 THEN '/tmpfile' WHEN 4 THEN '/public/a'
+        |    WHEN 5 THEN '/' WHEN 6 THEN '/blog/post'
+        |    ELSE '/docs/readme' END AS path,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN doc_id % 8 NOT IN (0, 2, 3)
+        |    WHEN 1 THEN doc_id % 8 <> 6
+        |    WHEN 2 THEN doc_id % 8 = 4
+        |    ELSE TRUE END AS robots_allowed
+        |FROM documents""".stripMargin,
+
+    // PROPERTY oracle: every license/directive signal derives from
+    // doc_id arithmetic
+    "q_license_detect" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'https://creativecommons.org/licenses/by/4.0/'
+        |    WHEN 1 THEN 'http://creativecommons.org/licenses/by-nc-sa/3.0/'
+        |    WHEN 2 THEN 'https://creativecommons.org/publicdomain/zero/1.0/'
+        |    WHEN 3 THEN 'https://example.com/terms'
+        |    WHEN 4 THEN NULL
+        |    ELSE 'https://creativecommons.org/licenses/by-nd/2.5/it/'
+        |    END AS license_url,
+        |  CASE doc_id % 6 WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-by-nc-sa'
+        |    WHEN 2 THEN 'cc0' WHEN 3 THEN 'other' WHEN 4 THEN NULL
+        |    ELSE 'cc-by-nd' END AS license_family,
+        |  doc_id % 6 IN (0, 2, 5) AS license_commercial,
+        |  doc_id % 6 IN (0, 1, 2) AS license_derivatives,
+        |  doc_id % 3 = 0 AS robots_noindex,
+        |  doc_id % 3 = 1 AS robots_noai,
+        |  (doc_id % 3 = 2) AND (doc_id % 6 IN (0, 2, 5)) AS policy_keep
+        |FROM documents""".stripMargin,
+
+    // RULE-REPLAY oracle: DuckDB constructs the identical planted text
+    // and runs the same five webRedactionRules patterns (common Java/RE2
+    // subset) in the same sequential redaction order
+    "q_pii_planted" ->
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ' reach user' || (doc_id % 50)
+        |       || '@mail.example.com' ELSE '' END) ||
+        |    (CASE doc_id % 3 WHEN 0 THEN ' call (555) 234-5678'
+        |       WHEN 1 THEN ' call 555-234-5678' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 200)
+        |       || '.3.' || (doc_id % 250) ELSE '' END) AS txt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, txt,
+        |    CAST(len(regexp_extract_all(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS n_email,
+        |    CAST(len(regexp_extract_all(txt,
+        |      '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_id,
+        |    CAST(len(regexp_extract_all(txt,
+        |      '\(\d{3}\) \d{3}-\d{4}|\b\d{3}[- .]\d{3}[- .]\d{4}\b'))
+        |      AS BIGINT) AS n_phone,
+        |    CAST(len(regexp_extract_all(txt,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |    CAST(len(regexp_extract_all(txt, '\d{6,}')) AS BIGINT) AS n_idnum
+        |  FROM t)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+        |    '\(\d{3}\) \d{3}-\d{4}|\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\d{6,}', '<IDNUM>', 'g') AS redacted,
+        |  n_email, n_id, n_phone, n_ip, n_idnum,
+        |  n_email + n_id + n_phone + n_ip + n_idnum AS pii_total
+        |FROM c""".stripMargin,
+
+    // Same planted fixture grouped by source (the per-source scrub audit)
+    "q_pii_scan" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN ' reach user' || (doc_id % 50)
+        |       || '@mail.example.com' ELSE '' END) ||
+        |    (CASE doc_id % 3 WHEN 0 THEN ' call (555) 234-5678'
+        |       WHEN 1 THEN ' call 555-234-5678' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 200)
+        |       || '.3.' || (doc_id % 250) ELSE '' END) AS txt
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS n_email,
+        |    CAST(len(regexp_extract_all(txt,
+        |      '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_id,
+        |    CAST(len(regexp_extract_all(txt,
+        |      '\(\d{3}\) \d{3}-\d{4}|\b\d{3}[- .]\d{3}[- .]\d{4}\b'))
+        |      AS BIGINT) AS n_phone,
+        |    CAST(len(regexp_extract_all(txt,
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |    CAST(len(regexp_extract_all(txt, '\d{6,}')) AS BIGINT) AS n_idnum
+        |  FROM t)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_email + n_id + n_phone + n_ip + n_idnum > 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+        |  CAST(sum(n_email) AS BIGINT) AS total_email,
+        |  CAST(sum(n_id) AS BIGINT) AS total_id,
+        |  CAST(sum(n_phone) AS BIGINT) AS total_phone,
+        |  CAST(sum(n_ip) AS BIGINT) AS total_ip,
+        |  CAST(sum(n_idnum) AS BIGINT) AS total_idnum
+        |FROM c GROUP BY source""".stripMargin,
 
     "q_warc_ingest" ->
       """SELECT doc_id,

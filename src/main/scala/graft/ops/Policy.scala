@@ -1,0 +1,213 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-policy operators: robots.txt evaluation, robots META directives,
+  * and license detection — the compliance gate a web-corpus curation run
+  * applies before any text ever reaches dedup or quality scoring. The
+  * reference fetches two fixed, explicitly public endpoints
+  * (`dags/sp500_dag.py.py:38`, `:121`) and needs no policy layer; at
+  * CommonCrawl scale the corpus is other people's sites and the gate is
+  * the FIRST filter in the pipeline (r8 verdict, forward-looking gap #3).
+  *
+  * Scale design:
+  *   - [[parseRobots]] runs once over the robots *corpus* (one small text
+  *     file per host — millions of rows, KBs each) and reduces it to ONE
+  *     row per host carrying a rule array. The windows it uses partition
+  *     by host, so the whole parse is a single hash exchange of the tiny
+  *     robots table; the page corpus is never touched.
+  *   - [[applyRobots]] is ONE left equi-join of pages against that
+  *     per-host rule table, with longest-match resolution done by
+  *     codegen'd higher-order functions (`filter`/`transform`/
+  *     `array_max`) on the joined array — no explode, no re-aggregation,
+  *     no second shuffle of the corpus. The rule table is corpus-derived,
+  *     so no forced broadcast hint (r8 ADVICE: a minCount-style floor
+  *     does not bound a web table) — AQE broadcasts while it fits.
+  *   - META/X-Robots directives and license detection are pure scalar
+  *     regexp chains: zero shuffle, whole-stage codegen, evaluated inside
+  *     the scan pass.
+  *
+  * robots.txt semantics implemented (REP, RFC 9309 subset):
+  *   - `#` comments stripped; keys case-insensitive; groups are runs of
+  *     consecutive `User-agent:` lines followed by their rules; rules
+  *     before any `User-agent:` line are ignored.
+  *   - Agent resolution: if ANY group on the host names the caller's
+  *     agent (exact, case-insensitive), only those groups apply and every
+  *     `*` group is ignored; otherwise the `*` groups apply.
+  *   - Longest-prefix match wins; on a length tie `Allow` wins; no
+  *     matching rule (or no robots.txt for the host) means allowed.
+  *   - Documented subset: rule paths are LITERAL prefixes — rules
+  *     containing `*` or `$` wildcards are dropped (conservative toward
+  *     allow), and an empty `Disallow:` (allow-all) is dropped as the
+  *     no-op it is. `Crawl-delay`/`Sitemap` lines are ignored.
+  */
+object Policy {
+
+  /** Schema of the per-host rule array element. */
+  private val ruleStruct: (Column, Column, Column) => Column =
+    (prefix, len, allow) =>
+      struct(prefix.as("prefix"), len.as("rule_len"), allow.as("allow"))
+
+  /** Parse a (host, robots.txt body) table into one row per host:
+    * `(host, robots_rules: array<struct<prefix, rule_len, allow>>)` —
+    * only the rules that apply to `agent` under the group-resolution
+    * semantics in the object doc. One hash exchange of the robots table;
+    * three windows share the host partitioning (Catalyst inserts sorts,
+    * not exchanges, for the (host, gid) windows).
+    */
+  def parseRobots(robots: DataFrame, hostCol: String, bodyCol: String,
+      agent: String = "*"): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val lines = robots.select(col(hostCol).as("__host"),
+        posexplode(split(col(bodyCol), "\n")).as(Seq("__pos", "__raw")))
+      .select(col("__host"), col("__pos"),
+        trim(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
+    val isUa = col("__line").rlike("(?i)^user-agent\\s*:")
+    val uaVal = lower(trim(
+      regexp_extract(col("__line"), "(?i)^user-agent\\s*:\\s*(\\S*)", 1)))
+    val isRule = col("__line").rlike("(?i)^(allow|disallow)\\s*:")
+    val ruleAllow = col("__line").rlike("(?i)^allow\\s*:")
+    val rulePath = trim(regexp_extract(col("__line"),
+      "(?i)^(allow|disallow)\\s*:\\s*(\\S*)", 2))
+
+    val byPos = Window.partitionBy("__host").orderBy("__pos")
+    val tagged = lines.select(col("__host"), col("__pos"), col("__line"),
+      isUa.as("__is_ua"), uaVal.as("__ua"), isRule.as("__is_rule"),
+      ruleAllow.as("__allow"), rulePath.as("__prefix"))
+    // a group starts at a UA line whose predecessor is not a UA line;
+    // gid 0 = the region before any group (its rules are ignored)
+    val withGid = tagged.withColumn("__gid",
+      sum(when(col("__is_ua") &&
+          !coalesce(lag(col("__is_ua"), 1).over(byPos), lit(false)), 1)
+        .otherwise(0)).over(byPos))
+    val grp = Window.partitionBy("__host", "__gid")
+    val hostW = Window.partitionBy("__host")
+    val specificInGrp =
+      if (agentLc == "*") lit(false)
+      else max(when(col("__is_ua") && col("__ua") === agentLc, 1)
+        .otherwise(0)).over(grp) === 1
+    val flagged = withGid
+      .withColumn("__grp_star",
+        max(when(col("__is_ua") && col("__ua") === "*", 1).otherwise(0))
+          .over(grp) === 1)
+      .withColumn("__grp_specific", specificInGrp)
+      .withColumn("__host_specific",
+        max(when(col("__grp_specific"), 1).otherwise(0)).over(hostW) === 1)
+    val applies = col("__grp_specific") ||
+      (!col("__host_specific") && col("__grp_star"))
+    flagged
+      .where(col("__gid") >= 1 && col("__is_rule") && applies &&
+        col("__prefix") =!= "" &&
+        !col("__prefix").contains("*") && !col("__prefix").contains("$"))
+      .groupBy(col("__host").as("host"))
+      .agg(collect_list(ruleStruct(col("__prefix"),
+        length(col("__prefix")).cast("int"), col("__allow")))
+        .as("robots_rules"))
+  }
+
+  /** Gate pages against a [[parseRobots]] table: ONE left equi-join on
+    * host, then longest-match resolution entirely in codegen'd array
+    * functions on the joined rule array (`array_max` over
+    * `struct(rule_len, allow)` — length wins, Allow wins ties). Pages on
+    * hosts with no robots.txt, or matching no rule, are allowed. Adds
+    * `outCol: boolean`; drops the internal rule columns.
+    */
+  def applyRobots(pages: DataFrame, hostRules: DataFrame,
+      hostCol: String = "host", pathCol: String = "path",
+      outCol: String = "robots_allowed"): DataFrame = {
+    val rules = hostRules.select(col("host").as("__rhost"),
+      col("robots_rules").as("__rules"))
+    val path = when(col(pathCol) === "", lit("/")).otherwise(col(pathCol))
+    val matched = filter(col("__rules"), r => path.startsWith(r("prefix")))
+    val best = array_max(transform(matched,
+      r => struct(r("rule_len").as("rule_len"), r("allow").as("allow"))))
+    pages.join(rules, pages(hostCol) === rules("__rhost"), "left")
+      .withColumn(outCol, coalesce(best("allow"), lit(true)))
+      .drop("__rhost", "__rules")
+  }
+
+  // ---- robots META / X-Robots-Tag directives ----
+
+  /** Lowercased content of `<meta name="robots" content="…">` (first
+    * occurrence; empty string when absent). Pure scalar regexp. */
+  def metaRobotsContent(html: Column): Column =
+    lower(regexp_extract(html,
+      "(?is)<meta\\s+name\\s*=\\s*[\"']robots[\"']\\s+content\\s*=\\s*[\"']([^\"']*)[\"']",
+      1))
+
+  /** True when a comma-separated directive list contains `d` as a whole
+    * token (`noindex, nofollow` contains `noindex` but not `index`). */
+  def hasDirective(directives: Column, d: String): Column =
+    exists(split(lower(directives), ","), t => trim(t) === lit(d))
+
+  /** Append `robots_noindex` / `robots_nofollow` / `robots_noai` derived
+    * from the page's robots META tag, OR-ed with an optional
+    * `X-Robots-Tag` response-header column (both channels carry the same
+    * directive grammar). Zero shuffle. */
+  def withRobotsDirectives(df: DataFrame, htmlCol: String,
+      xRobotsCol: Option[String] = None): DataFrame = {
+    val merged = xRobotsCol match {
+      case Some(h) => concat_ws(",", metaRobotsContent(col(htmlCol)),
+        coalesce(lower(col(h)), lit("")))
+      case None => metaRobotsContent(col(htmlCol))
+    }
+    df.withColumn("robots_noindex", hasDirective(merged, "noindex"))
+      .withColumn("robots_nofollow", hasDirective(merged, "nofollow"))
+      .withColumn("robots_noai", hasDirective(merged, "noai"))
+  }
+
+  // ---- license detection ----
+
+  private val ccUrlRe =
+    "(?i)[\"']((?:https?:)?//creativecommons\\.org/(?:licenses/[a-z-]+/[0-9][0-9.]*|publicdomain/(?:zero|mark)/[0-9][0-9.]*)[^\"']*)[\"']"
+  private val relLicenseRe =
+    "(?is)rel\\s*=\\s*[\"']license[\"']\\s+href\\s*=\\s*[\"']([^\"']*)[\"']"
+
+  /** First machine-readable license URL on the page: any quoted
+    * creativecommons.org licenses/publicdomain URL, else the href of a
+    * `rel="license"` link. NULL when neither is present. */
+  def licenseUrl(html: Column): Column = {
+    val cc = regexp_extract(html, ccUrlRe, 1)
+    val rel = regexp_extract(html, relLicenseRe, 1)
+    nullif(when(cc =!= "", cc).otherwise(rel), lit(""))
+  }
+
+  /** License family code from a license URL: `cc0`, `public-domain`,
+    * `cc-<code>` (cc-by, cc-by-nc-sa, …) for creativecommons.org URLs,
+    * `other` for any non-CC `rel="license"` target, NULL for NULL. */
+  def licenseFamily(url: Column): Column =
+    when(url.isNull, lit(null).cast("string"))
+      .when(url.rlike("(?i)creativecommons\\.org/publicdomain/zero/"),
+        lit("cc0"))
+      .when(url.rlike("(?i)creativecommons\\.org/publicdomain/mark/"),
+        lit("public-domain"))
+      .when(url.rlike("(?i)creativecommons\\.org/licenses/"),
+        concat(lit("cc-"),
+          lower(regexp_extract(url, "(?i)/licenses/([a-z-]+)/", 1))))
+      .otherwise(lit("other"))
+
+  /** Commercial use clear? TRUE only for affirmatively permissive
+    * families (cc0, public-domain, CC without `-nc`); `other`/unknown/
+    * NULL are FALSE — an unrecognized license is not a clearance. */
+  def licenseCommercial(family: Column): Column =
+    coalesce(family.isin("cc0", "public-domain") ||
+      (family.startsWith("cc-") && !family.contains("-nc")), lit(false))
+
+  /** Derivative works clear? Same affirmative logic with `-nd`. */
+  def licenseDerivatives(family: Column): Column =
+    coalesce(family.isin("cc0", "public-domain") ||
+      (family.startsWith("cc-") && !family.contains("-nd")), lit(false))
+
+  /** Append `license_url` / `license_family` / `license_commercial` /
+    * `license_derivatives` from an HTML column. Zero shuffle. */
+  def withLicenseSignals(df: DataFrame, htmlCol: String): DataFrame = {
+    val u = licenseUrl(col(htmlCol))
+    val fam = licenseFamily(u)
+    df.withColumn("license_url", u)
+      .withColumn("license_family", fam)
+      .withColumn("license_commercial", licenseCommercial(fam))
+      .withColumn("license_derivatives", licenseDerivatives(fam))
+  }
+}

@@ -305,6 +305,46 @@ object TextAnalysis {
     "\\d{3}[- .]\\d{3}[- .]\\d{4}" -> "<PHONE>",
     "\\d{6,}" -> "<IDNUM>")
 
+  /** Web-corpus extension of [[defaultRedactionRules]] (r9): adds the
+    * national-ID 3-2-4 shape, the parenthesized-area-code phone form, and
+    * IPv4 literals — the detector set a crawl-derived corpus scrubs. Order
+    * matters and is part of the contract: ID before PHONE (3-2-4 must not
+    * be half-eaten by the 3-3-4 rule), IP before IDNUM (dot-separated
+    * groups stay one token), IDNUM last as the catch-all; sentinels are
+    * digit-free so later rules can never re-match inside an earlier
+    * replacement. Same RE2-compatible subset as the default rules — the
+    * DuckDB oracle replays each pattern verbatim. */
+  val webRedactionRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<ID>",
+    "\\(\\d{3}\\) \\d{3}-\\d{4}|\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\d{6,}" -> "<IDNUM>")
+
+  /** Per-group PII scrub audit — the report a curation run publishes per
+    * source/domain: document count, documents with any hit, and one
+    * `total_<kind>` column per rule (kind = the rule's sentinel,
+    * lowercased). Counts are per-rule on the RAW text (audit semantics —
+    * overlapping hits count under every rule that matches), computed in
+    * the scan's codegen pass; ONE map-side-combined aggregation, so only
+    * the tiny per-group partial rows shuffle. */
+  def piiScanReport(df: DataFrame, textCol: String, groupCol: String,
+      rules: Seq[(String, String)] = webRedactionRules): DataFrame = {
+    def kind(sentinel: String): String =
+      sentinel.replaceAll("[<>]", "").toLowerCase(java.util.Locale.ROOT)
+    val counted = rules.foldLeft(df) { case (d, (pat, sentinel)) =>
+      d.withColumn(s"__n_${kind(sentinel)}", matchCount(col(textCol), pat))
+    }
+    val total = rules.map { case (_, s) => col(s"__n_${kind(s)}") }
+      .reduce(_ + _)
+    counted.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(when(total > 0, 1L).otherwise(0L)).as("n_docs_with_pii") +:
+          rules.map { case (_, s) =>
+            sum(col(s"__n_${kind(s)}")).as(s"total_${kind(s)}")
+          }): _*)
+  }
+
   /** Fixed-size character chunks with stride (stride < chunkLen ⇒ overlap) —
     * the context-window packing primitive that turns documents into training
     * samples. One `sequence` + `posexplode` + `substring`: a narrow

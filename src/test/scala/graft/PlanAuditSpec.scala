@@ -65,12 +65,29 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q_doc_chunks / q_text_repetition / q_pii_redact / q_zorder_key / q_line_dedup: shuffle-free narrow plans") {
     Seq("q_doc_chunks", "q_text_repetition", "q_pii_redact", "q_zorder_key",
-      "q_line_dedup")
+      "q_line_dedup", "q_pii_planted", "q_license_detect")
       .foreach { n =>
         val p = plan(n)
         assert(!p.contains("Exchange"),
           s"$n must be a narrow projection (no shuffle):\n$p")
       }
+  }
+
+  test("q_robots_filter: the corpus never shuffles — rule table broadcasts") {
+    val p = plan("q_robots_filter")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-host rule table not broadcast onto the page scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"robots apply sort-merge-joined the corpus:\n$p")
+  }
+
+  test("q_pii_scan: one map-side-combined aggregation exchange") {
+    val p = plan("q_pii_scan")
+    val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"q_pii_scan: expected exactly one hash exchange (partial agg " +
+        s"map-side), got $exchanges:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
   }
 
   test("TPC-H 22: every correlated subquery decorrelates — no nested-loop blowups") {

@@ -514,6 +514,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == (("no pii here", 0L)))
   }
 
+  test("webRedactionRules: each detector hits its shape and only its shape") {
+    def red(s: String): String =
+      Seq(s).toDF("t")
+        .select(TextAnalysis.redact(col("t"), TextAnalysis.webRedactionRules))
+        .head.getString(0)
+    assert(red("a user7@mail.example.com b 123-45-6789 c (555) 234-5678 d 10.2.3.4 e 1234567")
+      === "a <EMAIL> b <ID> c <PHONE> d <IP> e <IDNUM>")
+    // rule order: ID (3-2-4) must not be half-eaten by PHONE (3-3-4);
+    // IP groups must not merge into an IDNUM run
+    assert(red("555-234-5678 and 123-45-6789") === "<PHONE> and <ID>")
+    // email consumes its text first: the inner phone shape never leaks
+    assert(red("x 555-234-5678@mail.example.com y") === "x <EMAIL> y")
+    // near-misses survive: 2-2-4 digits, version string, no-TLD address
+    assert(red("v1.2.3 and 12-34-5678 and user@localhost") ===
+      "v1.2.3 and 12-34-5678 and user@localhost")
+    // idempotent: sentinels are digit-free, a second pass is a no-op
+    val once = red("call (555) 234-5678 now")
+    assert(red(once) === once)
+  }
+
+  test("piiScanReport rolls up per group with per-rule totals") {
+    val df = Seq(
+      ("s1", "mail a@b.com and 10.0.0.1"),
+      ("s1", "clean text"),
+      ("s2", "ssn 123-45-6789")).toDF("src", "text")
+    val rep = TextAnalysis.piiScanReport(df, "text", "src")
+      .select("src", "n_docs", "n_docs_with_pii", "total_email", "total_id",
+        "total_phone", "total_ip", "total_idnum")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rep("s1") === (("s1", 2L, 1L, 1L, 0L, 0L, 1L, 0L)))
+    assert(rep("s2") === (("s2", 1L, 1L, 0L, 1L, 0L, 0L, 0L)))
+  }
+
   test("chunking: stride boundaries, tail chunk, overlap, empty doc") {
     val text = ("x" * 199) + "Y" + ("z" * 300) // length 500
     val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")

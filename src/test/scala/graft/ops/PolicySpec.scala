@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Policy — robots.txt group resolution and longest-match application,
+  * META directive parsing, and license-family mapping: the rule-level
+  * cases the arithmetic driver oracle can't isolate one at a time.
+  */
+class PolicySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val robotsBody =
+    """# top comment with Disallow: /decoy inside
+      |Disallow: /orphan-before-any-group
+      |
+      |User-agent: badbot
+      |Disallow: /
+      |
+      |User-agent: helper
+      |User-agent: *
+      |Disallow: /private/
+      |Allow: /private/ok/
+      |Disallow: /tmp
+      |Allow: /tmp          # tie with the Disallow — Allow must win
+      |Disallow: /*.pdf$
+      |Disallow:
+      |Crawl-delay: 10
+      |""".stripMargin
+
+  private def rulesFor(agent: String) =
+    Policy.parseRobots(Seq(("h.example", robotsBody)).toDF("host", "body"),
+      "host", "body", agent)
+
+  private def decide(agent: String, paths: Seq[String]): Map[String, Boolean] = {
+    val pages = paths.map(p => ("h.example", p)).toDF("host", "path")
+    Policy.applyRobots(pages, rulesFor(agent))
+      .select("path", "robots_allowed").as[(String, Boolean)]
+      .collect().toMap
+  }
+
+  test("star group: longest match wins, Allow wins ties, literal prefixes") {
+    val d = decide("graftbot", Seq(
+      "/private/x", "/private/ok/y", "/tmpfile", "/tmp", "/report.pdf",
+      "/", "/orphan-before-any-group"))
+    assert(d("/private/x") === false)   // Disallow /private/
+    assert(d("/private/ok/y") === true) // longer Allow overrides
+    assert(d("/tmpfile") === true)      // /tmp tie -> Allow wins
+    assert(d("/tmp") === true)
+    assert(d("/report.pdf") === true)   // wildcard rule dropped
+    assert(d("/") === true)             // no rule matches
+    assert(d("/orphan-before-any-group") === true) // pre-group rule ignored
+  }
+
+  test("specific agent group shadows every star group") {
+    // badbot has its own group (Disallow /), so the star rules vanish
+    val d = decide("BadBot", Seq("/", "/private/ok/y", "/anything"))
+    assert(d.values.forall(_ == false))
+    // an agent named only in a multi-UA header shares the star group
+    val h = decide("helper", Seq("/private/x", "/private/ok/y"))
+    assert(h("/private/x") === false && h("/private/ok/y") === true)
+  }
+
+  test("host with no robots row and empty path are allowed / normalized") {
+    val pages = Seq(("nobots.example", "/x"), ("h.example", ""))
+      .toDF("host", "path")
+    val d = Policy.applyRobots(pages, rulesFor("graftbot"))
+      .select("host", "robots_allowed").as[(String, Boolean)].collect().toMap
+    assert(d("nobots.example") === true)
+    assert(d("h.example") === true) // "" -> "/" which no rule matches
+  }
+
+  test("empty Disallow and comment-decoy rules never materialize") {
+    val rules = rulesFor("graftbot")
+      .select(explode(col("robots_rules")).as("r"))
+      .select(col("r.prefix")).as[String].collect().toSet
+    assert(rules === Set("/private/", "/private/ok/", "/tmp"))
+  }
+
+  test("META robots directives: whole-token match, X-Robots-Tag merged") {
+    val df = Seq(
+      ("""<html><head><META name="robots" CONTENT="noindex, nofollow"></head></html>""", null),
+      ("""<html><head><meta name="robots" content="index"></head></html>""", "noai"),
+      ("""<html><head></head></html>""", null))
+      .toDF("html", "x_robots")
+    val out = Policy.withRobotsDirectives(df, "html", Some("x_robots"))
+      .select("robots_noindex", "robots_nofollow", "robots_noai")
+      .as[(Boolean, Boolean, Boolean)].collect()
+    assert(out(0) === ((true, true, false)))
+    assert(out(1) === ((false, false, true))) // "index" is not "noindex"
+    assert(out(2) === ((false, false, false)))
+  }
+
+  test("license family mapping and clearance flags") {
+    val cases = Seq(
+      ("""<a rel="license" href="https://creativecommons.org/licenses/by/4.0/">x</a>""",
+        Some("cc-by"), true, true),
+      ("""<a href="http://creativecommons.org/licenses/by-nc-sa/3.0/">x</a>""",
+        Some("cc-by-nc-sa"), false, true),
+      ("""<a href="https://creativecommons.org/licenses/by-nd/2.5/it/">x</a>""",
+        Some("cc-by-nd"), true, false),
+      ("""<a href="https://creativecommons.org/publicdomain/zero/1.0/">x</a>""",
+        Some("cc0"), true, true),
+      ("""<a rel="license" href="https://example.com/terms">x</a>""",
+        Some("other"), false, false),
+      ("""<p>no license here</p>""", None, false, false))
+    val out = Policy.withLicenseSignals(
+        cases.map(_._1).toDF("html"), "html")
+      .select("license_family", "license_commercial", "license_derivatives")
+      .as[(Option[String], Boolean, Boolean)].collect()
+    cases.zip(out).foreach { case ((_, fam, comm, deriv), got) =>
+      assert(got === ((fam, comm, deriv)))
+    }
+  }
+}
