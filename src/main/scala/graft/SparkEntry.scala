@@ -112,6 +112,29 @@ object SparkEntry {
   private def piiKind(sentinel: String): String =
     sentinel.replaceAll("[<>]", "").toLowerCase(java.util.Locale.ROOT)
 
+  /** Gopher-rule fixture: document text extended with rule-violating
+    * structure by doc_id arithmetic — ten bullet lines (fails the 90%
+    * bullet-line cap), two ellipsis-terminated lines (fails the 30% cap),
+    * twenty `#` tokens (fails the symbol ratio and dilutes alpha words),
+    * or the full required-stop-word set. The DuckDB oracle constructs the
+    * identical string. */
+  private def gopherFixtureText: Column = {
+    val d = col("doc_id")
+    concat(col("text"),
+      when(d % 5 === 0, lit("\n- one two three\n- four five six\n" +
+        "- seven eight nine\n- ten eleven twelve\n- more bullets here\n" +
+        "- still more bullets\n- bullets keep coming\n" +
+        "- eighth bullet line\n- ninth bullet line\n- tenth bullet line"))
+        .otherwise(lit("")),
+      when(d % 5 === 1,
+        lit("\nthis line trails off...\nand this one too..."))
+        .otherwise(lit("")),
+      when(d % 5 === 2, lit(" " + Seq.fill(20)("#").mkString(" ")))
+        .otherwise(lit("")),
+      when(d % 5 === 4, lit(" the of and that have with to be"))
+        .otherwise(lit("")))
+  }
+
   /** Driver-testdata fixtures for the end-to-end pipeline query: the
     * constituent list derives from `supplier` ("S<k>") and bars derive from
     * `lineitem` ([[graft.etl.StockBars]]) — both reproducible in DuckDB
@@ -1013,6 +1036,40 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), piiPlantedText.as("pii_text"))
       TextAnalysis.piiScanReport(docs, "pii_text", "source")
+    },
+
+    // Gopher quality rules (TextAnalysis.gopherRules — Rae et al. 2021's
+    // published per-rule document gate). Structure is PLANTED by doc_id
+    // arithmetic (bullet-heavy docs, ellipsis-trailing docs, symbol-spam
+    // docs, stop-word-guaranteed docs) so every rule fires both ways;
+    // every threshold evaluates in INTEGER arithmetic, so the DuckDB
+    // replay is bit-exact — a drifted tokenization, a wrong boundary
+    // (<= vs <), or a missed line class hash-fails row-level.
+    "q_gopher_rules" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), gopherFixtureText.as("gtext"))
+      TextAnalysis.gopherRules(docs, "doc_id", "gtext")
+    },
+
+    // C4 line-level cleaning (TextAnalysis.c4LineFilter — Raffel et al.
+    // 2020's terminal-punctuation line filter): planted lines (a proper
+    // sentence, a too-short sentence, an unterminated line, and an
+    // even-doc-only extra sentence) make the keep set exact; the oracle
+    // replays the split/filter/rejoin list pipeline including the
+    // REWRITTEN text, so a dropped good line or a leaked bad one
+    // hash-fails on the full string.
+    "q_c4_line_filter" -> q { (s, dir) =>
+      val d = col("doc_id")
+      val txt = concat(col("text"),
+        lit("\nGood sentence with enough words here."),
+        lit("\nshort line."),
+        lit("\nno terminal punctuation in this line"),
+        lit("\nAnother proper sentence line right here!"),
+        when(d % 2 === 0,
+          lit("\nThird full sentence appears in even documents."))
+          .otherwise(lit("")))
+      val docs = Tables.documents(s, dir).select(d, txt.as("ctext"))
+      TextAnalysis.c4LineFilter(docs, "doc_id", "ctext")
     },
 
     // Time travel: read version 1 AFTER version 2 is committed — the
@@ -5712,6 +5769,108 @@ object SparkEntry {
         |  CAST(sum(n_ip) AS BIGINT) AS total_ip,
         |  CAST(sum(n_idnum) AS BIGINT) AS total_idnum
         |FROM c GROUP BY source""".stripMargin,
+
+    // RULE-REPLAY oracle: identical planted structure, identical word/
+    // line splits, INTEGER threshold arithmetic — bit-exact by design
+    "q_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN
+        |       chr(10) || '- one two three' || chr(10) || '- four five six'
+        |       || chr(10) || '- seven eight nine' || chr(10)
+        |       || '- ten eleven twelve' || chr(10) || '- more bullets here'
+        |       || chr(10) || '- still more bullets' || chr(10)
+        |       || '- bullets keep coming' || chr(10)
+        |       || '- eighth bullet line' || chr(10) || '- ninth bullet line'
+        |       || chr(10) || '- tenth bullet line' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 1 THEN
+        |       chr(10) || 'this line trails off...' || chr(10)
+        |       || 'and this one too...' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 2 THEN
+        |       ' ' || repeat('# ', 19) || '#' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 4 THEN
+        |       ' the of and that have with to be' ELSE '' END) AS txt
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, txt,
+        |    list_filter(regexp_split_to_array(txt, '\s+'), x -> x <> '')
+        |      AS words,
+        |    string_split(txt, chr(10)) AS lines
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(words, x -> strlen(x))), 0)
+        |      AS BIGINT) AS total_chars,
+        |    CAST(len(regexp_extract_all(txt, '#|\.\.\.')) AS BIGINT) AS sym,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines,
+        |      l -> regexp_matches(l, '^\s*[-*•] '))) AS BIGINT) AS bullets,
+        |    CAST(len(list_filter(lines,
+        |      l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS ell,
+        |    CAST(len(list_filter(words,
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha,
+        |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+        |       'the') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+        |       'be') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+        |       'to') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+        |       'of') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+        |       'and') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+        |       'that') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+        |       'have') THEN 1 ELSE 0 END) +
+        |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)),
+        |       'with') THEN 1 ELSE 0 END) AS stop_hits
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+        |  3 * n_words <= total_chars AND total_chars <= 10 * n_words
+        |    AND n_words > 0 AS r_mean_word_len,
+        |  10 * sym <= n_words AS r_symbol_ratio,
+        |  10 * bullets <= 9 * n_lines AS r_bullet_lines,
+        |  10 * ell <= 3 * n_lines AS r_ellipsis_lines,
+        |  10 * alpha >= 8 * n_words AS r_alpha_words,
+        |  stop_hits >= 2 AS r_stop_words,
+        |  (n_words >= 50 AND n_words <= 100000) AND
+        |  (3 * n_words <= total_chars AND total_chars <= 10 * n_words
+        |    AND n_words > 0) AND
+        |  (10 * sym <= n_words) AND (10 * bullets <= 9 * n_lines) AND
+        |  (10 * ell <= 3 * n_lines) AND (10 * alpha >= 8 * n_words) AND
+        |  (stop_hits >= 2) AS gopher_keep
+        |FROM m""".stripMargin,
+
+    // RULE-REPLAY oracle: the split/filter/rejoin list pipeline replayed
+    // on the identically planted lines, compared on the REWRITTEN text
+    "q_c4_line_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, text
+        |    || chr(10) || 'Good sentence with enough words here.'
+        |    || chr(10) || 'short line.'
+        |    || chr(10) || 'no terminal punctuation in this line'
+        |    || chr(10) || 'Another proper sentence line right here!'
+        |    || (CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+        |        'Third full sentence appears in even documents.'
+        |        ELSE '' END) AS txt
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, string_split(txt, chr(10)) AS lines FROM t),
+        |k AS (
+        |  SELECT doc_id, lines,
+        |    list_filter(lines, l -> regexp_matches(l, '[.!?]"?\s*$') AND
+        |      len(list_filter(regexp_split_to_array(l, '\s+'),
+        |        x -> x <> '')) >= 4) AS kept
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  array_to_string(kept, chr(10)) AS clean_text,
+        |  len(kept) >= 3 AS c4_keep
+        |FROM k""".stripMargin,
 
     "q_warc_ingest" ->
       """SELECT doc_id,

@@ -14,6 +14,10 @@ import org.apache.spark.sql.types.LongType
   * the composition contract, a run report, and the stage ordering that
   * matters at scale:
   *
+  *  - for a crawl corpus, the compliance gate ([[Policy.gate]]: robots.txt,
+  *    robots META directives, license clearance) runs as stage ZERO on the
+  *    raw (url, html) frame — before [[run]] and before HTML extraction,
+  *    because the signals live in the head/markup that extraction strips;
   *  - exact dedup FIRST (16-byte digest shuffle removes the cheap mass
   *    before anything tokenizes);
   *  - near dedup on the survivors (the shingle pipeline never sees exact

@@ -210,4 +210,47 @@ object Policy {
       .withColumn("license_commercial", licenseCommercial(fam))
       .withColumn("license_derivatives", licenseDerivatives(fam))
   }
+
+  // ---- composed gate (stage 0 of a crawl curation) ----
+
+  /** The full compliance gate over a crawl frame `(urlCol, htmlCol, …)` —
+    * the stage that runs BEFORE [[Curate.run]]'s content stages (and
+    * before [[Html.mainContent]], which strips the head the META tag and
+    * license markup live in). Derives host+path from the URL
+    * ([[Urls]]), applies robots.txt rules when a [[parseRobots]] table is
+    * given, robots META directives, and license clearance; keeps rows
+    * where every enabled channel clears. Cost: the scalar signal chain is
+    * zero-shuffle; the robots join is [[applyRobots]]'s single equi-join.
+    *
+    * @param hostRules          [[parseRobots]] output; None skips the
+    *                           robots.txt channel
+    * @param respectNoAi        drop pages whose robots directives carry
+    *                           `noai` (the emerging opt-out) or `noindex`
+    * @param requireCommercial  drop pages without an affirmative
+    *                           commercial-use license — implies dropping
+    *                           UNLICENSED pages; leave false for corpora
+    *                           where unlicensed ordinary web text is in
+    *                           scope and licensing is a downstream call
+    */
+  def gate(pages: DataFrame, urlCol: String, htmlCol: String,
+      hostRules: Option[DataFrame] = None,
+      respectNoAi: Boolean = true,
+      requireCommercial: Boolean = false): DataFrame = {
+    val withHost = pages
+      .withColumn("host", Urls.host(col(urlCol)))
+      .withColumn("path", regexp_extract(
+        regexp_replace(trim(col(urlCol)), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""),
+        "^([^?#]*)", 1))
+    val robots = hostRules match {
+      case Some(r) => applyRobots(withHost, r)
+      case None => withHost.withColumn("robots_allowed", lit(true))
+    }
+    val signed = withLicenseSignals(
+      withRobotsDirectives(robots, htmlCol), htmlCol)
+    val keep = col("robots_allowed") &&
+      (if (respectNoAi) !col("robots_noindex") && !col("robots_noai")
+       else lit(true)) &&
+      (if (requireCommercial) col("license_commercial") else lit(true))
+    signed.withColumn("policy_keep", keep)
+  }
 }

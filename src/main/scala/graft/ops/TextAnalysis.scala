@@ -345,6 +345,102 @@ object TextAnalysis {
           }): _*)
   }
 
+  /** Gopher quality rules (Rae et al. 2021, published filter set) — the
+    * explicit per-rule document gate web-corpus pipelines report alongside
+    * any learned score ([[qualityClassifierScore]] complements, not
+    * replaces, the rule set: the rules are auditable and the per-rule
+    * flags tell a curator WHY a document dropped).
+    *
+    * Rules (each a boolean column; `gopher_keep` is their conjunction):
+    *   - `r_word_count`: word count in [minWords, maxWords];
+    *   - `r_mean_word_len`: mean word length in [3, 10] characters;
+    *   - `r_symbol_ratio`: (`#` or `...`) hits ≤ 10% of words;
+    *   - `r_bullet_lines`: ≤ 90% of lines start with a bullet;
+    *   - `r_ellipsis_lines`: ≤ 30% of lines end with an ellipsis;
+    *   - `r_alpha_words`: ≥ 80% of words contain a letter;
+    *   - `r_stop_words`: ≥ 2 distinct required stop words present.
+    *
+    * Engine-parity design: every threshold is evaluated in INTEGER
+    * arithmetic (`3·n ≤ chars ≤ 10·n`, `10·sym ≤ words`, …) — no float
+    * division, so the DuckDB oracle replays bit-exactly. Pure scalar
+    * chain over a staged token column (narrow, zero shuffle, codegen'd);
+    * empty documents fail `r_word_count` and keep FALSE.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val requiredStopwords =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // stage the split arrays ONCE (documented production contract:
+    // subexpression elimination does not reach lambda bodies)
+    val staged = docs
+      .withColumn("__words",
+        filter(split(col(textCol), "\\s+"), t => t =!= ""))
+      // staged separately: 8 stop-word membership probes read this array
+      // (an inline transform would re-lowercase the doc per probe)
+      .withColumn("__words_lc",
+        transform(filter(split(col(textCol), "\\s+"), t => t =!= ""),
+          t => lower(t)))
+      .withColumn("__lines", split(col(textCol), "\n"))
+    val nWords = size(col("__words")).cast(LongType)
+    val nLines = size(col("__lines")).cast(LongType)
+    val totalChars = aggregate(col("__words"), lit(0L),
+      (acc, t) => acc + length(t).cast(LongType))
+    val symbolHits = matchCount(col(textCol), "#|\\.\\.\\.")
+    val bulletLines = size(filter(col("__lines"),
+      l => l.rlike("^\\s*[-*•] "))).cast(LongType)
+    val ellipsisLines = size(filter(col("__lines"),
+      l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast(LongType)
+    val alphaWords = size(filter(col("__words"),
+      t => t.rlike("[A-Za-z]"))).cast(LongType)
+    val stopHits = requiredStopwords.map(w =>
+        when(array_contains(col("__words_lc"), w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    staged.select(col(idCol),
+        nWords.as("n_words"),
+        (nWords >= minWords && nWords <= maxWords).as("r_word_count"),
+        (lit(3L) * nWords <= totalChars &&
+          totalChars <= lit(10L) * nWords && nWords > 0L)
+          .as("r_mean_word_len"),
+        (lit(10L) * symbolHits <= nWords).as("r_symbol_ratio"),
+        (lit(10L) * bulletLines <= lit(9L) * nLines).as("r_bullet_lines"),
+        (lit(10L) * ellipsisLines <= lit(3L) * nLines)
+          .as("r_ellipsis_lines"),
+        (lit(10L) * alphaWords >= lit(8L) * nWords).as("r_alpha_words"),
+        (stopHits >= 2L).as("r_stop_words"))
+      .withColumn("gopher_keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stop_words"))
+  }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020, published filter
+    * set): KEEP only lines that end in terminal punctuation (`.!?"`) and
+    * carry at least `minLineWords` words; then gate the document on at
+    * least `minLines` surviving lines. Unlike the document-level gates
+    * this REWRITES the text (the cleaned column holds the surviving lines
+    * re-joined), which is why it returns the cleaned text alongside the
+    * counts — downstream dedup/quality must see the cleaned content.
+    * Pure scalar array chain: narrow, zero shuffle, codegen'd; the DuckDB
+    * oracle replays the same split/filter/join list operations.
+    */
+  def c4LineFilter(docs: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 4, minLines: Int = 3): DataFrame = {
+    val staged = docs.withColumn("__lines", split(col(textCol), "\n"))
+    // a kept line ends with terminal punctuation (optionally followed by
+    // a closing quote) and has >= minLineWords whitespace words
+    val keptExpr = filter(col("__lines"), l =>
+      l.rlike("[.!?]\"?\\s*$") &&
+        size(filter(split(l, "\\s+"), t => t =!= "")) >= minLineWords)
+    staged.select(col(idCol),
+        size(col("__lines")).cast(LongType).as("n_lines"),
+        keptExpr.as("__kept"))
+      .select(col(idCol), col("n_lines"),
+        size(col("__kept")).cast(LongType).as("n_kept_lines"),
+        array_join(col("__kept"), "\n").as("clean_text"))
+      .withColumn("c4_keep", col("n_kept_lines") >= minLines)
+  }
+
   /** Fixed-size character chunks with stride (stride < chunkLen ⇒ overlap) —
     * the context-window packing primitive that turns documents into training
     * samples. One `sequence` + `posexplode` + `substring`: a narrow

@@ -65,7 +65,8 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q_doc_chunks / q_text_repetition / q_pii_redact / q_zorder_key / q_line_dedup: shuffle-free narrow plans") {
     Seq("q_doc_chunks", "q_text_repetition", "q_pii_redact", "q_zorder_key",
-      "q_line_dedup", "q_pii_planted", "q_license_detect")
+      "q_line_dedup", "q_pii_planted", "q_license_detect", "q_gopher_rules",
+      "q_c4_line_filter")
       .foreach { n =>
         val p = plan(n)
         assert(!p.contains("Exchange"),

@@ -548,6 +548,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rep("s2") === (("s2", 1L, 1L, 0L, 1L, 0L, 0L, 0L)))
   }
 
+  test("gopherRules: each rule fires on its violation, integer boundaries hold") {
+    val goodText = (("the quick brown fox jumps over lazy dogs and " * 6) +
+      "that have with be of").trim // ~59 words, all alpha, stops present
+    val docs = Seq(
+      (1L, goodText),
+      (2L, "too short"),                                    // word count
+      (3L, ("a b c d e " * 12).trim),                       // mean len < 3
+      (4L, goodText + " " + Seq.fill(10)("#").mkString(" ")), // symbols
+      (5L, goodText + ("\n- bullet line here" * 10).mkString), // bullets
+      (6L, goodText + "\nfirst trails off...\nsecond too..."), // ellipsis
+      (7L, goodText + " " + Seq.fill(20)("12345").mkString(" ")), // alpha
+      (8L, ("zork gork bork mork " * 15).trim))             // no stop words
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def rule(id: Long, name: String): Boolean =
+      out(id).getBoolean(out(id).fieldIndex(name))
+    assert(rule(1L, "gopher_keep") === true)
+    assert(rule(2L, "r_word_count") === false)
+    assert(rule(3L, "r_mean_word_len") === false)
+    assert(rule(4L, "r_symbol_ratio") === false && rule(1L, "r_symbol_ratio"))
+    assert(rule(5L, "r_bullet_lines") === false && rule(1L, "r_bullet_lines"))
+    assert(rule(6L, "r_ellipsis_lines") === false &&
+      rule(1L, "r_ellipsis_lines"))
+    assert(rule(7L, "r_alpha_words") === false && rule(1L, "r_alpha_words"))
+    assert(rule(8L, "r_stop_words") === false && rule(1L, "r_stop_words"))
+    (2L to 8L).foreach(id => assert(rule(id, "gopher_keep") === false))
+  }
+
+  test("c4LineFilter: terminal punctuation + min words, text rewritten") {
+    val docs = Seq(
+      (1L, "Keep this proper sentence right here.\nshort one.\n" +
+        "no terminal punctuation in this line\n" +
+        "A quoted sentence ends properly here.\"\n" +
+        "Final good sentence closes the document!"),
+      (2L, "only one good sentence survives here.\nrest is junk"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(docs, "doc_id", "text")
+      .select("doc_id", "n_lines", "n_kept_lines", "clean_text", "c4_keep")
+      .as[(Long, Long, Long, String, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === 5L && out(1L)._3 === 3L && out(1L)._5 === true)
+    assert(out(1L)._4 === "Keep this proper sentence right here.\n" +
+      "A quoted sentence ends properly here.\"\n" +
+      "Final good sentence closes the document!")
+    assert(out(2L)._3 === 1L && out(2L)._5 === false)
+  }
+
   test("chunking: stride boundaries, tail chunk, overlap, empty doc") {
     val text = ("x" * 199) + "Y" + ("z" * 300) // length 500
     val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")

@@ -91,6 +91,34 @@ class PolicySpec extends SparkSpec {
     assert(out(2) === ((false, false, false)))
   }
 
+  test("gate composes robots + directives + license over a crawl frame") {
+    val rules = rulesFor("graftbot")
+    val pages = Seq(
+      // blocked by robots (Disallow /private/)
+      ("https://h.example/private/a", "<html><body>x</body></html>"),
+      // clean page, no robots objection, no meta, no license
+      ("https://h.example/ok", "<html><body>x</body></html>"),
+      // robots-clean but noai META
+      ("https://h.example/ok2",
+        """<html><head><meta name="robots" content="noai"></head></html>"""),
+      // host without robots.txt, CC-BY licensed
+      ("https://other.example/x",
+        """<a rel="license" href="https://creativecommons.org/licenses/by/4.0/">l</a>"""))
+      .toDF("url", "html")
+    val out = Policy.gate(pages, "url", "html", hostRules = Some(rules))
+      .select("url", "policy_keep").as[(String, Boolean)].collect().toMap
+    assert(out("https://h.example/private/a") === false)
+    assert(out("https://h.example/ok") === true)
+    assert(out("https://h.example/ok2") === false)
+    assert(out("https://other.example/x") === true)
+    // requireCommercial drops unlicensed pages, keeps the CC-BY one
+    val strict = Policy.gate(pages, "url", "html", hostRules = Some(rules),
+        requireCommercial = true)
+      .select("url", "policy_keep").as[(String, Boolean)].collect().toMap
+    assert(strict("https://h.example/ok") === false)
+    assert(strict("https://other.example/x") === true)
+  }
+
   test("license family mapping and clearance flags") {
     val cases = Seq(
       ("""<a rel="license" href="https://creativecommons.org/licenses/by/4.0/">x</a>""",
