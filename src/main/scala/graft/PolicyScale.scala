@@ -18,8 +18,9 @@ import org.apache.spark.sql.types.StringType
   *     (AQE broadcasts the x1 rule table and is free to degrade to a
   *     shuffle as the host count grows — the documented fallback);
   *   - the keep fraction (untimed sanity: the fixture plants deny paths,
-  *     noindex/noai META, and license anchors at fixed rates, so a drift
-  *     in ANY channel moves the fraction).
+  *     noindex META, and license anchors at fixed rates, and the gate
+  *     runs with `requireCommercial = true` so all three channels BIND —
+  *     a drift in any channel's regexp or join moves the fraction).
   *
   * Fixtures are written to parquet first (the timed run measures a real
   * scan + codegen chain, not an in-memory range), deterministic from ids
@@ -95,8 +96,12 @@ object PolicyScale {
       val rules = graft.ops.Policy.parseRobots(
         spark.read.parquet(s"$dir/robots"), "host", "body",
         agent = "graftbot")
+      // requireCommercial = true binds ALL THREE channels into
+      // policy_keep — without it the license regexps would neither gate
+      // rows nor survive column pruning into the timed plan, and the
+      // keep-fraction sanity would only witness robots + META
       graft.ops.Policy.gate(spark.read.parquet(s"$dir/pages"),
-        "url", "html", hostRules = Some(rules))
+        "url", "html", hostRules = Some(rules), requireCommercial = true)
         .where(col("policy_keep"))
         .select(col("page_id"))
     }

@@ -107,10 +107,11 @@ object SparkEntry {
           istr(d % 250))).otherwise(lit("")))
   }
 
-  /** Rule kind from its sentinel: `<EMAIL>` → `email` (the
-    * [[TextAnalysis.piiScanReport]] column-naming convention). */
+  /** Rule kind from its sentinel — delegate to the one convention
+    * ([[TextAnalysis.piiKind]]) so `n_<kind>` and `total_<kind>` columns
+    * can never desynchronize. */
   private def piiKind(sentinel: String): String =
-    sentinel.replaceAll("[<>]", "").toLowerCase(java.util.Locale.ROOT)
+    TextAnalysis.piiKind(sentinel)
 
   /** Gopher-rule fixture: document text extended with rule-violating
     * structure by doc_id arithmetic — ten bullet lines (fails the 90%

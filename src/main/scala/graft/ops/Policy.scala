@@ -60,7 +60,10 @@ object Policy {
   def parseRobots(robots: DataFrame, hostCol: String, bodyCol: String,
       agent: String = "*"): DataFrame = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    val lines = robots.select(col(hostCol).as("__host"),
+    // normalize the key the way the page side does (Urls.host lowercases):
+    // a mixed-case robots host must not silently miss the join and turn
+    // every rule into an implicit allow
+    val lines = robots.select(lower(trim(col(hostCol))).as("__host"),
         posexplode(split(col(bodyCol), "\n")).as(Seq("__pos", "__raw")))
       .select(col("__host"), col("__pos"),
         trim(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
@@ -131,11 +134,20 @@ object Policy {
   // ---- robots META / X-Robots-Tag directives ----
 
   /** Lowercased content of `<meta name="robots" content="…">` (first
-    * occurrence; empty string when absent). Pure scalar regexp. */
-  def metaRobotsContent(html: Column): Column =
-    lower(regexp_extract(html,
-      "(?is)<meta\\s+name\\s*=\\s*[\"']robots[\"']\\s+content\\s*=\\s*[\"']([^\"']*)[\"']",
-      1))
+    * occurrence; empty string when absent). Both attribute orders match,
+    * with any other attributes in between (CMSes emit content-first and
+    * id/class-interleaved forms routinely — a compliance reader that only
+    * parses the canonical order silently ignores real opt-outs). Pure
+    * scalar regexp chain. */
+  def metaRobotsContent(html: Column): Column = {
+    val nameFirst = regexp_extract(html,
+      "(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']robots[\"'][^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']",
+      1)
+    val contentFirst = regexp_extract(html,
+      "(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"'][^>]*\\bname\\s*=\\s*[\"']robots[\"']",
+      1)
+    lower(when(nameFirst =!= "", nameFirst).otherwise(contentFirst))
+  }
 
   /** True when a comma-separated directive list contains `d` as a whole
     * token (`noindex, nofollow` contains `noindex` but not `index`). */
@@ -162,16 +174,24 @@ object Policy {
 
   private val ccUrlRe =
     "(?i)[\"']((?:https?:)?//creativecommons\\.org/(?:licenses/[a-z-]+/[0-9][0-9.]*|publicdomain/(?:zero|mark)/[0-9][0-9.]*)[^\"']*)[\"']"
-  private val relLicenseRe =
-    "(?is)rel\\s*=\\s*[\"']license[\"']\\s+href\\s*=\\s*[\"']([^\"']*)[\"']"
+  // rel="license" links in either attribute order (href-first is as
+  // common as rel-first in real markup), any attributes in between,
+  // confined to one <a>/<link> tag
+  private val relFirstRe =
+    "(?is)<(?:a|link)\\b[^>]*\\brel\\s*=\\s*[\"']license[\"'][^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"']"
+  private val hrefFirstRe =
+    "(?is)<(?:a|link)\\b[^>]*\\bhref\\s*=\\s*[\"']([^\"']*)[\"'][^>]*\\brel\\s*=\\s*[\"']license[\"']"
 
   /** First machine-readable license URL on the page: any quoted
     * creativecommons.org licenses/publicdomain URL, else the href of a
-    * `rel="license"` link. NULL when neither is present. */
+    * `rel="license"` link (`<a>` or `<link>`, either attribute order).
+    * NULL when neither is present. */
   def licenseUrl(html: Column): Column = {
     val cc = regexp_extract(html, ccUrlRe, 1)
-    val rel = regexp_extract(html, relLicenseRe, 1)
-    nullif(when(cc =!= "", cc).otherwise(rel), lit(""))
+    val relF = regexp_extract(html, relFirstRe, 1)
+    val hrefF = regexp_extract(html, hrefFirstRe, 1)
+    nullif(when(cc =!= "", cc)
+      .when(relF =!= "", relF).otherwise(hrefF), lit(""))
   }
 
   /** License family code from a license URL: `cc0`, `public-domain`,
@@ -236,13 +256,18 @@ object Policy {
       hostRules: Option[DataFrame] = None,
       respectNoAi: Boolean = true,
       requireCommercial: Boolean = false): DataFrame = {
+    // internal derivation columns use reserved names and are dropped —
+    // a crawl frame routinely carries its own `host`/`path` columns and
+    // withColumn would silently clobber them
     val withHost = pages
-      .withColumn("host", Urls.host(col(urlCol)))
-      .withColumn("path", regexp_extract(
+      .withColumn("__gate_host", Urls.host(col(urlCol)))
+      .withColumn("__gate_path", regexp_extract(
         regexp_replace(trim(col(urlCol)), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""),
         "^([^?#]*)", 1))
     val robots = hostRules match {
-      case Some(r) => applyRobots(withHost, r)
+      case Some(r) =>
+        applyRobots(withHost, r, hostCol = "__gate_host",
+          pathCol = "__gate_path")
       case None => withHost.withColumn("robots_allowed", lit(true))
     }
     val signed = withLicenseSignals(
@@ -252,5 +277,6 @@ object Policy {
        else lit(true)) &&
       (if (requireCommercial) col("license_commercial") else lit(true))
     signed.withColumn("policy_keep", keep)
+      .drop("__gate_host", "__gate_path")
   }
 }

@@ -328,20 +328,24 @@ object TextAnalysis {
     * overlapping hits count under every rule that matches), computed in
     * the scan's codegen pass; ONE map-side-combined aggregation, so only
     * the tiny per-group partial rows shuffle. */
+  /** Rule kind from its sentinel — the column-naming convention shared
+    * by [[piiScanReport]] (`total_<kind>`) and any caller deriving
+    * per-rule count columns (`n_<kind>`): `<EMAIL>` → `email`. */
+  def piiKind(sentinel: String): String =
+    sentinel.replaceAll("[<>]", "").toLowerCase(java.util.Locale.ROOT)
+
   def piiScanReport(df: DataFrame, textCol: String, groupCol: String,
       rules: Seq[(String, String)] = webRedactionRules): DataFrame = {
-    def kind(sentinel: String): String =
-      sentinel.replaceAll("[<>]", "").toLowerCase(java.util.Locale.ROOT)
     val counted = rules.foldLeft(df) { case (d, (pat, sentinel)) =>
-      d.withColumn(s"__n_${kind(sentinel)}", matchCount(col(textCol), pat))
+      d.withColumn(s"__n_${piiKind(sentinel)}", matchCount(col(textCol), pat))
     }
-    val total = rules.map { case (_, s) => col(s"__n_${kind(s)}") }
+    val total = rules.map { case (_, s) => col(s"__n_${piiKind(s)}") }
       .reduce(_ + _)
     counted.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         (sum(when(total > 0, 1L).otherwise(0L)).as("n_docs_with_pii") +:
           rules.map { case (_, s) =>
-            sum(col(s"__n_${kind(s)}")).as(s"total_${kind(s)}")
+            sum(col(s"__n_${piiKind(s)}")).as(s"total_${piiKind(s)}")
           }): _*)
   }
 

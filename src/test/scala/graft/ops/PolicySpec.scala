@@ -77,6 +77,56 @@ class PolicySpec extends SparkSpec {
     assert(rules === Set("/private/", "/private/ok/", "/tmp"))
   }
 
+  test("robots host key is normalized: mixed-case robots hosts still join") {
+    val rules = Policy.parseRobots(
+      Seq(("H.Example", "User-agent: *\nDisallow: /private/"))
+        .toDF("host", "body"), "host", "body", "graftbot")
+    val pages = Seq(("h.example", "/private/x")).toDF("host", "path")
+    val out = Policy.applyRobots(pages, rules)
+      .select("robots_allowed").as[Boolean].head()
+    assert(out === false,
+      "a mixed-case robots host must not silently disable its rules")
+  }
+
+  test("META robots: content-first order and intervening attributes match") {
+    val df = Seq(
+      """<meta content="noindex, nofollow" name="robots">""",
+      """<meta name="robots" id="r" class="x" content="noai">""",
+      """<meta name="robots" content="noarchive">""")
+      .toDF("html")
+    val out = Policy.withRobotsDirectives(df, "html")
+      .select("robots_noindex", "robots_nofollow", "robots_noai")
+      .as[(Boolean, Boolean, Boolean)].collect()
+    assert(out(0) === ((true, true, false)))
+    assert(out(1) === ((false, false, true)))
+    assert(out(2) === ((false, false, false)))
+  }
+
+  test("license links: href-first order and <link> tags are detected") {
+    val df = Seq(
+      """<a href="https://example.com/lic" rel="license">terms</a>""",
+      """<link rel="license" href="https://example.com/lic2">""",
+      """<a href="https://example.com/plain">not a license link</a>""")
+      .toDF("html")
+    val out = Policy.withLicenseSignals(df, "html")
+      .select("license_url", "license_family")
+      .as[(Option[String], Option[String])].collect()
+    assert(out(0) === ((Some("https://example.com/lic"), Some("other"))))
+    assert(out(1) === ((Some("https://example.com/lic2"), Some("other"))))
+    assert(out(2) === ((None, None)))
+  }
+
+  test("gate never clobbers caller host/path columns") {
+    val rules = rulesFor("graftbot")
+    val pages = Seq(("https://h.example/private/a", "<html></html>",
+        "caller-host", "caller-path"))
+      .toDF("url", "html", "host", "path")
+    val out = Policy.gate(pages, "url", "html", hostRules = Some(rules))
+      .select("host", "path", "policy_keep")
+      .as[(String, String, Boolean)].head()
+    assert(out === (("caller-host", "caller-path", false)))
+  }
+
   test("META robots directives: whole-token match, X-Robots-Tag merged") {
     val df = Seq(
       ("""<html><head><META name="robots" CONTENT="noindex, nofollow"></head></html>""", null),
