@@ -1050,6 +1050,9 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), gopherFixtureText.as("gtext"))
       TextAnalysis.gopherRules(docs, "doc_id", "gtext")
+        .select("doc_id", "n_words", "r_word_count", "r_mean_word_len",
+          "r_symbol_ratio", "r_bullet_lines", "r_ellipsis_lines",
+          "r_alpha_words", "r_stop_words", "gopher_keep")
     },
 
     // C4 line-level cleaning (TextAnalysis.c4LineFilter — Raffel et al.
@@ -1071,6 +1074,7 @@ object SparkEntry {
           .otherwise(lit("")))
       val docs = Tables.documents(s, dir).select(d, txt.as("ctext"))
       TextAnalysis.c4LineFilter(docs, "doc_id", "ctext")
+        .select("doc_id", "n_lines", "n_kept_lines", "clean_text", "c4_keep")
     },
 
     // Time travel: read version 1 AFTER version 2 is committed — the

@@ -399,7 +399,9 @@ object TextAnalysis {
     val stopHits = requiredStopwords.map(w =>
         when(array_contains(col("__words_lc"), w), 1L).otherwise(0L))
       .reduce(_ + _)
-    staged.select(col(idCol),
+    // input columns ride along (the gate composes into a pipeline:
+    // `gopherRules(docs, …).where(col("gopher_keep"))` keeps the corpus)
+    staged.select(docs.columns.map(col) ++ Seq(
         nWords.as("n_words"),
         (nWords >= minWords && nWords <= maxWords).as("r_word_count"),
         (lit(3L) * nWords <= totalChars &&
@@ -410,7 +412,7 @@ object TextAnalysis {
         (lit(10L) * ellipsisLines <= lit(3L) * nLines)
           .as("r_ellipsis_lines"),
         (lit(10L) * alphaWords >= lit(8L) * nWords).as("r_alpha_words"),
-        (stopHits >= 2L).as("r_stop_words"))
+        (stopHits >= 2L).as("r_stop_words")): _*)
       .withColumn("gopher_keep",
         col("r_word_count") && col("r_mean_word_len") &&
           col("r_symbol_ratio") && col("r_bullet_lines") &&
@@ -436,13 +438,16 @@ object TextAnalysis {
     val keptExpr = filter(col("__lines"), l =>
       l.rlike("[.!?]\"?\\s*$") &&
         size(filter(split(l, "\\s+"), t => t =!= "")) >= minLineWords)
-    staged.select(col(idCol),
+    // input columns (metadata: source/lang/ids) ride along; the raw text
+    // column is intentionally REPLACED by clean_text downstream — drop it
+    // at the call site if only the cleaned form should survive
+    staged.select(docs.columns.map(col) ++ Seq(
         size(col("__lines")).cast(LongType).as("n_lines"),
-        keptExpr.as("__kept"))
-      .select(col(idCol), col("n_lines"),
-        size(col("__kept")).cast(LongType).as("n_kept_lines"),
-        array_join(col("__kept"), "\n").as("clean_text"))
+        keptExpr.as("__kept")): _*)
+      .withColumn("n_kept_lines", size(col("__kept")).cast(LongType))
+      .withColumn("clean_text", array_join(col("__kept"), "\n"))
       .withColumn("c4_keep", col("n_kept_lines") >= minLines)
+      .drop("__kept")
   }
 
   /** Fixed-size character chunks with stride (stride < chunkLen ⇒ overlap) —
