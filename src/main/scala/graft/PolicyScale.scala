@@ -121,17 +121,17 @@ object PolicyScale {
         gateDf(mult).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.min
-      // post-execution adaptive plan: what actually ran
+      // post-execution adaptive plan: what actually ran — the execution
+      // doubles as the keep count (a separate .count() would re-run the
+      // whole gate over the corpus a fourth time just to recount rows)
       val df = gateDf(mult)
-      df.queryExecution.toRdd.count(): Unit
+      val kept = df.queryExecution.toRdd.count()
       val plan = df.queryExecution.executedPlan.toString
       val broadcastJoin = plan.contains("BroadcastHashJoin")
       val stageIds =
         "ShuffleQueryStage (\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toSet
       val exchanges = if (stageIds.nonEmpty) stageIds.size
         else "Exchange (hash|range|SinglePartition)".r.findAllIn(plan).size
-      // untimed sanity: planted-rate keep fraction
-      val kept = gateDf(mult).count()
       (mult, n, nHosts, sec, broadcastJoin, exchanges,
         kept.toDouble / n.toDouble)
     }

@@ -1049,7 +1049,7 @@ object SparkEntry {
     "q_gopher_rules" -> q { (s, dir) =>
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), gopherFixtureText.as("gtext"))
-      TextAnalysis.gopherRules(docs, "doc_id", "gtext")
+      TextAnalysis.gopherRules(docs, "gtext")
         .select("doc_id", "n_words", "r_word_count", "r_mean_word_len",
           "r_symbol_ratio", "r_bullet_lines", "r_ellipsis_lines",
           "r_alpha_words", "r_stop_words", "gopher_keep")
@@ -1073,7 +1073,7 @@ object SparkEntry {
           lit("\nThird full sentence appears in even documents."))
           .otherwise(lit("")))
       val docs = Tables.documents(s, dir).select(d, txt.as("ctext"))
-      TextAnalysis.c4LineFilter(docs, "doc_id", "ctext")
+      TextAnalysis.c4LineFilter(docs, "ctext")
         .select("doc_id", "n_lines", "n_kept_lines", "clean_text", "c4_keep")
     },
 
@@ -5805,7 +5805,7 @@ object SparkEntry {
         |m AS (
         |  SELECT doc_id,
         |    CAST(len(words) AS BIGINT) AS n_words,
-        |    CAST(coalesce(list_sum(list_transform(words, x -> strlen(x))), 0)
+        |    CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0)
         |      AS BIGINT) AS total_chars,
         |    CAST(len(regexp_extract_all(txt, '#|\.\.\.')) AS BIGINT) AS sym,
         |    CAST(len(lines) AS BIGINT) AS n_lines,

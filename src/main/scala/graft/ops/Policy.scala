@@ -126,27 +126,28 @@ object Policy {
     val matched = filter(col("__rules"), r => path.startsWith(r("prefix")))
     val best = array_max(transform(matched,
       r => struct(r("rule_len").as("rule_len"), r("allow").as("allow"))))
-    pages.join(rules, pages(hostCol) === rules("__rhost"), "left")
+    // page side normalized the same way parseRobots normalizes its key —
+    // one-sided normalization would silently miss the join (implicit
+    // allow) for any caller whose host column is not already lowercase
+    pages.join(rules, lower(trim(pages(hostCol))) === rules("__rhost"),
+        "left")
       .withColumn(outCol, coalesce(best("allow"), lit(true)))
       .drop("__rhost", "__rules")
   }
 
   // ---- robots META / X-Robots-Tag directives ----
 
-  /** Lowercased content of `<meta name="robots" content="…">` (first
-    * occurrence; empty string when absent). Both attribute orders match,
-    * with any other attributes in between (CMSes emit content-first and
-    * id/class-interleaved forms routinely — a compliance reader that only
-    * parses the canonical order silently ignores real opt-outs). Pure
-    * scalar regexp chain. */
+  /** Lowercased content of the FIRST `<meta name="robots" …>` tag in
+    * document order — extracted in two steps (the whole tag first, then
+    * its `content` attribute) so BOTH attribute orders and interleaved
+    * attributes match (CMSes emit content-first and id/class-interleaved
+    * forms routinely), and a later tag can never override an earlier
+    * opt-out. Empty string when absent. Pure scalar regexp chain. */
   def metaRobotsContent(html: Column): Column = {
-    val nameFirst = regexp_extract(html,
-      "(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']robots[\"'][^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']",
-      1)
-    val contentFirst = regexp_extract(html,
-      "(?is)<meta\\b[^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"'][^>]*\\bname\\s*=\\s*[\"']robots[\"']",
-      1)
-    lower(when(nameFirst =!= "", nameFirst).otherwise(contentFirst))
+    val tag = regexp_extract(html,
+      "(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']robots[\"'][^>]*>", 0)
+    lower(regexp_extract(tag,
+      "(?is)\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']", 1))
   }
 
   /** True when a comma-separated directive list contains `d` as a whole
@@ -157,7 +158,9 @@ object Policy {
   /** Append `robots_noindex` / `robots_nofollow` / `robots_noai` derived
     * from the page's robots META tag, OR-ed with an optional
     * `X-Robots-Tag` response-header column (both channels carry the same
-    * directive grammar). Zero shuffle. */
+    * directive grammar). NULL html carries no directives (all three come
+    * back FALSE, never NULL — a null must not poison the gate's boolean
+    * algebra downstream). Zero shuffle. */
   def withRobotsDirectives(df: DataFrame, htmlCol: String,
       xRobotsCol: Option[String] = None): DataFrame = {
     val merged = xRobotsCol match {
@@ -165,9 +168,12 @@ object Policy {
         coalesce(lower(col(h)), lit("")))
       case None => metaRobotsContent(col(htmlCol))
     }
-    df.withColumn("robots_noindex", hasDirective(merged, "noindex"))
-      .withColumn("robots_nofollow", hasDirective(merged, "nofollow"))
-      .withColumn("robots_noai", hasDirective(merged, "noai"))
+    df.withColumn("robots_noindex",
+        coalesce(hasDirective(merged, "noindex"), lit(false)))
+      .withColumn("robots_nofollow",
+        coalesce(hasDirective(merged, "nofollow"), lit(false)))
+      .withColumn("robots_noai",
+        coalesce(hasDirective(merged, "noai"), lit(false)))
   }
 
   // ---- license detection ----
@@ -272,7 +278,10 @@ object Policy {
     }
     val signed = withLicenseSignals(
       withRobotsDirectives(robots, htmlCol), htmlCol)
-    val keep = col("robots_allowed") &&
+    // a failed fetch (NULL html) has no content to keep — dropped
+    // EXPLICITLY, not via null-AND propagation (which would make the
+    // outcome flip with unrelated flags and vanish from drop audits)
+    val keep = col(htmlCol).isNotNull && col("robots_allowed") &&
       (if (respectNoAi) !col("robots_noindex") && !col("robots_noai")
        else lit(true)) &&
       (if (requireCommercial) col("license_commercial") else lit(true))

@@ -321,6 +321,12 @@ object TextAnalysis {
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
     "\\d{6,}" -> "<IDNUM>")
 
+  /** Rule kind from its sentinel — the column-naming convention shared
+    * by [[piiScanReport]] (`total_<kind>`) and any caller deriving
+    * per-rule count columns (`n_<kind>`): `<EMAIL>` → `email`. */
+  def piiKind(sentinel: String): String =
+    sentinel.replaceAll("[<>]", "").toLowerCase(java.util.Locale.ROOT)
+
   /** Per-group PII scrub audit — the report a curation run publishes per
     * source/domain: document count, documents with any hit, and one
     * `total_<kind>` column per rule (kind = the rule's sentinel,
@@ -328,12 +334,6 @@ object TextAnalysis {
     * overlapping hits count under every rule that matches), computed in
     * the scan's codegen pass; ONE map-side-combined aggregation, so only
     * the tiny per-group partial rows shuffle. */
-  /** Rule kind from its sentinel — the column-naming convention shared
-    * by [[piiScanReport]] (`total_<kind>`) and any caller deriving
-    * per-rule count columns (`n_<kind>`): `<EMAIL>` → `email`. */
-  def piiKind(sentinel: String): String =
-    sentinel.replaceAll("[<>]", "").toLowerCase(java.util.Locale.ROOT)
-
   def piiScanReport(df: DataFrame, textCol: String, groupCol: String,
       rules: Seq[(String, String)] = webRedactionRules): DataFrame = {
     val counted = rules.foldLeft(df) { case (d, (pat, sentinel)) =>
@@ -370,7 +370,7 @@ object TextAnalysis {
     * chain over a staged token column (narrow, zero shuffle, codegen'd);
     * empty documents fail `r_word_count` and keep FALSE.
     */
-  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+  def gopherRules(docs: DataFrame, textCol: String,
       minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
     val requiredStopwords =
       Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -380,10 +380,10 @@ object TextAnalysis {
       .withColumn("__words",
         filter(split(col(textCol), "\\s+"), t => t =!= ""))
       // staged separately: 8 stop-word membership probes read this array
-      // (an inline transform would re-lowercase the doc per probe)
-      .withColumn("__words_lc",
-        transform(filter(split(col(textCol), "\\s+"), t => t =!= ""),
-          t => lower(t)))
+      // (an inline transform would re-lowercase the doc per probe);
+      // derives from the staged __words column — re-splitting the text
+      // here would tokenize every document twice in the scan pass
+      .withColumn("__words_lc", transform(col("__words"), t => lower(t)))
       .withColumn("__lines", split(col(textCol), "\n"))
     val nWords = size(col("__words")).cast(LongType)
     val nLines = size(col("__lines")).cast(LongType)
@@ -430,7 +430,7 @@ object TextAnalysis {
     * Pure scalar array chain: narrow, zero shuffle, codegen'd; the DuckDB
     * oracle replays the same split/filter/join list operations.
     */
-  def c4LineFilter(docs: DataFrame, idCol: String, textCol: String,
+  def c4LineFilter(docs: DataFrame, textCol: String,
       minLineWords: Int = 4, minLines: Int = 3): DataFrame = {
     val staged = docs.withColumn("__lines", split(col(textCol), "\n"))
     // a kept line ends with terminal punctuation (optionally followed by

@@ -37,6 +37,8 @@ object PolicyStreaming {
       gated.agg(
           count(lit(1)).as("n_pages"),
           sum(when(col("policy_keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col(htmlCol).isNull, 1L).otherwise(0L))
+            .as("n_null_html"),
           sum(when(!col("robots_allowed"), 1L).otherwise(0L))
             .as("n_robots_blocked"),
           sum(when(col("robots_noindex") || col("robots_noai"), 1L)
@@ -50,9 +52,12 @@ object PolicyStreaming {
   /** Start the gate over `pages` (a streaming frame carrying `urlCol` +
     * `htmlCol`). The rule table is persisted ONCE — an un-persisted
     * parseRobots frame would re-run its window parse inside every
-    * micro-batch before re-joining. Callers own stop(); read the
-    * surviving corpus at `outPath/kept`, the per-batch audit at
-    * `outPath/audit`. */
+    * micro-batch before re-joining. Callers own stop(), and on a robots
+    * refresh the superseded rule table's blocks should be released with
+    * `hostRules.unpersist()` after the old query stops (same lifecycle
+    * as [[QualityStreaming]]'s frozen vocabulary — blocks otherwise
+    * release with the session). Read the surviving corpus at
+    * `outPath/kept`, the per-batch audit at `outPath/audit`. */
   def gateStream(pages: DataFrame, urlCol: String, htmlCol: String,
       hostRules: DataFrame, outPath: String, checkpoint: String,
       respectNoAi: Boolean = true,
@@ -72,9 +77,9 @@ object PolicyStreaming {
     * documented schema when no batch has committed yet). */
   def auditLog(spark: SparkSession, outPath: String): DataFrame = {
     import org.apache.spark.sql.types.{StructType, StructField, LongType}
-    val schema = StructType(Seq("n_pages", "n_kept", "n_robots_blocked",
-      "n_directive_blocked", "n_not_commercial", "batch_id")
-      .map(StructField(_, LongType)))
+    val schema = StructType(Seq("n_pages", "n_kept", "n_null_html",
+      "n_robots_blocked", "n_directive_blocked", "n_not_commercial",
+      "batch_id").map(StructField(_, LongType)))
     val p = new org.apache.hadoop.fs.Path(s"$outPath/audit")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p) || fs.listStatus(p).isEmpty)

@@ -561,7 +561,7 @@ class TextAnalysisSpec extends SparkSpec {
       (7L, goodText + " " + Seq.fill(20)("12345").mkString(" ")), // alpha
       (8L, ("zork gork bork mork " * 15).trim))             // no stop words
       .toDF("doc_id", "text")
-    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "text")
       .collect().map(r => r.getLong(0) -> r).toMap
     def rule(id: Long, name: String): Boolean =
       out(id).getBoolean(out(id).fieldIndex(name))
@@ -585,7 +585,7 @@ class TextAnalysisSpec extends SparkSpec {
         "Final good sentence closes the document!"),
       (2L, "only one good sentence survives here.\nrest is junk"))
       .toDF("doc_id", "text")
-    val out = TextAnalysis.c4LineFilter(docs, "doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(docs, "text")
       .select("doc_id", "n_lines", "n_kept_lines", "clean_text", "c4_keep")
       .as[(Long, Long, Long, String, Boolean)]
       .collect().map(r => r._1 -> r).toMap

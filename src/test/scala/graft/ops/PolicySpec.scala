@@ -77,15 +77,44 @@ class PolicySpec extends SparkSpec {
     assert(rules === Set("/private/", "/private/ok/", "/tmp"))
   }
 
-  test("robots host key is normalized: mixed-case robots hosts still join") {
+  test("robots host key is normalized SYMMETRICALLY: mixed case on either side joins") {
     val rules = Policy.parseRobots(
       Seq(("H.Example", "User-agent: *\nDisallow: /private/"))
         .toDF("host", "body"), "host", "body", "graftbot")
-    val pages = Seq(("h.example", "/private/x")).toDF("host", "path")
+    // mixed-case robots host vs lowercase page AND lowercase robots vs
+    // mixed-case page — one-sided normalization fails one of the two
+    val pages = Seq(("h.example", "/private/x"), ("H.EXAMPLE", "/private/y"))
+      .toDF("host", "path")
     val out = Policy.applyRobots(pages, rules)
-      .select("robots_allowed").as[Boolean].head()
-    assert(out === false,
-      "a mixed-case robots host must not silently disable its rules")
+      .select("host", "robots_allowed").as[(String, Boolean)]
+      .collect().toMap
+    assert(out("h.example") === false)
+    assert(out("H.EXAMPLE") === false,
+      "a mixed-case PAGE host must not silently skip the rules either")
+  }
+
+  test("META robots: the FIRST robots tag in document order wins") {
+    val df = Seq(
+      // content-first opt-out followed by a name-first 'all' — the later
+      // tag must not override the earlier opt-out
+      """<meta content="noindex" name="robots"><meta name="robots" content="all">""")
+      .toDF("html")
+    val out = Policy.withRobotsDirectives(df, "html")
+      .select("robots_noindex").as[Boolean].head()
+    assert(out === true,
+      "a later robots META must not override the first tag's opt-out")
+  }
+
+  test("NULL html: no directives, no license, and the gate drops it explicitly") {
+    val pages = Seq(("https://nobots.example/x", null: String))
+      .toDF("url", "html")
+    val out = Policy.gate(pages, "url", "html")
+      .select("robots_noindex", "robots_noai", "license_commercial",
+        "policy_keep")
+      .as[(Boolean, Boolean, Boolean, Boolean)].head()
+    assert(out === ((false, false, false, false)),
+      "a failed fetch must drop as FALSE, never as a NULL that flips " +
+        "with unrelated flags")
   }
 
   test("META robots: content-first order and intervening attributes match") {

@@ -20,7 +20,8 @@ class PolicyStreamingSpec extends SparkSpec {
     (2L, "https://h.example/ok", "<html><body>x</body></html>"),
     (3L, "https://h.example/ok2",
       """<html><head><meta name="robots" content="noai"></head></html>"""),
-    (4L, "https://nobots.example/x", "<html><body>y</body></html>"))
+    (4L, "https://nobots.example/x", "<html><body>y</body></html>"),
+    (5L, "https://nobots.example/failed-fetch", null: String))
 
   test("stream gate matches the batch gate; audit row explains the drops") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -42,10 +43,12 @@ class PolicyStreamingSpec extends SparkSpec {
         .where(org.apache.spark.sql.functions.col("policy_keep"))
         .select("page_id").as[Long].collect().toSet
       assert(streamed === batched)
-      assert(streamed === Set(2L, 4L)) // robots drop 1, noai drops 3
+      // robots drops 1, noai drops 3, null html drops 5
+      assert(streamed === Set(2L, 4L))
       val audit = PolicyStreaming.auditLog(spark, s"$dir/out").head()
-      assert(audit.getAs[Long]("n_pages") === 4L)
+      assert(audit.getAs[Long]("n_pages") === 5L)
       assert(audit.getAs[Long]("n_kept") === 2L)
+      assert(audit.getAs[Long]("n_null_html") === 1L)
       assert(audit.getAs[Long]("n_robots_blocked") === 1L)
       assert(audit.getAs[Long]("n_directive_blocked") === 1L)
     } finally q.stop()
@@ -64,7 +67,7 @@ class PolicyStreamingSpec extends SparkSpec {
     val empty = PolicyStreaming.auditLog(spark,
       java.nio.file.Files.createTempDirectory("polempty").toString + "/no")
     assert(empty.count() === 0)
-    assert(empty.columns.toSet === Set("n_pages", "n_kept",
+    assert(empty.columns.toSet === Set("n_pages", "n_kept", "n_null_html",
       "n_robots_blocked", "n_directive_blocked", "n_not_commercial",
       "batch_id"))
   }
