@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.ops.{Dedup, Sessionize}
+import graft.ops.{Dedup, Policy, Sessionize, TextAnalysis, Urls}
 
 /** Property-based invariants (SURVEY §5.2-2). ScalaCheck generators feed
   * deterministic seeds; generated cases are BATCHED into single Spark jobs
@@ -228,6 +228,109 @@ class PropertySpec extends SparkSpec {
           s"seed=$seed $budget/$buckets: token mass not conserved")
         assert(audit.getLong(2) == audit.getLong(3),
           s"seed=$seed $budget/$buckets: capacity != n_bins * budget")
+      }
+    }
+  }
+
+  test("canonicalize: idempotent, param-order invariant, defragged/deported") {
+    val seg = Gen.oneOf("a", "b", "docs", "x1")
+    val host = Gen.oneOf("WWW.Example.COM", "news.bbc.CO.uk", "Files.Example.net")
+    val param = Gen.oneOf("a=1", "b=2", "z=9", "utm_source=f", "gclid=X", "ref")
+    val urlGen = for {
+      sch <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      h <- host
+      user <- Gen.oneOf("", "user:pw@")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      segs <- Gen.listOfN(2, seg)
+      ps <- Gen.listOfN(4, param)
+      frag <- Gen.oneOf("", "#Sec1")
+    } yield (s"$sch://$user$h$port/${segs.mkString("/")}?${ps.mkString("&")}$frag", ps)
+    val cases = (1 to 40).map(i => sample(urlGen, i.toLong))
+    val urls = cases.map(_._1) ++
+      // the same URLs with query params REVERSED — must canonicalize equal
+      cases.map { case (u, ps) =>
+        u.replace(ps.mkString("&"), ps.reverse.mkString("&"))
+      }
+    val out = urls.toDF("url")
+      .select(col("url"), Urls.canonicalize(col("url")).as("c1"))
+      .select(col("url"), col("c1"), Urls.canonicalize(col("c1")).as("c2"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    urls.foreach { u =>
+      val (c1, c2) = out(u)
+      assert(c1 == c2, s"canonicalize not idempotent on $u: $c1 -> $c2")
+      assert(!c1.contains("#") && !c1.contains("@"),
+        s"fragment/userinfo survived: $u -> $c1")
+      assert(!c1.contains("utm_") && !c1.contains("gclid"),
+        s"tracking param survived: $u -> $c1")
+    }
+    cases.map(_._1).zip(urls.drop(cases.size)).foreach { case (a, b) =>
+      assert(out(a)._1 == out(b)._1,
+        s"param order changed the canonical form: $a vs $b")
+    }
+  }
+
+  test("redact(webRedactionRules): idempotent and detector-clean after one pass") {
+    val frag = Gen.oneOf(
+      "plain words here", "user7@mail.example.com", "123-45-6789",
+      "(555) 234-5678", "555-234-5678", "10.20.3.4", "123456789",
+      "v1.2.3", "12-34-5678", "user@localhost", "call 555.234.5678 now")
+    val textGen = Gen.listOfN(6, frag).map(_.mkString(" "))
+    val texts = (1 to 30).map(i => sample(textGen, i.toLong))
+    val rules = TextAnalysis.webRedactionRules
+    val df = texts.toDF("t")
+      .select(col("t"), TextAnalysis.redact(col("t"), rules).as("r1"))
+      .select(Seq(col("t"), col("r1"),
+        TextAnalysis.redact(col("r1"), rules).as("r2")) ++
+          rules.map { case (pat, sen) =>
+            TextAnalysis.matchCount(col("r1"), pat)
+              .as(s"n_${TextAnalysis.piiKind(sen)}")
+          }: _*)
+    df.collect().foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"redact not idempotent on '${r.getString(0)}'")
+      rules.foreach { case (_, sen) =>
+        val k = s"n_${TextAnalysis.piiKind(sen)}"
+        assert(r.getAs[Long](k) == 0L,
+          s"$k still matches after redaction of '${r.getString(0)}': " +
+            s"'${r.getString(1)}'")
+      }
+    }
+  }
+
+  test("robots longest-match matches a driver-side reference on random rule sets") {
+    val prefix = Gen.oneOf("/a", "/a/", "/a/b", "/ab", "/b", "/b/c/", "/c")
+    val ruleGen = for {
+      p <- prefix; allow <- Gen.oneOf(true, false)
+    } yield (p, allow)
+    val caseGen = for {
+      rules <- Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, ruleGen))
+      paths <- Gen.listOfN(8, Gen.oneOf(
+        "/", "/a", "/a/x", "/a/b/c", "/ab/z", "/abc", "/b/c/d", "/c", "/d"))
+    } yield (rules, paths)
+    def reference(rules: Seq[(String, Boolean)], path: String): Boolean = {
+      val m = rules.filter { case (p, _) => path.startsWith(p) }
+      if (m.isEmpty) true
+      else m.maxBy { case (p, allow) => (p.length, allow) }._2
+    }
+    import spark.implicits._
+    (1 to 12).foreach { seed =>
+      val (rules, paths) = sample(caseGen, seed.toLong)
+      val body = ("User-agent: *" +: rules.map { case (p, a) =>
+        s"${if (a) "Allow" else "Disallow"}: $p"
+      }).mkString("\n")
+      val parsed = Policy.parseRobots(
+        Seq(("h.example", body)).toDF("host", "body"), "host", "body",
+        "graftbot")
+      val got = Policy.applyRobots(
+          paths.distinct.map(p => ("h.example", p)).toDF("host", "path"),
+          parsed)
+        .select("path", "robots_allowed").as[(String, Boolean)]
+        .collect().toMap
+      paths.distinct.foreach { p =>
+        assert(got(p) == reference(rules, p),
+          s"seed=$seed path=$p rules=$rules: got ${got(p)}, " +
+            s"reference ${reference(rules, p)}")
       }
     }
   }
