@@ -24,7 +24,12 @@ object FloorStudy {
 
   private val weak = Seq(
     "q_dedup_spans", "q_star_revenue", "q_paragraph_dedup_incremental",
-    "q_text_analyze", "q_sql_tpch_q18")
+    "q_text_analyze", "q_sql_tpch_q18",
+    // r9 additions: the new scalar-chain queries sit at sub-second
+    // absolute times against sub-100 ms DuckDB replays — decompose them
+    // the same way so the ratio reads as floor, not plan cost
+    "q_license_detect", "q_pii_planted", "q_html_extract",
+    "q_gopher_rules", "q_robots_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0)
