@@ -8,11 +8,14 @@
 # Usage:
 #   sbt package
 #   SPARK_GRAFT_SCALE_DIRS="/tmp/graft_scale/x1;/tmp/graft_scale/x10" \
-#     scripts/local_cluster_bench.sh [master]
+#     scripts/local_cluster_bench.sh [master] [mainClass]
 # Default master: local-cluster[4,8,8192] (4 workers x 8 cores x 8 GiB).
+# Default mainClass: graft.Bench; pass graft.PolicyScale (or any other
+# measurement main built on graft.StudySession) for its evidence run.
 # All SPARK_GRAFT_* envs pass through to graft.Bench unchanged.
 set -euo pipefail
 MASTER="${1:-local-cluster[4,8,8192]}"
+CLASS="${2:-graft.Bench}"
 # bash glob array, not ls|head: pipefail can kill ls via SIGPIPE, and a
 # silent first-sorted pick would bench a stale versioned jar unnoticed
 jars=("$(dirname "$0")"/../target/scala-2.13/sp500stocketlspark_2.13-*.jar)
@@ -27,5 +30,5 @@ export SPARK_GRAFT_EXECUTOR_MEM="${SPARK_GRAFT_EXECUTOR_MEM:-7g}"
 exec /opt/spark/bin/spark-submit \
   --master "$MASTER" \
   --driver-memory 8g \
-  --class graft.Bench \
+  --class "$CLASS" \
   "$JAR"

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Shuffle-floor decomposition of the bench's "weak list" (r8 verdict
-  * item 3): the five queries whose sf0.1 wall time sits >2× their DuckDB
+  * item 3, extended with the r9 scalar chains): the queries whose sf0.1
+  * wall time sits >2× their DuckDB
   * oracle are all multi-exchange shapes against sub-second oracles — the
   * claim to PROVE (not assert) is that the residual after subtracting the
   * session's measured per-exchange floor is small, i.e. the ratio is
@@ -17,8 +18,9 @@ import org.apache.spark.sql.SparkSession
   * plan), ReusedExchange excluded (a reused exchange reads existing
   * shuffle files — no new floor paid).
   *
-  * Output: one JSON line → SCALING_R9_FLOOR.json, summarized in
-  * SCALING.md.
+  * Output: one JSON line, captured by the caller (the r9-early
+  * five-query run lives in SCALING_R9_FLOOR.json; the extended ten-query
+  * run in SCALING_R9_FLOOR2.json), summarized in SCALING.md.
   */
 object FloorStudy {
 
@@ -26,8 +28,9 @@ object FloorStudy {
     "q_dedup_spans", "q_star_revenue", "q_paragraph_dedup_incremental",
     "q_text_analyze", "q_sql_tpch_q18",
     // r9 additions: the new scalar-chain queries sit at sub-second
-    // absolute times against sub-100 ms DuckDB replays — decompose them
-    // the same way so the ratio reads as floor, not plan cost
+    // absolute times against fast (sub-250 ms) DuckDB replays —
+    // decompose them the same way so the ratio reads as floor or
+    // zero-exchange compute, not plan cost
     "q_license_detect", "q_pii_planted", "q_html_extract",
     "q_gopher_rules", "q_robots_filter")
 
@@ -35,16 +38,7 @@ object FloorStudy {
     val sfDir = if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.ansi.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = StudySession.build()
     Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
       "region", "events", "documents", "embeddings")
       .foreach(t => scala.util.Try(Tables(spark, sfDir, t).count()))

@@ -77,22 +77,7 @@ object PolicyScale {
 
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0).toLong else 50000L
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // SPARK_GRAFT_MASTER: multi-executor evidence runs (same contract as
-    // graft.Bench — launch via spark-submit with the packaged jar so
-    // executor JVMs get the app classes)
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder0 = SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
-    val spark = sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
-      .fold(builder0)(m => builder0.config("spark.executor.memory", m))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.ansi.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = StudySession.build()
     val scratch = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_policy_scale_${spark.sparkContext.applicationId}")
     scratch.mkdirs()

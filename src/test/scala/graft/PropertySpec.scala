@@ -314,22 +314,27 @@ class PropertySpec extends SparkSpec {
       else m.maxBy { case (p, allow) => (p.length, allow) }._2
     }
     import spark.implicits._
-    (1 to 12).foreach { seed =>
-      val (rules, paths) = sample(caseGen, seed.toLong)
-      val body = ("User-agent: *" +: rules.map { case (p, a) =>
+    // batched per the suite's design: one robots host per seed, ONE
+    // parse+apply job over all cases instead of 12 sequential jobs
+    val cases = (1 to 12).map(seed => seed -> sample(caseGen, seed.toLong))
+    val robots = cases.map { case (seed, (rules, _)) =>
+      (s"h$seed.example", ("User-agent: *" +: rules.map { case (p, a) =>
         s"${if (a) "Allow" else "Disallow"}: $p"
-      }).mkString("\n")
-      val parsed = Policy.parseRobots(
-        Seq(("h.example", body)).toDF("host", "body"), "host", "body",
-        "graftbot")
-      val got = Policy.applyRobots(
-          paths.distinct.map(p => ("h.example", p)).toDF("host", "path"),
-          parsed)
-        .select("path", "robots_allowed").as[(String, Boolean)]
-        .collect().toMap
+      }).mkString("\n"))
+    }.toDF("host", "body")
+    val pages = cases.flatMap { case (seed, (_, paths)) =>
+      paths.distinct.map(p => (s"h$seed.example", p))
+    }.toDF("host", "path")
+    val got = Policy.applyRobots(pages,
+        Policy.parseRobots(robots, "host", "body", "graftbot"))
+      .select("host", "path", "robots_allowed")
+      .as[(String, String, Boolean)]
+      .collect().map { case (h, p, a) => (h, p) -> a }.toMap
+    cases.foreach { case (seed, (rules, paths)) =>
       paths.distinct.foreach { p =>
-        assert(got(p) == reference(rules, p),
-          s"seed=$seed path=$p rules=$rules: got ${got(p)}, " +
+        assert(got((s"h$seed.example", p)) == reference(rules, p),
+          s"seed=$seed path=$p rules=$rules: got " +
+            s"${got((s"h$seed.example", p))}, " +
             s"reference ${reference(rules, p)}")
       }
     }
