@@ -1077,6 +1077,32 @@ object SparkEntry {
         .select("doc_id", "n_lines", "n_kept_lines", "clean_text", "c4_keep")
     },
 
+    // Sentence-boundary chunking (TextAnalysis.chunkBySentences) — the
+    // embedding-pipeline variant of q_doc_chunks: chunks never cut inside
+    // a sentence. Each document is rendered into 8-token sentences with
+    // mixed terminators (.!?), then segmented and packed at a 10-token
+    // budget (sentences straddle budget boundaries, so multi-sentence
+    // AND forced-single-sentence chunks both occur). PROPERTY oracle:
+    // DuckDB derives the segments, running offsets, bin ids, and the
+    // ordered rejoined chunk text from the token list directly — a
+    // segmentation drift, an off-by-one offset, or an unordered rejoin
+    // hash-fails on the full chunk string.
+    "q_sentence_chunks" -> q { (s, dir) =>
+      val t = split(col("text"), "\\s+")
+      val s1 = array_join(slice(t, 1, 8), " ")
+      val s2 = array_join(slice(t, 9, 8), " ")
+      val s3 = array_join(slice(t, 17, 8), " ")
+      val s4 = array_join(slice(t, 25, 1 << 20), " ")
+      val sentenced = concat(
+        s1, lit("."),
+        when(s2 =!= "", concat(lit(" "), s2, lit("!"))).otherwise(lit("")),
+        when(s3 =!= "", concat(lit(" "), s3, lit("?"))).otherwise(lit("")),
+        when(s4 =!= "", concat(lit(" "), s4, lit("."))).otherwise(lit("")))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), sentenced.as("stext"))
+      TextAnalysis.chunkBySentences(docs, "doc_id", "stext", budget = 10L)
+    },
+
     // Time travel: read version 1 AFTER version 2 is committed — the
     // snapshot-isolation read path at a pinned version (the v2 data dirs
     // must be invisible through the v1 manifest). Shares the app-scoped
@@ -5876,6 +5902,38 @@ object SparkEntry {
         |  array_to_string(kept, chr(10)) AS clean_text,
         |  len(kept) >= 3 AS c4_keep
         |FROM k""".stripMargin,
+
+    // PROPERTY oracle: segments, running offsets, bin ids, and the
+    // ordered rejoin all derive from the token list directly
+    "q_sentence_chunks" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t,
+        |    len(regexp_split_to_array(text, '\s+')) AS n
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, 0 AS sent_idx,
+        |    array_to_string(t[1:8], ' ') || '.' AS sentence,
+        |    CAST(least(n, 8) AS BIGINT) AS n_tokens FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, 1, array_to_string(t[9:16], ' ') || '!',
+        |    CAST(least(n - 8, 8) AS BIGINT) FROM tok WHERE n > 8
+        |  UNION ALL
+        |  SELECT doc_id, 2, array_to_string(t[17:24], ' ') || '?',
+        |    CAST(least(n - 16, 8) AS BIGINT) FROM tok WHERE n > 16
+        |  UNION ALL
+        |  SELECT doc_id, 3, array_to_string(t[25:n], ' ') || '.',
+        |    CAST(n - 24 AS BIGINT) FROM tok WHERE n > 24),
+        |b AS (
+        |  SELECT doc_id, sent_idx, sentence, n_tokens,
+        |    CAST(((sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY sent_idx
+        |      ROWS UNBOUNDED PRECEDING)) - n_tokens) // 10 AS BIGINT)
+        |      AS chunk_idx
+        |  FROM segs)
+        |SELECT doc_id, chunk_idx,
+        |  string_agg(sentence, ' ' ORDER BY sent_idx) AS chunk_text,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_sentences
+        |FROM b GROUP BY doc_id, chunk_idx""".stripMargin,
 
     "q_warc_ingest" ->
       """SELECT doc_id,

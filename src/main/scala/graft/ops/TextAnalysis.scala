@@ -450,6 +450,58 @@ object TextAnalysis {
       .drop("__kept")
   }
 
+  /** Sentence segmentation, terminator-run rule: a sentence is a maximal
+    * run of non-terminator characters plus its trailing `.!?` run;
+    * segments are trimmed and empties dropped. Lookbehind-free (the
+    * usual `(?<=[.!?])\s+` split needs lookbehind, which RE2 engines
+    * reject), so the DuckDB oracle replays the identical pattern.
+    * Documented limitation shared by every rule-based splitter:
+    * abbreviation-blind — every terminator run ends a segment, so a
+    * dotted abbreviation splits at each period ("e.g. x" → "e.", "g.",
+    * "x").
+    */
+  val sentenceRe: String = "[^.!?]+[.!?]*|[.!?]+"
+
+  def sentences(text: Column): Column =
+    filter(transform(regexp_extract_all(text, lit(sentenceRe), lit(0)),
+      s => trim(s)), s => s =!= "")
+
+  /** Sentence-boundary context chunks — the embedding-pipeline variant
+    * of [[chunk]]: a chunk never cuts inside a sentence, so retrieval
+    * embeddings are built over coherent units. Packing contract is the
+    * same running-offset binning as [[Sampling.packSequences]] (sentence
+    * i lands in chunk `floor(offset_i / budget)` where offset_i is the
+    * running token count before it) — deterministic and
+    * engine-replayable; an oversized single sentence owns its chunk
+    * rather than failing. Output: (doc_id, chunk_idx, chunk_text,
+    * n_tokens, n_sentences).
+    *
+    * Scale shape: posexplode is narrow; ONE hash exchange on doc_id
+    * feeds the per-doc window, and the (doc_id, chunk_idx) regroup
+    * reuses that partitioning (no second exchange) — document text
+    * shuffles once, exactly like [[chunk]]'s consumers.
+    */
+  def chunkBySentences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Long = 128L): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val sents = docs.select(col(idCol).as("doc_id"),
+        posexplode(sentences(col(textCol))).as(Seq("sent_idx", "sentence")))
+      .withColumn("n_tokens", whitespaceTokenCount(col("sentence")))
+    val w = Window.partitionBy("doc_id").orderBy("sent_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sents
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk_idx",
+        floor((col("__cum") - col("n_tokens")) / budget).cast(LongType))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("sent_idx"), col("sentence")))),
+          s => s("sentence")), " ").as("chunk_text"),
+        sum(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_sentences"))
+  }
+
   /** Fixed-size character chunks with stride (stride < chunkLen ⇒ overlap) —
     * the context-window packing primitive that turns documents into training
     * samples. One `sequence` + `posexplode` + `substring`: a narrow

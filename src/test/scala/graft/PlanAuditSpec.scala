@@ -54,7 +54,9 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_lag_change / q_moving_avg: single shuffle before the window") {
-    Seq("q_lag_change", "q_moving_avg").foreach { n =>
+    // q_sentence_chunks rides the same contract: one doc_id exchange
+    // feeds its window AND the (doc_id, chunk_idx) regroup
+    Seq("q_lag_change", "q_moving_avg", "q_sentence_chunks").foreach { n =>
       val p = plan(n)
       // count Exchange operators in the formatted detail section
       val exchanges = "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size

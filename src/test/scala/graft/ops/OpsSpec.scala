@@ -596,6 +596,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._3 === 1L && out(2L)._5 === false)
   }
 
+  test("sentences: terminator runs, trimming, empties, bare punctuation") {
+    def seg(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextAnalysis.sentences(col("t")))
+        .head.getSeq[String](0)
+    assert(seg("One here. Two there! Three? ") ===
+      Seq("One here.", "Two there!", "Three?"))
+    assert(seg("no terminator at all") === Seq("no terminator at all"))
+    assert(seg("...") === Seq("..."))
+    assert(seg("Wait... really?!") === Seq("Wait...", "really?!"))
+    assert(seg("") === Seq.empty)
+    // documented limitation: abbreviation-blind — every terminator run
+    // ends a segment, so dotted abbreviations split at each period
+    assert(seg("e.g. x") === Seq("e.", "g.", "x"))
+  }
+
+  test("chunkBySentences: boundary packing, oversized sentence, order") {
+    val docs = Seq(
+      // 4+4+4 tokens at budget 6: offsets 0,4,8 -> chunks 0,0,1
+      (1L, "a b c d. e f g h! i j k l?"),
+      // single 9-token sentence at budget 6: owns chunk 0 alone
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9.")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkBySentences(docs, "doc_id", "text", budget = 6L)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_tokens", "n_sentences")
+      .as[(Long, Long, String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out((1L, 0L)) === (("a b c d. e f g h!", 8L, 2L)))
+    assert(out((1L, 1L)) === (("i j k l?", 4L, 1L)))
+    assert(out((2L, 0L)) ===
+      (("w1 w2 w3 w4 w5 w6 w7 w8 w9.", 9L, 1L)))
+    assert(out.size === 3)
+  }
+
   test("chunking: stride boundaries, tail chunk, overlap, empty doc") {
     val text = ("x" * 199) + "Y" + ("z" * 300) // length 500
     val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
