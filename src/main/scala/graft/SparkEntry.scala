@@ -927,37 +927,45 @@ object SparkEntry {
 
     // robots.txt policy gate (ops.Policy) — the compliance filter a
     // crawl-derived corpus applies before any content stage (r8 verdict
-    // gap #3). Three per-host robots bodies exercise the whole grammar
-    // (comments, multi-UA groups, a specific-agent group that must shadow
-    // every star group, allow-overrides, wildcard + empty rules to drop),
-    // page paths are constructed from doc_id. PROPERTY oracle: DuckDB
-    // derives the allow/deny matrix from doc_id arithmetic directly, so
-    // any parse/group-resolution/longest-match defect hash-fails without
-    // the oracle reading a single robots line.
+    // gap #3). Three per-host robots bodies exercise the whole grammar:
+    // comments, a multi-UA header SPLIT BY A BLANK LINE (RFC 9309 §2.1
+    // non-significant lines are transparent — h2's star agent must
+    // inherit the shared group's rules), a specific-agent group that
+    // must shadow every star group, allow-overrides, and ENFORCED
+    // RFC 9309 wildcards: a mid-pattern `*` rule that must OUT-RANK a
+    // shorter literal (h0 path 0), `$`-anchored rules that block the
+    // bare path but NOT its query-carrying variant (paths 3 vs 5), and
+    // a literal `?` rule matched against path+query (path 7). PROPERTY
+    // oracle: DuckDB derives the allow/deny matrix from doc_id
+    // arithmetic directly, so any parse/group-resolution/translation/
+    // longest-match defect hash-fails without the oracle reading a
+    // single robots line.
     "q_robots_filter" -> q { (s, dir) =>
       import s.implicits._
       val robots = Seq(
         ("h0.example.com",
           "# site rules\nUser-agent: *\nDisallow: /private/\n" +
-            "Allow: /private/ok/\nDisallow: /tmp\n\n" +
+            "Allow: /private/ok/\nAllow: /private/*.html\n" +
+            "Disallow: /tmp\nDisallow: /*.pdf$\n" +
+            "Disallow: /page?print=\n\n" +
             "User-agent: badbot\nDisallow: /"),
         ("h1.example.com",
-          "User-agent: graftbot\nDisallow: /blog/\n\n" +
+          "User-agent: graftbot\nDisallow: /blog/\nDisallow: /*.pdf$\n\n" +
             "User-agent: *\nDisallow: /"),
         ("h2.example.com",
-          "User-agent: other\nUser-agent: *\nDisallow: /\n" +
-            "Allow: /public/\nDisallow: /*.pdf$")).toDF("host", "body")
+          "User-agent: other\n\nUser-agent: *\nDisallow: /\n" +
+            "Allow: /public/")).toDF("host", "body")
       val rules = graft.ops.Policy.parseRobots(robots, "host", "body",
         agent = "graftbot")
       val d = col("doc_id")
       val path = when(d % 8 === 0, lit("/private/x.html"))
         .when(d % 8 === 1, lit("/private/ok/y"))
         .when(d % 8 === 2, lit("/tmp/z"))
-        .when(d % 8 === 3, lit("/tmpfile"))
+        .when(d % 8 === 3, lit("/file.pdf"))
         .when(d % 8 === 4, lit("/public/a"))
-        .when(d % 8 === 5, lit("/"))
+        .when(d % 8 === 5, lit("/file.pdf?dl=1"))
         .when(d % 8 === 6, lit("/blog/post"))
-        .otherwise(lit("/docs/readme"))
+        .otherwise(lit("/page?print=1"))
       val pages = Tables.documents(s, dir).select(d,
         concat(lit("h"), (d % 4).cast(StringType), lit(".example.com"))
           .as("host"),
@@ -5685,19 +5693,24 @@ object SparkEntry {
 
     // PROPERTY oracle: the allow/deny matrix derives from doc_id
     // arithmetic — the oracle never reads a robots line, so any parse,
-    // group-resolution, or longest-match defect on the Spark side
-    // hash-fails
+    // group-resolution, wildcard-translation, or longest-match defect on
+    // the Spark side hash-fails. The matrix encodes ENFORCED RFC 9309
+    // wildcards: h0 path 0 allowed only because the mid-pattern-* Allow
+    // out-ranks the literal Disallow; paths 3/5 split on the $ anchor
+    // vs the query-carrying variant; path 7 needs the literal-? rule
+    // matched against path+query; h2 is denied-by-default only if the
+    // blank-split multi-UA header still forms one group.
     "q_robots_filter" ->
       """SELECT doc_id,
         |  'h' || (doc_id % 4) || '.example.com' AS host,
         |  CASE doc_id % 8 WHEN 0 THEN '/private/x.html'
         |    WHEN 1 THEN '/private/ok/y' WHEN 2 THEN '/tmp/z'
-        |    WHEN 3 THEN '/tmpfile' WHEN 4 THEN '/public/a'
-        |    WHEN 5 THEN '/' WHEN 6 THEN '/blog/post'
-        |    ELSE '/docs/readme' END AS path,
+        |    WHEN 3 THEN '/file.pdf' WHEN 4 THEN '/public/a'
+        |    WHEN 5 THEN '/file.pdf?dl=1' WHEN 6 THEN '/blog/post'
+        |    ELSE '/page?print=1' END AS path,
         |  CASE doc_id % 4
-        |    WHEN 0 THEN doc_id % 8 NOT IN (0, 2, 3)
-        |    WHEN 1 THEN doc_id % 8 <> 6
+        |    WHEN 0 THEN doc_id % 8 NOT IN (2, 3, 7)
+        |    WHEN 1 THEN doc_id % 8 NOT IN (3, 6)
         |    WHEN 2 THEN doc_id % 8 = 4
         |    ELSE TRUE END AS robots_allowed
         |FROM documents""".stripMargin,

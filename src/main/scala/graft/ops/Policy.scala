@@ -29,26 +29,66 @@ import org.apache.spark.sql.functions._
   *     regexp chains: zero shuffle, whole-stage codegen, evaluated inside
   *     the scan pass.
   *
-  * robots.txt semantics implemented (REP, RFC 9309 subset):
+  * robots.txt semantics implemented (REP, RFC 9309):
   *   - `#` comments stripped; keys case-insensitive; groups are runs of
-  *     consecutive `User-agent:` lines followed by their rules; rules
-  *     before any `User-agent:` line are ignored.
+  *     consecutive `User-agent:` lines followed by their rules — with
+  *     blank/comment-only lines TRANSPARENT between the start-of-group
+  *     lines (RFC 9309 §2.1: non-significant lines do not split a
+  *     multi-UA header); rules before any `User-agent:` line are ignored.
   *   - Agent resolution: if ANY group on the host names the caller's
   *     agent (exact, case-insensitive), only those groups apply and every
   *     `*` group is ignored; otherwise the `*` groups apply.
-  *   - Longest-prefix match wins; on a length tie `Allow` wins; no
+  *   - `*` / `$` wildcard rules are ENFORCED (RFC 9309 §2.2.3): each
+  *     rule pattern is translated to an anchored regex (`*` → `.*`, a
+  *     TRAILING `$` → end-anchor, everything else literal — a
+  *     mid-pattern `$` is an ordinary octet). Dropping these rules, as
+  *     earlier revisions did, fails toward ALLOW — the wrong direction
+  *     for a compliance gate (a site disallowing `*.pdf$` must block).
+  *     Literal-prefix rules (the overwhelming majority) keep the cheap
+  *     `startsWith` path; only wildcard rules pay a regex evaluation.
+  *   - Matching runs against the URI's path PLUS query (RFC 9309 §2.2.2
+  *     matches the path and its optional query), so `Disallow:
+  *     /page?print=` rules work and a `$`-anchored rule does not match
+  *     a query-carrying variant.
+  *   - Most-specific match wins = longest rule PATTERN in octets (the
+  *     Googlebot/RFC tiebreak); on a length tie `Allow` wins; no
   *     matching rule (or no robots.txt for the host) means allowed.
-  *   - Documented subset: rule paths are LITERAL prefixes — rules
-  *     containing `*` or `$` wildcards are dropped (conservative toward
-  *     allow), and an empty `Disallow:` (allow-all) is dropped as the
-  *     no-op it is. `Crawl-delay`/`Sitemap` lines are ignored.
+  *   - An empty `Disallow:` (allow-all) is dropped as the no-op it is.
+  *     `Crawl-delay`/`Sitemap` lines are ignored.
   */
 object Policy {
 
-  /** Schema of the per-host rule array element. */
-  private val ruleStruct: (Column, Column, Column) => Column =
-    (prefix, len, allow) =>
-      struct(prefix.as("prefix"), len.as("rule_len"), allow.as("allow"))
+  /** Schema of the per-host rule array element: the raw pattern (used as
+    * a literal prefix on the fast path), its octet length (the
+    * most-specific tiebreak), the Allow/Disallow verb, and — ONLY for
+    * wildcard rules — the translated anchored regex (NULL otherwise, so
+    * literal rules never pay a regex evaluation). */
+  private val ruleStruct: (Column, Column, Column, Column) => Column =
+    (prefix, len, allow, regex) =>
+      struct(prefix.as("prefix"), len.as("rule_len"), allow.as("allow"),
+        regex.as("regex"))
+
+  /** RFC 9309 §2.2.3 pattern → anchored Java regex, as a pure column
+    * expression (patterns are data, so the translation must run
+    * distributed): a TRAILING `$` becomes the end anchor, every `*`
+    * becomes `.*`, every other octet is escaped to a literal. The
+    * leading `^` makes Spark's find()-semantics RLike behave as RFC
+    * prefix matching — an unanchored tail means "the path merely starts
+    * with the pattern", exactly the REP contract. */
+  private[ops] def repPatternRegex(pattern: Column): Column = {
+    val anchored = pattern.endsWith("$")
+    // strip ONLY a trailing `$` (the anchor); mid-pattern `$` is literal
+    val body = regexp_replace(pattern, "\\$$", "")
+    // escape every Java-regex metacharacter (including `*`), then
+    // un-escape `\*` into the wildcard `.*`
+    val escaped = regexp_replace(body, "([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")
+    val translated = regexp_replace(escaped, "\\\\\\*", ".*")
+    concat(lit("^"), translated,
+      when(anchored, lit("$")).otherwise(lit(""))
+        // the anchor applies to the pre-strip pattern; a bare "$" rule
+        // (empty body) still anchors correctly: ^$ matches nothing real
+    )
+  }
 
   /** Parse a (host, robots.txt body) table into one row per host:
     * `(host, robots_rules: array<struct<prefix, rule_len, allow>>)` —
@@ -67,6 +107,12 @@ object Policy {
         posexplode(split(col(bodyCol), "\n")).as(Seq("__pos", "__raw")))
       .select(col("__host"), col("__pos"),
         trim(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
+      // blank / comment-only lines are NON-SIGNIFICANT (RFC 9309 §2.1):
+      // dropping them BEFORE the group window makes consecutive
+      // User-agent lines separated by a blank still share one group —
+      // lagging over raw lines would give the earlier agent an empty
+      // (allow-all) group
+      .where(col("__line") =!= "")
     val isUa = col("__line").rlike("(?i)^user-agent\\s*:")
     val uaVal = lower(trim(
       regexp_extract(col("__line"), "(?i)^user-agent\\s*:\\s*(\\S*)", 1)))
@@ -100,20 +146,28 @@ object Policy {
         max(when(col("__grp_specific"), 1).otherwise(0)).over(hostW) === 1)
     val applies = col("__grp_specific") ||
       (!col("__host_specific") && col("__grp_star"))
+    val needsRegex =
+      col("__prefix").contains("*") || col("__prefix").endsWith("$")
     flagged
       .where(col("__gid") >= 1 && col("__is_rule") && applies &&
-        col("__prefix") =!= "" &&
-        !col("__prefix").contains("*") && !col("__prefix").contains("$"))
+        col("__prefix") =!= "")
       .groupBy(col("__host").as("host"))
       .agg(collect_list(ruleStruct(col("__prefix"),
-        length(col("__prefix")).cast("int"), col("__allow")))
+        length(col("__prefix")).cast("int"), col("__allow"),
+        when(needsRegex, repPatternRegex(col("__prefix")))
+          .otherwise(lit(null).cast("string"))))
         .as("robots_rules"))
   }
 
   /** Gate pages against a [[parseRobots]] table: ONE left equi-join on
     * host, then longest-match resolution entirely in codegen'd array
     * functions on the joined rule array (`array_max` over
-    * `struct(rule_len, allow)` — length wins, Allow wins ties). Pages on
+    * `struct(rule_len, allow)` — pattern length wins, Allow wins ties).
+    * Literal rules match with `startsWith`; wildcard rules match their
+    * translated anchored regex (`regexp_like` with a per-rule pattern —
+    * paid only by the rare wildcard rules, and the rule arrays are tiny).
+    * `pathCol` should carry path+query when queries matter (RFC 9309
+    * matches against both — [[gate]] passes them through). Pages on
     * hosts with no robots.txt, or matching no rule, are allowed. Adds
     * `outCol: boolean`; drops the internal rule columns.
     */
@@ -123,7 +177,9 @@ object Policy {
     val rules = hostRules.select(col("host").as("__rhost"),
       col("robots_rules").as("__rules"))
     val path = when(col(pathCol) === "", lit("/")).otherwise(col(pathCol))
-    val matched = filter(col("__rules"), r => path.startsWith(r("prefix")))
+    val matched = filter(col("__rules"), r =>
+      when(r("regex").isNotNull, regexp_like(path, r("regex")))
+        .otherwise(path.startsWith(r("prefix"))))
     val best = array_max(transform(matched,
       r => struct(r("rule_len").as("rule_len"), r("allow").as("allow"))))
     // page side normalized the same way parseRobots normalizes its key —
@@ -137,30 +193,41 @@ object Policy {
 
   // ---- robots META / X-Robots-Tag directives ----
 
-  /** Lowercased content of the FIRST `<meta name="robots" …>` tag in
-    * document order — extracted in two steps (the whole tag first, then
-    * its `content` attribute) so BOTH attribute orders and interleaved
+  /** Lowercased UNION of every `<meta name="robots" …>` tag's content on
+    * the page (comma-joined) — each tag extracted whole first, then its
+    * `content` attribute, so BOTH attribute orders and interleaved
     * attributes match (CMSes emit content-first and id/class-interleaved
-    * forms routinely), and a later tag can never override an earlier
-    * opt-out. Empty string when absent. Pure scalar regexp chain. */
+    * forms routinely). Real pages carry multiple robots tags and
+    * crawlers union directives most-restrictive-wins: reading only the
+    * first tag lets a benign `content="all"` shadow a later
+    * noindex/noai opt-out — under-blocking in a compliance gate. Empty
+    * string when absent. Pure scalar regexp chain. */
   def metaRobotsContent(html: Column): Column = {
-    val tag = regexp_extract(html,
-      "(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']robots[\"'][^>]*>", 0)
-    lower(regexp_extract(tag,
-      "(?is)\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']", 1))
+    val tags = regexp_extract_all(html,
+      lit("(?is)<meta\\b[^>]*\\bname\\s*=\\s*[\"']robots[\"'][^>]*>"),
+      lit(0))
+    lower(concat_ws(",", transform(tags, t => regexp_extract(t,
+      "(?is)\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']", 1))))
   }
 
-  /** True when a comma-separated directive list contains `d` as a whole
-    * token (`noindex, nofollow` contains `noindex` but not `index`). */
+  /** True when a directive list contains `d` as a whole token. Tokens
+    * split on commas OR whitespace (both separator styles occur in the
+    * wild), so `noindex, nofollow` contains `noindex` but never
+    * `index`. */
   def hasDirective(directives: Column, d: String): Column =
-    exists(split(lower(directives), ","), t => trim(t) === lit(d))
+    exists(split(lower(directives), "[,\\s]+"), t => trim(t) === lit(d))
 
   /** Append `robots_noindex` / `robots_nofollow` / `robots_noai` derived
-    * from the page's robots META tag, OR-ed with an optional
-    * `X-Robots-Tag` response-header column (both channels carry the same
-    * directive grammar). NULL html carries no directives (all three come
-    * back FALSE, never NULL — a null must not poison the gate's boolean
-    * algebra downstream). Zero shuffle. */
+    * from the page's robots META tags (ALL of them, unioned — an opt-out
+    * can never be overridden by a benign sibling tag), OR-ed with an
+    * optional `X-Robots-Tag` response-header column (both channels carry
+    * the same directive grammar). The standard `none` directive implies
+    * noindex+nofollow (its definition); `robots_noai` stays a faithful
+    * record of the explicit noai opt-out — [[gate]] already drops
+    * `none` pages through the noindex channel. NULL html carries no
+    * directives (all
+    * three come back FALSE, never NULL — a null must not poison the
+    * gate's boolean algebra downstream). Zero shuffle. */
   def withRobotsDirectives(df: DataFrame, htmlCol: String,
       xRobotsCol: Option[String] = None): DataFrame = {
     val merged = xRobotsCol match {
@@ -168,10 +235,11 @@ object Policy {
         coalesce(lower(col(h)), lit("")))
       case None => metaRobotsContent(col(htmlCol))
     }
+    val none = hasDirective(merged, "none")
     df.withColumn("robots_noindex",
-        coalesce(hasDirective(merged, "noindex"), lit(false)))
+        coalesce(hasDirective(merged, "noindex") || none, lit(false)))
       .withColumn("robots_nofollow",
-        coalesce(hasDirective(merged, "nofollow"), lit(false)))
+        coalesce(hasDirective(merged, "nofollow") || none, lit(false)))
       .withColumn("robots_noai",
         coalesce(hasDirective(merged, "noai"), lit(false)))
   }
@@ -267,9 +335,17 @@ object Policy {
     // withColumn would silently clobber them
     val withHost = pages
       .withColumn("__gate_host", Urls.host(col(urlCol)))
+      // path PLUS query (fragment stripped): RFC 9309 matches rules
+      // against both, so `Disallow: /page?print=` rules can fire and a
+      // `$`-anchored rule correctly ignores query-carrying variants
       .withColumn("__gate_path", regexp_extract(
         regexp_replace(trim(col(urlCol)), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""),
-        "^([^?#]*)", 1))
+        "^([^#]*)", 1))
+      // an empty-path URL with a query ("https://h?q=1") still has the
+      // root path for matching purposes
+      .withColumn("__gate_path",
+        when(col("__gate_path").startsWith("?"),
+          concat(lit("/"), col("__gate_path"))).otherwise(col("__gate_path")))
     val robots = hostRules match {
       case Some(r) =>
         applyRobots(withHost, r, hostCol = "__gate_host",

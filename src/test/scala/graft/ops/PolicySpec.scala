@@ -47,9 +47,89 @@ class PolicySpec extends SparkSpec {
     assert(d("/private/ok/y") === true) // longer Allow overrides
     assert(d("/tmpfile") === true)      // /tmp tie -> Allow wins
     assert(d("/tmp") === true)
-    assert(d("/report.pdf") === true)   // wildcard rule dropped
+    assert(d("/report.pdf") === false)  // /*.pdf$ wildcard ENFORCED
     assert(d("/") === true)             // no rule matches
     assert(d("/orphan-before-any-group") === true) // pre-group rule ignored
+  }
+
+  test("RFC 9309 wildcards: mid-pattern *, $ anchor, query interplay") {
+    val body =
+      """User-agent: *
+        |Disallow: /*.pdf$
+        |Disallow: /a/*/c
+        |Disallow: /page?print=
+        |""".stripMargin
+    val rules = Policy.parseRobots(
+      Seq(("w.example", body)).toDF("host", "body"), "host", "body", "*")
+    val pages = Seq("/x.pdf", "/x.pdf?dl=1", "/x.pdfz", "/a/b/c",
+      "/a/b/cdef", "/a//c", "/a/c", "/page?print=1", "/page")
+      .map(p => ("w.example", p)).toDF("host", "path")
+    val d = Policy.applyRobots(pages, rules)
+      .select("path", "robots_allowed").as[(String, Boolean)]
+      .collect().toMap
+    assert(d("/x.pdf") === false,  "$-anchored rule blocks the bare path")
+    assert(d("/x.pdf?dl=1") === true,
+      "$ anchor must NOT match the query-carrying variant")
+    assert(d("/x.pdfz") === true,  "$ anchor is an anchor, not a prefix")
+    assert(d("/a/b/c") === false,  "mid-pattern * spans a segment")
+    assert(d("/a/b/cdef") === false,
+      "a wildcard rule is still a PREFIX match past its end")
+    assert(d("/a//c") === false,   "* matches the empty string too")
+    assert(d("/a/c") === true,
+      "the literal / before c is still required — * is not optional-segment")
+    assert(d("/page?print=1") === false,
+      "literal ? rules match against path+query")
+    assert(d("/page") === true)
+  }
+
+  test("wildcard rule out-ranks a shorter literal by pattern length") {
+    val body =
+      """User-agent: *
+        |Disallow: /private/
+        |Allow: /private/*.html
+        |""".stripMargin
+    val rules = Policy.parseRobots(
+      Seq(("w.example", body)).toDF("host", "body"), "host", "body", "*")
+    val pages = Seq("/private/x.html", "/private/x.txt")
+      .map(p => ("w.example", p)).toDF("host", "path")
+    val d = Policy.applyRobots(pages, rules)
+      .select("path", "robots_allowed").as[(String, Boolean)]
+      .collect().toMap
+    assert(d("/private/x.html") === true,
+      "the 15-octet wildcard Allow must beat the 9-octet literal Disallow")
+    assert(d("/private/x.txt") === false)
+  }
+
+  test("regex metacharacters in rule paths stay literal after translation") {
+    // a path with ., (, ), + — only * and trailing $ are special in REP
+    val body = "User-agent: *\nDisallow: /a.b(c)+/*x$\n"
+    val rules = Policy.parseRobots(
+      Seq(("w.example", body)).toDF("host", "body"), "host", "body", "*")
+    val pages = Seq("/a.b(c)+/zzx", "/a.b(c)+/zzxy", "/aXb(c)+/zzx")
+      .map(p => ("w.example", p)).toDF("host", "path")
+    val d = Policy.applyRobots(pages, rules)
+      .select("path", "robots_allowed").as[(String, Boolean)]
+      .collect().toMap
+    assert(d("/a.b(c)+/zzx") === false)
+    assert(d("/a.b(c)+/zzxy") === true, "trailing $ still anchors")
+    assert(d("/aXb(c)+/zzx") === true, "the dot must not match any char")
+  }
+
+  test("blank line between consecutive User-agent lines does not split the group") {
+    val body =
+      """User-agent: *
+        |
+        |User-agent: other
+        |Disallow: /
+        |""".stripMargin
+    val rules = Policy.parseRobots(
+      Seq(("w.example", body)).toDF("host", "body"), "host", "body", "*")
+    val pages = Seq(("w.example", "/anything")).toDF("host", "path")
+    val d = Policy.applyRobots(pages, rules)
+      .select("robots_allowed").as[Boolean].head()
+    assert(d === false,
+      "RFC 9309 treats non-significant lines as transparent in a " +
+        "multi-UA header: the star agent must inherit the shared rules")
   }
 
   test("specific agent group shadows every star group") {
@@ -74,7 +154,17 @@ class PolicySpec extends SparkSpec {
     val rules = rulesFor("graftbot")
       .select(explode(col("robots_rules")).as("r"))
       .select(col("r.prefix")).as[String].collect().toSet
-    assert(rules === Set("/private/", "/private/ok/", "/tmp"))
+    assert(rules === Set("/private/", "/private/ok/", "/tmp", "/*.pdf$"))
+  }
+
+  test("only wildcard rules carry a regex; literals keep the fast path") {
+    val withRegex = rulesFor("graftbot")
+      .select(explode(col("robots_rules")).as("r"))
+      .select(col("r.prefix"), col("r.regex"))
+      .as[(String, Option[String])].collect().toMap
+    assert(withRegex("/private/") === None)
+    assert(withRegex("/tmp") === None)
+    assert(withRegex("/*.pdf$") === Some("^/.*\\.pdf$"))
   }
 
   test("robots host key is normalized SYMMETRICALLY: mixed case on either side joins") {
@@ -93,16 +183,40 @@ class PolicySpec extends SparkSpec {
       "a mixed-case PAGE host must not silently skip the rules either")
   }
 
-  test("META robots: the FIRST robots tag in document order wins") {
+  test("META robots: directives union across ALL tags — an opt-out is never shadowed") {
     val df = Seq(
-      // content-first opt-out followed by a name-first 'all' — the later
-      // tag must not override the earlier opt-out
-      """<meta content="noindex" name="robots"><meta name="robots" content="all">""")
+      // content-first opt-out followed by a name-first 'all'
+      """<meta content="noindex" name="robots"><meta name="robots" content="all">""",
+      // the REVERSE order: a benign first tag must not shadow the later
+      // opt-out (the first-tag-only reading under-blocked exactly here)
+      """<meta name="robots" content="all"><meta name="robots" content="noai">""",
+      // opt-outs spread across two tags both register
+      """<meta name="robots" content="noindex"><meta name="robots" content="nofollow">""")
       .toDF("html")
     val out = Policy.withRobotsDirectives(df, "html")
-      .select("robots_noindex").as[Boolean].head()
-    assert(out === true,
-      "a later robots META must not override the first tag's opt-out")
+      .select("robots_noindex", "robots_nofollow", "robots_noai")
+      .as[(Boolean, Boolean, Boolean)].collect()
+    assert(out(0) === ((true, false, false)))
+    assert(out(1) === ((false, false, true)),
+      "a later noai opt-out must register even after a benign first tag")
+    assert(out(2) === ((true, true, false)))
+  }
+
+  test("'none' directive implies noindex+nofollow; whitespace separators parse") {
+    val df = Seq(
+      """<meta name="robots" content="none">""",
+      """<meta name="robots" content="noindex nofollow">""",
+      """<meta name="robots" content="nonexistent">""")
+      .toDF("html")
+    val out = Policy.withRobotsDirectives(df, "html")
+      .select("robots_noindex", "robots_nofollow", "robots_noai")
+      .as[(Boolean, Boolean, Boolean)].collect()
+    assert(out(0) === ((true, true, false)),
+      "content=none is the standard noindex,nofollow equivalent")
+    assert(out(1) === ((true, true, false)),
+      "whitespace-separated directive lists occur in the wild")
+    assert(out(2) === ((false, false, false)),
+      "'nonexistent' must not token-match 'none'")
   }
 
   test("NULL html: no directives, no license, and the gate drops it explicitly") {
@@ -143,6 +257,28 @@ class PolicySpec extends SparkSpec {
     assert(out(0) === ((Some("https://example.com/lic"), Some("other"))))
     assert(out(1) === ((Some("https://example.com/lic2"), Some("other"))))
     assert(out(2) === ((None, None)))
+  }
+
+  test("gate matches robots rules against path PLUS query, fragment stripped") {
+    val body = "User-agent: *\nDisallow: /page?print=\nDisallow: /*.pdf$"
+    val rules = Policy.parseRobots(
+      Seq(("g.example", body)).toDF("host", "body"), "host", "body", "*")
+    val pages = Seq(
+      "https://g.example/page?print=1",   // literal ? rule fires
+      "https://g.example/page",           // bare path clears it
+      "https://g.example/doc.pdf",        // $ anchor fires
+      "https://g.example/doc.pdf?dl=1",   // query defeats the $ anchor
+      "https://g.example/doc.pdf#sec2")   // fragment is NOT part of the match
+      .map(u => (u, "<html></html>")).toDF("url", "html")
+    val out = Policy.gate(pages, "url", "html", hostRules = Some(rules))
+      .select("url", "robots_allowed").as[(String, Boolean)]
+      .collect().toMap
+    assert(out("https://g.example/page?print=1") === false)
+    assert(out("https://g.example/page") === true)
+    assert(out("https://g.example/doc.pdf") === false)
+    assert(out("https://g.example/doc.pdf?dl=1") === true)
+    assert(out("https://g.example/doc.pdf#sec2") === false,
+      "the fragment must be stripped before matching, not defeat the anchor")
   }
 
   test("gate never clobbers caller host/path columns") {
