@@ -925,6 +925,32 @@ object SparkEntry {
         length(col("main_text")).cast(LongType).as("n_chars_out"))
     },
 
+    // Link-density boilerplate gate (ops.Html.linkDensityPermyriad wired
+    // through Policy.gate's audit channel) — each document renders into
+    // a page with a fixed 19-nonspace-char prose paragraph plus
+    // (doc_id % 5) eight-char anchors, so the density is exact integer
+    // arithmetic both engines can compute: floor(10000·8k/(19+8k)).
+    // PROPERTY oracle: DuckDB derives density and the ≤3000-permyriad
+    // keep decision from doc_id directly — an anchor counted inside
+    // stripped boilerplate, a denominator measured on a different text
+    // universe, or a gate folding defect hash-fails row-level.
+    "q_link_density" -> q { (s, dir) =>
+      val d = col("doc_id")
+      val anchors = array_join(array_repeat(
+        lit("<a href=\"/l\">linktext</a>"), (d % 5).cast("int")), " ")
+      val html = concat(
+        lit("<html><head><title>t</title></head><body>" +
+          "<nav><a href=\"/home\">HiddenNavLink</a></nav>" +
+          "<p>Sample prose body text</p><div>"),
+        anchors, lit("</div></body></html>"))
+      val pages = Tables.documents(s, dir).select(d,
+        concat(lit("https://ld.example/p"), d.cast(StringType)).as("url"),
+        html.as("__html"))
+      graft.ops.Policy.gate(pages, "url", "__html",
+          maxLinkDensityPermyriad = Some(3000))
+        .select(col("doc_id"), col("link_density_pm"), col("policy_keep"))
+    },
+
     // robots.txt policy gate (ops.Policy) — the compliance filter a
     // crawl-derived corpus applies before any content stage (r8 verdict
     // gap #3). Three per-host robots bodies exercise the whole grammar:
@@ -5690,6 +5716,18 @@ object SparkEntry {
          |              ELSE last2 END, '') END AS registered_domain
          |FROM rd""".stripMargin
     },
+
+    // PROPERTY oracle: density = floor(10000·8k/(19+8k)) for k anchors
+    // of 8 nonspace chars over the 19-char prose — pure doc_id
+    // arithmetic (the nav anchor must contribute NOTHING: it is
+    // stripped boilerplate in both numerator and denominator)
+    "q_link_density" ->
+      """SELECT doc_id,
+        |  CAST((80000 * (doc_id % 5)) // (19 + 8 * (doc_id % 5))
+        |    AS BIGINT) AS link_density_pm,
+        |  (80000 * (doc_id % 5)) // (19 + 8 * (doc_id % 5)) <= 3000
+        |    AS policy_keep
+        |FROM documents""".stripMargin,
 
     // PROPERTY oracle: the allow/deny matrix derives from doc_id
     // arithmetic — the oracle never reads a robots line, so any parse,

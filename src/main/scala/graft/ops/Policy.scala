@@ -325,11 +325,21 @@ object Policy {
     *                           UNLICENSED pages; leave false for corpora
     *                           where unlicensed ordinary web text is in
     *                           scope and licensing is a downstream call
+    * @param maxLinkDensityPermyriad  when set, adds a `link_density_pm`
+    *                           audit column ([[Html.linkDensityPermyriad]]
+    *                           — the classic link-farm/boilerplate
+    *                           signal, measured on the raw page BEFORE
+    *                           extraction strips the anchors) and drops
+    *                           pages above the threshold; pages with no
+    *                           visible text (NULL density) pass this
+    *                           channel — emptiness is the content
+    *                           stages' call, not a link-density verdict
     */
   def gate(pages: DataFrame, urlCol: String, htmlCol: String,
       hostRules: Option[DataFrame] = None,
       respectNoAi: Boolean = true,
-      requireCommercial: Boolean = false): DataFrame = {
+      requireCommercial: Boolean = false,
+      maxLinkDensityPermyriad: Option[Int] = None): DataFrame = {
     // internal derivation columns use reserved names and are dropped —
     // a crawl frame routinely carries its own `host`/`path` columns and
     // withColumn would silently clobber them
@@ -352,15 +362,22 @@ object Policy {
           pathCol = "__gate_path")
       case None => withHost.withColumn("robots_allowed", lit(true))
     }
-    val signed = withLicenseSignals(
+    val signed0 = withLicenseSignals(
       withRobotsDirectives(robots, htmlCol), htmlCol)
+    val signed = maxLinkDensityPermyriad match {
+      case Some(_) => signed0.withColumn("link_density_pm",
+        Html.linkDensityPermyriad(col(htmlCol)))
+      case None => signed0
+    }
     // a failed fetch (NULL html) has no content to keep — dropped
     // EXPLICITLY, not via null-AND propagation (which would make the
     // outcome flip with unrelated flags and vanish from drop audits)
     val keep = col(htmlCol).isNotNull && col("robots_allowed") &&
       (if (respectNoAi) !col("robots_noindex") && !col("robots_noai")
        else lit(true)) &&
-      (if (requireCommercial) col("license_commercial") else lit(true))
+      (if (requireCommercial) col("license_commercial") else lit(true)) &&
+      maxLinkDensityPermyriad.map(t =>
+        coalesce(col("link_density_pm") <= t, lit(true))).getOrElse(lit(true))
     signed.withColumn("policy_keep", keep)
       .drop("__gate_host", "__gate_path")
   }

@@ -281,6 +281,33 @@ class PolicySpec extends SparkSpec {
       "the fragment must be stripped before matching, not defeat the anchor")
   }
 
+  test("gate link-density channel: audit column + threshold drop, NULL passes") {
+    val pages = Seq(
+      // link farm: ~all visible text inside anchors
+      ("https://x.example/farm",
+        """<html><body><a href="/1">aaaa</a> <a href="/2">bbbb</a> c</body></html>"""),
+      // prose with one small link
+      ("https://x.example/prose",
+        """<html><body><p>plenty of ordinary prose text here</p><a href="/s">x</a></body></html>"""),
+      // no visible text at all -> NULL density must PASS this channel
+      ("https://x.example/empty", "<html><body></body></html>"))
+      .toDF("url", "html")
+    val out = Policy.gate(pages, "url", "html",
+        maxLinkDensityPermyriad = Some(5000))
+      .select("url", "link_density_pm", "policy_keep")
+      .as[(String, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("https://x.example/farm")._1.get > 5000L)
+    assert(out("https://x.example/farm")._2 === false)
+    assert(out("https://x.example/prose")._1.get < 5000L)
+    assert(out("https://x.example/prose")._2 === true)
+    assert(out("https://x.example/empty") === ((None, true)),
+      "emptiness is the content stages' call, not a link-density verdict")
+    // the channel is OFF by default: no column, no keep contribution
+    assert(!Policy.gate(pages, "url", "html").columns
+      .contains("link_density_pm"))
+  }
+
   test("gate never clobbers caller host/path columns") {
     val rules = rulesFor("graftbot")
     val pages = Seq(("https://h.example/private/a", "<html></html>",
