@@ -149,8 +149,13 @@ object Bench {
     //  - q_hll_error: the HLL accuracy exhibit — by definition runs the
     //    exact countDistinct twin next to the sketch; the sketch path is
     //    timed as q_hll_distinct (same argument as q_minhash_est_error).
+    // q_crawl_e2e: the crawl-to-shards composition audit (same argument
+    // as q_curate — WARC scan, policy gate, extraction, dedup, BPE, pack
+    // are each timed by their own query; the composition would re-count
+    // all of them plus a tmp-dir write).
     val skip = Set("q_pipeline_verify", "q_minhash_est_error", "q_curate",
-      "q_curate_incremental", "q_bpe_roundtrip", "q_hll_error")
+      "q_curate_incremental", "q_bpe_roundtrip", "q_hll_error",
+      "q_crawl_e2e")
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query filter for local
     // iteration on one hot spot (full set when unset — the driver's mode)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

@@ -39,6 +39,35 @@ class CurateSpec extends SparkSpec {
     result.unpersist()
   }
 
+  test("crawl composition: gate drops never reach curation, extraction precedes dedup") {
+    // three pages on one host: two carry the SAME article under different
+    // chrome (nav/footer differ — only post-extraction dedup can see the
+    // duplication), one is robots-blocked and must never enter the run
+    val article = "<p>a genuinely informative paragraph of plain prose " +
+      "that survives the quality gate with room to spare today</p>"
+    val pages = Seq(
+      ("https://c.example/a", s"<html><body><nav><a href='/'>One</a></nav>$article</body></html>"),
+      ("https://c.example/b", s"<html><body><footer>Other chrome</footer>$article</body></html>"),
+      ("https://c.example/blocked/x", s"<html><body>$article</body></html>"))
+      .toDF("url", "html")
+    val rules = Policy.parseRobots(
+      Seq(("c.example", "User-agent: *\nDisallow: /blocked/")).toDF("host", "body"),
+      "host", "body", "*")
+    val gated = Policy.gate(pages, "url", "html", hostRules = Some(rules))
+    val kept = gated.where($"policy_keep")
+      .select(monotonically_increasing_id().as("doc_id"), $"html".as("text"))
+    assert(kept.count() === 2, "the robots-blocked page must drop at the gate")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Curate.run(kept, "doc_id", "text", empty,
+      htmlInput = true, minQuality = 0.0)
+    assert(out.report.input === 2)
+    assert(out.report.afterExactDedup === 1,
+      "same article under different chrome must exact-dedup AFTER extraction " +
+        "— markup-level dedup would keep both")
+    val row = out.docs.select("text").as[String].head()
+    assert(!row.contains("<"), "curated text must be extracted, not markup")
+  }
+
   test("optional stages: span dedup binds, mixture whitelists and rebalances") {
     // plant a boilerplate PAIR the earlier dedup stages must keep: the two
     // docs share a 12-token licence header (span coverage ~44% each) but
