@@ -734,6 +734,22 @@ object SparkEntry {
       TextAnalysis.qualityClassifierScore(Tables.documents(s, dir), "doc_id")
     },
 
+    // Quality-classifier TRAINING (r9 verdict item #6 — the one pipeline
+    // stage that previously happened off-engine): full-batch logistic
+    // regression in integer milli fixed point with a hard-sigmoid link
+    // over the same hashed unigram+bigram features the inference reads,
+    // labels = token-count class (≥60 tokens ⇒ "good"). The oracle
+    // replays every training round as unrolled CTEs — feature hashing,
+    // floor-div logits, gradients, and updates — and must land on the
+    // IDENTICAL weight table, the same trainer-replay pattern as
+    // q_bpe_merges and the Lloyd quantizer.
+    "q_quality_fit" -> q { (s, dir) =>
+      val docs = Tables.documents(s, dir).withColumn("__label",
+        size(TextAnalysis.tokens(lower(col("text")))) >= 60)
+      TextAnalysis.fitQualityClassifier(docs, "doc_id", "text", "__label",
+        buckets = 256, rounds = 3)
+    },
+
     // BPE tokenizer training (Sennrich et al. 2016), BATCHED schedule
     // (r5): 12 learned merges over the corpus word table, up to 6
     // mutually symbol-disjoint pairs accepted per frequency snapshot and
@@ -5122,6 +5138,72 @@ object SparkEntry {
        |FROM documents d LEFT JOIN outq o ON d.doc_id = o.doc_id""".stripMargin
   }
 
+  /** Oracle for `q_quality_fit`: the full-batch fixed-point logistic fit
+    * replayed round by round — the hashed unigram+bigram feature matrix
+    * via [[XxHash64Sql]] (unsigned `h % buckets` = Spark's pmod low
+    * bits), labels from the token-count threshold, then `rounds` unrolled
+    * CTE rounds of the EXACT integer schedule
+    * ([[graft.ops.TextAnalysis.fitQualityClassifier]]'s scaladoc): z =
+    * Σc·w, hard-sigmoid in milli, per-bucket floor-div gradients, w −=
+    * fdiv(g, 8). Floor division is spelled with the mod-subtract identity
+    * so numerators are exactly divisible and DuckDB's `//` rounding
+    * convention cannot matter. Weights after the last round must be
+    * BIT-EXACT. */
+  private def qualityFitOracleSql(buckets: Int, rounds: Int,
+      minTokens: Int): String = {
+    def fdiv(x: String, n: String) =
+      s"((($x) - ((($x) % ($n) + ($n)) % ($n))) // ($n))"
+    val roundCtes = (1 to rounds).map { i =>
+      val pw = s"qw${i - 1}"
+      s"""qz$i AS MATERIALIZED (
+         |  SELECT fm.doc_id, sum(fm.c * w.w) AS z
+         |  FROM fm JOIN $pw w USING (bucket) GROUP BY 1),
+         |qe$i AS MATERIALIZED (
+         |  SELECT nd.doc_id,
+         |    greatest(least(${fdiv(fdiv("z.z", "nd.n"), "4")} + 500, 1000), 0)
+         |      - nd.y AS e
+         |  FROM nd JOIN qz$i z USING (doc_id)),
+         |qg$i AS MATERIALIZED (
+         |  SELECT fm.bucket, sum(${fdiv("fm.c * e.e * 32", "nd.n")}) AS g
+         |  FROM fm JOIN qe$i e USING (doc_id) JOIN nd USING (doc_id)
+         |  GROUP BY 1),
+         |qw$i AS MATERIALIZED (
+         |  SELECT w.bucket, w.w - ${fdiv("coalesce(g.g, 0)", "8")} AS w
+         |  FROM $pw w LEFT JOIN qg$i g USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    raw"""WITH toksf AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+         |  FROM documents),
+         |gff AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p1
+         |  FROM toksf WHERE len(t) >= 1),
+         |ff AS (SELECT doc_id, t[p1] AS tok,
+         |  CASE WHEN p1 < len(t) THEN t[p1 + 1] END AS nxt FROM gff),
+         |uf0 AS (SELECT doc_id, tok AS s FROM ff),
+         |${XxHash64Sql.hashCtes("uf0", "s", "ufh", prefix = "xfu")},
+         |bf0 AS (SELECT doc_id, tok || ' ' || nxt AS s FROM ff
+         |  WHERE nxt IS NOT NULL),
+         |${XxHash64Sql.hashCtes("bf0", "s", "bfh", prefix = "xfb")},
+         |inst AS MATERIALIZED (
+         |  SELECT doc_id, CAST(h % $buckets AS BIGINT) AS bucket FROM ufh
+         |  UNION ALL
+         |  SELECT doc_id, CAST(h % $buckets AS BIGINT) FROM bfh),
+         |lab AS (SELECT doc_id,
+         |    CASE WHEN len(regexp_extract_all(lower(text), '\w+'))
+         |        >= $minTokens
+         |      THEN 1000 ELSE 0 END AS y
+         |  FROM documents),
+         |fm AS MATERIALIZED (
+         |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+         |  FROM inst GROUP BY 1, 2),
+         |nd AS MATERIALIZED (
+         |  SELECT fm.doc_id, CAST(sum(c) AS BIGINT) AS n, max(lab.y) AS y
+         |  FROM fm JOIN lab USING (doc_id) GROUP BY 1),
+         |qw0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM fm),
+         |$roundCtes
+         |SELECT bucket, CAST(w AS BIGINT) AS weight_milli
+         |FROM qw$rounds""".stripMargin
+  }
+
   /** The seven TPC-H shapes that complete the 22-query suite (Q13 ships
     * as `q_sql_custdist`). The synthetic schema has no `partsupp`, so the
     * partsupp-centric queries (Q2/Q9/Q11/Q16/Q20) are adapted with
@@ -5248,6 +5330,9 @@ object SparkEntry {
     "q_image_neardup" -> imageNearDupOracleSql,
 
     "q_quality_score" -> qualityScoreOracleSql(buckets = 1024),
+
+    "q_quality_fit" -> qualityFitOracleSql(buckets = 256, rounds = 3,
+      minTokens = 60),
 
 
     "q_ann_lsh_buckets" -> lshBucketOracleSql(planes = 12, dim = 64),

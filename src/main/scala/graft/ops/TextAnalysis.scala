@@ -924,6 +924,144 @@ object TextAnalysis {
         col("logit"), (col("logit") >= lit(threshold)).as("keep"))
   }
 
+  /** Distributed quality-classifier TRAINING — the fit step that produces
+    * the weight table [[qualityClassifierScoreWith]] serves (closing the
+    * one pipeline stage that previously happened off-engine): a
+    * fastText/CCNet-style logistic regression (Joulin 2016; Wenzek 2019
+    * trains exactly this shape to separate a "good" seed corpus from
+    * crawl text) over the SAME hashed unigram+bigram mean-pooled features
+    * [[qualityClassifierScore]] reads at inference.
+    *
+    * The update schedule is FULL-BATCH gradient descent in integer
+    * milli-unit fixed point with a hard-sigmoid link
+    * (`clamp(z/4 + 1/2, 0, 1)` — piecewise-linear, so the whole fit is
+    * exact integer arithmetic end to end and a DuckDB oracle replays the
+    * weights BIT-EXACTLY, the same trick that makes the BPE trainer and
+    * the IVF Lloyd rounds oracle-able; libm sigmoid would diverge between
+    * engines in the last ulps and compound across rounds). All divisions
+    * are explicit floor-division (`fdiv`), identical on both engines.
+    *
+    * Per round r (weights start at 0 for every bucket present in the
+    * corpus):
+    *   z_d   = Σ_b c_db · w_b                 (milli)
+    *   p_d   = clamp(fdiv(fdiv(z_d, n_d), 4) + 500, 0, 1000)
+    *   e_d   = p_d − y_d                      (y ∈ {0, 1000})
+    *   g_b   = Σ_d fdiv(c_db · e_d · 32, n_d)
+    *   w_b  −= fdiv(g_b, 8)
+    *
+    * Scale shape: ONE corpus tokenize+window pass builds the persisted
+    * (doc_id, bucket, count) feature matrix; each round is two joins
+    * against it (a broadcast of the ≤`buckets`-row weight table for the
+    * logits, a doc-keyed join for the gradients) — the corpus is never
+    * re-tokenized and never shuffled on anything but doc_id/bucket. The
+    * driver holds only the weight vector (O(buckets) cells, the same
+    * bounded-parameter-fetch contract as the IVF Lloyd centroids);
+    * training iterates the BUCKET table, not the corpus.
+    *
+    * @param labelCol boolean-castable column: TRUE = the "good"/keep class
+    * @param buckets  power of two (same hashing domain as inference)
+    * @return (bucket, weight_milli) — one row per feature bucket observed
+    *         in the corpus; absent buckets are implicitly 0 at inference
+    */
+  def fitQualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int = 256, rounds: Int = 3): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1,16], got $rounds")
+    val spark = docs.sparkSession
+    def fdiv(x: Column, n: Column): Column =
+      ((x - pmod(x, n)) / n).cast(LongType) // exact: numerator divisible
+    val par = graft.Conf.sizedShufflePartitions(docs, rowMultiplier = 2.0)
+    val toks = docs.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        when(col(labelCol).cast("boolean"), lit(1000L)).otherwise(lit(0L))
+          .as("__y"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val feats = toks.select(col("doc_id"), col("__y"), col("tok"),
+      lead(col("tok"), 1).over(w).as("__nxt"))
+    val inst = feats.select(col("doc_id"), col("__y"),
+        pmod(xxhash64(col("tok")), lit(buckets.toLong)).as("bucket"))
+      .unionAll(feats.where(col("__nxt").isNotNull)
+        .select(col("doc_id"), col("__y"),
+          pmod(xxhash64(concat_ws(" ", col("tok"), col("__nxt"))),
+            lit(buckets.toLong)).as("bucket")))
+    val fm = inst.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nd = inst.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), first(col("__y")).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded parameter fetch: the distinct-bucket set (≤ buckets rows)
+    val present = fm.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    var wts: Map[Long, Long] = present.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val wDf = spark.createDataFrame(wts.toSeq).toDF("bucket", "w")
+      val z = fm.join(broadcast(wDf), Seq("bucket"))
+        .groupBy(col("doc_id")).agg(sum(col("c") * col("w")).as("z"))
+      val e = nd.join(z, Seq("doc_id"))
+        .select(col("doc_id"), col("n"),
+          (greatest(least(fdiv(fdiv(col("z"), col("n")), lit(4L)) + lit(500L),
+            lit(1000L)), lit(0L)) - col("y")).as("e"))
+      val g = fm.join(e, Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(sum(fdiv(col("c") * col("e") * lit(32L), col("n"))).as("g"))
+        .collect() // bounded: ≤ buckets rows
+      val gm = g.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      wts = wts.map { case (b, v) =>
+        b -> (v - Math.floorDiv(gm.getOrElse(b, 0L), 8L))
+      }
+    }
+    fm.unpersist(false)
+    nd.unpersist(false)
+    spark.createDataFrame(wts.toSeq.sortBy(_._1))
+      .toDF("bucket", "weight_milli")
+  }
+
+  /** [[qualityClassifierScore]] served from a TRAINED weight table (the
+    * documented weight seam, now first-class): hashed unigram+bigram
+    * buckets joined against `weights` (bucket, weight_milli — a
+    * [[fitQualityClassifier]] output or any imported checkpoint), absent
+    * buckets scoring 0, then the same integer-sum → mean-pool → logit
+    * arithmetic as the formula-weight path. One corpus tokenize+window
+    * pass, one doc_id-keyed aggregation; the weight table joins under
+    * AQE (≤ `buckets` rows — broadcast in practice). */
+  def qualityClassifierScoreWith(docs: DataFrame, idCol: String,
+      weights: DataFrame, textCol: String = "text", buckets: Int = 256,
+      biasMilli: Long = 0L, threshold: Double = 0.0): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val par = graft.Conf.sizedShufflePartitions(docs, rowMultiplier = 2.0)
+    val toks = docs.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val feats = toks.select(col("doc_id"), col("tok"),
+      lead(col("tok"), 1).over(w).as("__nxt"))
+    val inst = feats.select(col("doc_id"),
+        pmod(xxhash64(col("tok")), lit(buckets.toLong)).as("bucket"))
+      .unionAll(feats.where(col("__nxt").isNotNull)
+        .select(col("doc_id"),
+          pmod(xxhash64(concat_ws(" ", col("tok"), col("__nxt"))),
+            lit(buckets.toLong)).as("bucket")))
+    val wtab = weights.select(col("bucket"),
+      col("weight_milli").cast(LongType).as("__w"))
+    val scored = inst.join(wtab, Seq("bucket"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("__w"), lit(0L))).as("__sw"),
+        count(lit(1)).as("n_features"))
+      .select(col("doc_id"), col("n_features"),
+        (col("__sw").cast(DoubleType) / lit(1e3)
+          / col("n_features").cast(DoubleType)
+          + lit(biasMilli).cast(DoubleType) / lit(1e3)).as("logit"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        col("logit"), (col("logit") >= lit(threshold)).as("keep"))
+  }
+
   /** Blocklist (bad-word) filter — the C4-style lexical gate (Raffel et
     * al. 2020 dropped any page containing a "List of Dirty, Naughty …"
     * word; most production curation stacks run the same shape with a

@@ -782,6 +782,46 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("quality classifier FIT: the trained gate separates planted good/bad docs") {
+    // two vocabulary-disjoint classes: prose-like "good" docs vs
+    // spam-like "bad" docs; the fit must push good-vocab buckets
+    // positive and bad-vocab buckets negative
+    val goodWords = Seq("research", "method", "evidence", "analysis",
+      "results", "careful", "measured", "report", "study", "findings")
+    val badWords = Seq("cheap", "pills", "winner", "click", "prize",
+      "free", "casino", "jackpot", "loan", "urgent")
+    def doc(words: Seq[String], salt: Int): String =
+      (0 until 12).map(i => words((i + salt) % words.size)).mkString(" ")
+    val docs = ((0 until 20).map(i => (i.toLong, doc(goodWords, i), true)) ++
+      (0 until 20).map(i => (100L + i, doc(badWords, i), false)))
+      .toDF("doc_id", "text", "is_good")
+    val weights = TextAnalysis.fitQualityClassifier(docs, "doc_id", "text",
+      "is_good", buckets = 256, rounds = 3)
+    val scored = TextAnalysis.qualityClassifierScoreWith(docs, "doc_id",
+        weights, buckets = 256)
+      .join(docs.select($"doc_id", $"is_good"), Seq("doc_id"))
+      .select($"is_good", $"logit", $"keep")
+      .as[(Boolean, Double, Boolean)].collect()
+    val goodLogits = scored.filter(_._1).map(_._2)
+    val badLogits = scored.filterNot(_._1).map(_._2)
+    assert(goodLogits.min > badLogits.max,
+      "the fitted classifier must rank every good doc above every bad doc")
+    assert(scored.forall { case (g, _, keep) => keep == g },
+      "threshold 0 must separate the classes exactly")
+    // weight table shape: one row per observed bucket, integer milli
+    val w = weights.as[(Long, Long)].collect()
+    assert(w.map(_._1).distinct.length == w.length)
+    assert(w.forall(r => r._1 >= 0 && r._1 < 256))
+    // determinism under repartitioning (integer fixed-point schedule)
+    val w2 = TextAnalysis.fitQualityClassifier(docs.repartition(7), "doc_id",
+      "text", "is_good", buckets = 256, rounds = 3).as[(Long, Long)].collect()
+    assert(w.sortBy(_._1).toSeq == w2.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.fitQualityClassifier(docs, "doc_id", "text", "is_good",
+        buckets = 100)
+    }
+  }
+
   test("term weights: tf, corpus df, exact tf/df score") {
     val df = Seq(
       ("s1", "spark spark rare1"),
