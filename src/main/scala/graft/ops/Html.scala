@@ -46,8 +46,49 @@ import org.apache.spark.sql.functions._
   */
 object Html {
 
-  private def dropBlock(c: Column, tag: String): Column =
-    regexp_replace(c, s"(?is)<$tag\\b[^>]*>.*?</$tag\\s*>", "")
+  /** Remove `<tag …> … </tag>` blocks with first-close pairing — the
+    * semantics of the non-greedy regex `(?is)<tag\b[^>]*>.*?</tag\s*>`,
+    * implemented in GUARANTEED LINEAR time. The direct regexp_replace is
+    * O(opens · page) when opens outnumber closes (each unmatched open's
+    * `.*?` probe scans to end-of-page and fails — measured 25× throughput
+    * collapse on adversarial open-flood pages, SCALING_R10_KERNELS), and
+    * a crawl corpus contains adversarial pages by definition. Here:
+    * split on the close tag (one linear scan), then per segment one
+    * anchored linear scan removes first-open→end — the close that ended
+    * the segment pairs with that open; a segment with no open had an
+    * ORPHAN close, which the regex semantics keep in the text (re-emitted
+    * canonically — any form of it is stripped by the later remove-all-
+    * tags rule, so downstream output is identical).
+    *
+    * Equivalence to the regex form (spec-asserted, including nested and
+    * unclosed adversarial cases): after a match the regex resumes AFTER
+    * the consumed close — exactly the next split segment; opens inside a
+    * removed block never re-match — they sit in the removed suffix.
+    */
+  private def dropBlock(c: Column, tag: String): Column = {
+    // EVERY multi-use value is bound as a lambda variable (the
+    // single-element transform(array(...)) idiom): dropBlock calls nest 9
+    // deep in htmlToText, and a bare `when(c.isNull, …)` or `size(segs)`
+    // would re-evaluate its whole child subtree at every reference —
+    // subexpression elimination does not reach these trees (the
+    // documented O(n²)→O(3^depth) trap); a bound lambda variable is
+    // evaluated exactly once.
+    element_at(transform(array(c), page =>
+      when(page.isNull, lit(null).cast("string"))
+        .otherwise(element_at(transform(
+          array(split(page, s"(?i)</$tag\\s*>")), segs => {
+            // countdown ids (…, 2, 1): 1 marks the LAST segment
+            val countdown = sequence(size(segs), lit(1), lit(-1))
+            array_join(zip_with(segs, countdown, (seg, r) =>
+              when(r === 1, seg) // after the last close: no pairing left
+                .when(seg.rlike(s"(?is)<$tag\\b[^>]*>"),
+                  // open…close removed: keep the prefix before the open
+                  regexp_replace(seg, s"(?is)<$tag\\b[^>]*>.*", ""))
+                // orphan close survives (canonical form; any form is
+                // stripped by the later remove-all-tags rule)
+                .otherwise(concat(seg, lit(s"</$tag>")))), "")
+          }), 1))), 1)
+  }
 
   /** Rules 1–4: comments, head, code blocks, and structural boilerplate
     * blocks removed — the markup that still remains is CONTENT markup.

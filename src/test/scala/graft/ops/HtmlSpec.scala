@@ -78,6 +78,38 @@ class HtmlSpec extends SparkSpec {
     assert(extract("<html><body></body></html>") === "")
   }
 
+  test("linear dropBlock ≡ non-greedy regex semantics on adversarial shapes") {
+    // the linear split-based block removal must reproduce the
+    // first-close-pairing regex on every shape, including the
+    // open-flood pages the regex form goes superlinear on
+    val cases = Seq(
+      "a<script>x</script>b",                        // plain block
+      "a<script>x</script>b<script>y</script>c",     // two blocks
+      "a<script>b<script>c</script>d</script>e",     // nested same-tag
+      "a<script>b",                                  // unclosed open
+      "a</script>b",                                 // orphan close
+      "a<script>x</SCRIPT >b",                       // case + spaced close
+      "a<script>b<script>c<script>d</script>e",      // open flood, one close
+      "x</script></script>y<script>z",               // double orphan + tail open
+      "",                                            // empty
+      "<script src=\"u\">only block</script>")       // block is whole page
+    val df = cases.toDF("h")
+    val out = df.select(
+        Html.htmlToText(col("h")).as("fast"),
+        // the ORIGINAL regex chain, inlined: same downstream rules, block
+        // removal via the non-greedy form
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          col("h"),
+          "(?is)<script\\b[^>]*>.*?</script\\s*>", ""),
+          "(?s)<[^>]*>", ""),
+          "[ \t]+", " "),
+          "^\\s+|\\s+$", "").as("ref"))
+      .as[(String, String)].collect()
+    cases.zip(out).foreach { case (in, (fast, ref)) =>
+      assert(fast === ref, s"divergence on ${in.take(60)}")
+    }
+  }
+
   test("linkDensityPermyriad: link farm scores high, prose scores low") {
     val farm = "<body><p><a href='/1'>one link</a> <a href='/2'>two link</a></p></body>"
     val prose = "<body><p>plain prose with a single <a href='/x'>tiny</a> link " +
