@@ -1,0 +1,29 @@
+#!/usr/bin/env python3
+"""Time ONE driver oracle SQL in DuckDB, warmup + min-of-5 — the DuckDB
+half of the WeakRecert interleaved A/B (S/D/S/D passes).
+
+Usage: python3 scripts/ab_oracle.py <query> <sfDir> <verifyOutDir>
+"""
+import sys, json, os, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    name, sf_dir, out_dir = sys.argv[1], sys.argv[2], sys.argv[3]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    sql = json.load(open(os.path.join(out_dir, "oracle_sql.json")))[name]
+    con.execute(sql).fetchall()  # warmup (buffer pool, plan cache)
+    runs = []
+    for _ in range(5):
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        runs.append(round(time.time() - t0, 3))
+    print(json.dumps({"metric": "weak_recert_oracle", "query": name,
+                      "sf": sf_dir, "runs": runs, "min": min(runs)}))
+
+if __name__ == "__main__":
+    main()

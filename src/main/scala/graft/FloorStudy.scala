@@ -32,7 +32,13 @@ object FloorStudy {
     // decompose them the same way so the ratio reads as floor or
     // zero-exchange compute, not plan cost
     "q_license_detect", "q_pii_planted", "q_html_extract",
-    "q_gopher_rules", "q_robots_filter")
+    "q_gopher_rules", "q_robots_filter",
+    // r10 additions (r9 verdict item #4): the heavy weak-list rows that
+    // never got a floor row — bigram LM (one corpus repartition feeding
+    // window AND agg), contamination score (broadcast eval probe), and
+    // the per-job-floor triangle count
+    "q_bigram_logprob", "q_contamination_score", "q_triangle_count",
+    "q_text_ngram_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0)

@@ -1,0 +1,35 @@
+package graft
+
+/** Quiet-box re-certification of a bench weak-list query (r9 verdict
+  * item #4 — `q_pagerank` first: 5.7× its oracle in the driver run and
+  * drifting worse across three rounds on UNCHANGED code). One invocation
+  * times ONE query with the r6 interleave discipline on the Spark side
+  * (joint warmup ×2, then 5 timed runs, all runs reported so load spikes
+  * are visible); the caller interleaves invocations with the DuckDB
+  * oracle timing (`scripts/ab_oracle.py`) in S/D/S/D passes so box-load
+  * drift cancels at the pass level. Output: one JSON line.
+  */
+object WeakRecert {
+
+  def main(args: Array[String]): Unit = {
+    val name = if (args.nonEmpty) args(0) else "q_pagerank"
+    val sfDir = if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = StudySession.build()
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "events", "documents", "embeddings")
+      .foreach(t => scala.util.Try(Tables(spark, sfDir, t).count()))
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(); once() // joint warmup (JIT + codegen + AQE stats)
+    val runs = (1 to 5).map { _ => System.gc(); once() }
+    val rs = runs.map(r => f"$r%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"weak_recert","query":"$name","sf":"$sfDir",""" +
+      s""""runs":$rs,"min":${f"${runs.min}%.3f"}}""")
+    spark.stop()
+  }
+}
