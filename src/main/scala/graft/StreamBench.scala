@@ -30,17 +30,11 @@ object StreamBench {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.ansi.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // StudySession honors SPARK_GRAFT_MASTER, so the local-cluster twin
+    // (scripts/local_cluster_bench.sh "<master>" graft.StreamBench) runs
+    // the SAME code under real executor JVMs (r9 stretch item: the
+    // streaming latency table was single-JVM-only evidence)
+    val spark: SparkSession = StudySession.build()
     import spark.implicits._
 
     // document pool: text bodies from the bench corpus (bounded: 5 000
@@ -92,7 +86,11 @@ object StreamBench {
       }
     }
 
-    val sizes = Seq(250, 500, 1000, 2000, 4000)
+    // SPARK_GRAFT_STREAM_SIZES narrows the grid (the local-cluster twin
+    // runs just the 1000-doc row)
+    val sizes = sys.env.get("SPARK_GRAFT_STREAM_SIZES")
+      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .getOrElse(Seq(250, 500, 1000, 2000, 4000))
     val steady = sizes.map { s => val (dt, rps) = measure(s, 0); (s, dt, rps) }
     // index-growth check: same 1000-doc batch, after 5 prior batches
     val (dtAged, rpsAged) = measure(1000, priorBatches = 5)
