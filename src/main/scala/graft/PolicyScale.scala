@@ -32,13 +32,16 @@ import org.apache.spark.sql.types.StringType
 object PolicyScale {
 
   /** Synthetic crawl pages: host fan-out `id % nHosts`, 13 path classes
-    * (4 of which the robots fixture denies), META robots on 1/3 of pages,
-    * a license anchor on 1/2. */
+    * (4 of which the robots fixture denies), every 17th page a `.pdf`
+    * (denied by the fixture's WILDCARD rule — r10: the anchored-regex
+    * match path must carry its share of the decade cost), META robots on
+    * 1/3 of pages, a license anchor on 1/2. */
   def pages(spark: SparkSession, n: Long, nHosts: Long): DataFrame = {
     val id = col("id")
     def istr(c: org.apache.spark.sql.Column) = c.cast(StringType)
     val host = concat(lit("h"), istr(id % nHosts), lit(".example.com"))
-    val path = concat(lit("/sec"), istr(id % 13), lit("/doc"), istr(id))
+    val path = concat(lit("/sec"), istr(id % 13), lit("/doc"), istr(id),
+      when(id % 17 === 0, lit(".pdf")).otherwise(lit("")))
     val meta = when(id % 3 === 0,
         lit("<meta name=\"robots\" content=\"noindex\">"))
       .when(id % 3 === 1, lit("<meta name=\"robots\" content=\"all\">"))
@@ -55,15 +58,19 @@ object PolicyScale {
   }
 
   /** Per-host robots.txt bodies: a star group denying 4 of the 13 path
-    * classes (which 4 varies by host) with an Allow carve-out, plus a
-    * graftbot-specific group on every 4th host (exercising the
-    * specific-shadows-star resolution at scale). */
+    * classes (which 4 varies by host) with an Allow carve-out AND one
+    * `$`-anchored wildcard rule (r10: every page now pays one
+    * regexp_like against the translated rule — the enforced-RFC-9309
+    * cost must show in the decade numbers), plus a graftbot-specific
+    * group on every 4th host (exercising the specific-shadows-star
+    * resolution at scale). */
   def robots(spark: SparkSession, nHosts: Long): DataFrame = {
     val id = col("id")
     def istr(c: org.apache.spark.sql.Column) = c.cast(StringType)
     val k = id % 13
     val body = concat(
-      lit("# generated\nUser-agent: *\nDisallow: /sec"), istr(k),
+      lit("# generated\nUser-agent: *\nDisallow: /*.pdf$\nDisallow: /sec"),
+      istr(k),
       lit("/\nAllow: /sec"), istr(k), lit("/ok/\nDisallow: /sec"),
       istr((k + 1) % 13), lit("/\nDisallow: /sec"), istr((k + 2) % 13),
       lit("/\nDisallow: /sec"), istr((k + 3) % 13), lit("/"),
