@@ -958,6 +958,11 @@ object TextAnalysis {
     * bounded-parameter-fetch contract as the IVF Lloyd centroids);
     * training iterates the BUCKET table, not the corpus.
     *
+    * Pipeline slot: the fitted gate composes UPSTREAM of [[Curate.run]]
+    * exactly like [[Policy.gate]] — fit on a labeled seed corpus, gate
+    * the crawl batch with [[qualityClassifierScoreWith]], curate the
+    * survivors (spec-asserted composition in CurateSpec).
+    *
     * @param labelCol boolean-castable column: TRUE = the "good"/keep class
     * @param buckets  power of two (same hashing domain as inference)
     * @return (bucket, weight_milli) — one row per feature bucket observed

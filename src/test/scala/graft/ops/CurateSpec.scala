@@ -68,6 +68,45 @@ class CurateSpec extends SparkSpec {
     assert(!row.contains("<"), "curated text must be extracted, not markup")
   }
 
+  test("learned quality gate composes upstream of curation (fit -> scoreWith -> run)") {
+    // the trained-classifier stage slots in front of Curate.run exactly
+    // like Policy.gate does: fit on a labeled seed, gate the crawl batch,
+    // curate the survivors. Vocabulary-disjoint planted classes make the
+    // assertion sharp: every spam doc must be gone BEFORE curation and
+    // every prose doc must flow through to packed output.
+    val prose = Seq("research", "method", "evidence", "analysis", "results",
+      "careful", "measured", "report", "study", "findings")
+    val spam = Seq("cheap", "pills", "winner", "click", "prize",
+      "free", "casino", "jackpot", "loan", "urgent")
+    // salt rotates the word ORDER only — the batch must stay in-vocabulary
+    // (unseen tokens hash to arbitrary buckets and carry no signal)
+    def doc(words: Seq[String], salt: Int): String =
+      (0 until 15).map(i => words((i + salt * 3) % words.size)).mkString(" ")
+    val seed = ((0 until 12).map(i => (i.toLong, doc(prose, i), true)) ++
+      (0 until 12).map(i => (200L + i, doc(spam, i), false)))
+      .toDF("doc_id", "text", "is_good")
+    val weights = TextAnalysis.fitQualityClassifier(seed, "doc_id", "text",
+      "is_good", buckets = 256, rounds = 3)
+    // a fresh batch from the same two distributions (unseen salts)
+    val batch = ((50 until 60).map(i => (i.toLong, doc(prose, i))) ++
+      (250 until 260).map(i => (i.toLong, doc(spam, i))))
+      .toDF("doc_id", "text")
+    val gated = TextAnalysis.qualityClassifierScoreWith(batch, "doc_id",
+        weights, buckets = 256)
+      .where($"keep").select($"doc_id")
+      .join(batch, Seq("doc_id"))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Curate.run(gated, "doc_id", "text", empty, minQuality = 0.0)
+    assert(out.report.input === 10,
+      "the learned gate must drop every spam doc and keep every prose doc")
+    assert(out.docs.where($"doc_id" >= 250).count() === 0)
+    // the prose batch is 10 rotations of one cyclic word ring — their
+    // trigram sets coincide, so near-dedup correctly collapses them to
+    // one canonical that flows through to packing
+    assert(out.report.afterNearDedup === 1 && out.docs.count() === 1,
+      "rotations of one ring must collapse to a single packed canonical")
+  }
+
   test("optional stages: span dedup binds, mixture whitelists and rebalances") {
     // plant a boilerplate PAIR the earlier dedup stages must keep: the two
     // docs share a 12-token licence header (span coverage ~44% each) but
