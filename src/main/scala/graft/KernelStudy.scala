@@ -159,8 +159,15 @@ object KernelStudy {
       val df = pageFrame(shape, pageKb * 1024, totalMb)
       val base = timeNoop(df.select(length(col("page")).as("n")))
       val sec = timeNoop(run(df))
-      val mb = (df.count() * (pageKb * 1024L)).toDouble / (1 << 20)
-      val mbps = mb / math.max(1e-3, sec - base)
+      // ACTUAL bytes (sum of row lengths), not nominal page size — the
+      // templates land a few % under target and carry a head+id splice
+      val bytes = df.select(sum(length(col("page"))))
+        .head().getLong(0)
+      val mb = bytes.toDouble / (1 << 20)
+      // a kernel measuring at/under its baseline is a FLAGGED cell
+      // (mbps -1), never a fabricated huge number
+      val net = sec - base
+      val mbps = if (net > 5e-3) mb / net else -1.0
       rows += s"""{"kernel":"$kernel","shape":"$shape","page_kb":$pageKb,""" +
         s""""mb":${f"$mb%.1f"},"sec":${f"$sec%.3f"},"base_sec":${
           f"$base%.3f"},"mbps":${f"$mbps%.1f"}}"""

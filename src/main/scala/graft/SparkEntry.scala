@@ -1890,11 +1890,15 @@ object SparkEntry {
       val evalSet = kept.where(col("doc_id").isin(5L, 17L, 42L))
         .select(col("doc_id"),
           graft.ops.Html.mainContent(col("text")).as("text"))
+      // NO persist: a query-map builder has no unpersist seam (each
+      // Verify/bench invocation would leak a cache entry). The curated
+      // subtree feeds the tokenizer AND the final join — its terminal
+      // exchange is reused across the two consumers, and the query is
+      // untimed anyway.
       val curated = graft.ops.Curate.run(kept, "doc_id", "text", evalSet,
           report = false, htmlInput = true).docs
         .select(col("doc_id"), col("text"), col("quality_score"),
           col("split"))
-        .persist() // feeds the tokenizer AND the final join
       graft.ops.Curate.tokenizePack(curated, "doc_id", "text",
           merges = encodeMerges, packBudget = 128L, packBuckets = 8)
         .join(curated.select(col("doc_id"), col("quality_score"),

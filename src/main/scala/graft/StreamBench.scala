@@ -89,7 +89,8 @@ object StreamBench {
     // SPARK_GRAFT_STREAM_SIZES narrows the grid (the local-cluster twin
     // runs just the 1000-doc row)
     val sizes = sys.env.get("SPARK_GRAFT_STREAM_SIZES")
-      .map(_.split(",").toSeq.map(_.trim.toInt))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toInt))
+      .filter(_.nonEmpty) // set-but-empty env falls back to the full grid
       .getOrElse(Seq(250, 500, 1000, 2000, 4000))
     val steady = sizes.map { s => val (dt, rps) = measure(s, 0); (s, dt, rps) }
     // index-growth check: same 1000-doc batch, after 5 prior batches

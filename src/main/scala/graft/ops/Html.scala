@@ -60,10 +60,26 @@ object Html {
     * canonically — any form of it is stripped by the later remove-all-
     * tags rule, so downstream output is identical).
     *
-    * Equivalence to the regex form (spec-asserted, including nested and
-    * unclosed adversarial cases): after a match the regex resumes AFTER
-    * the consumed close — exactly the next split segment; opens inside a
-    * removed block never re-match — they sit in the removed suffix.
+    * Attribute-embedded closes: in the regex form, an open tag whose
+    * quoted attribute contains the close-tag TEXT (`<script
+    * data-x="</script>">…`) consumes through that embedded close's `>`
+    * and the block runs to the NEXT real close. The splitter would
+    * instead treat the embedded text as the delimiter and leak the
+    * payload — so a linear PRE-NORMALIZATION rewrites each
+    * `<tag …[no >]… </tag>` occurrence to a bare `<tag>` first, which
+    * reproduces the regex pairing exactly (spec-asserted on the
+    * attr-embedded shapes). The attr scan is bounded by `[^<>]*` — each
+    * candidate's scan stops at the nearest angle bracket, so the pass
+    * stays linear even against `<tag<tag<tag…` floods; an attr that
+    * contains BOTH another `<` and an embedded close (outside any real
+    * markup) falls back to delimiter semantics rather than superlinear
+    * time — the documented bound.
+    *
+    * Equivalence to the regex form (spec-asserted, including nested,
+    * unclosed, orphan-close, and attr-embedded adversarial cases): after
+    * a match the regex resumes AFTER the consumed close — exactly the
+    * next split segment; opens inside a removed block never re-match —
+    * they sit in the removed suffix.
     */
   private def dropBlock(c: Column, tag: String): Column = {
     // EVERY multi-use value is bound as a lambda variable (the
@@ -76,7 +92,13 @@ object Html {
     element_at(transform(array(c), page =>
       when(page.isNull, lit(null).cast("string"))
         .otherwise(element_at(transform(
-          array(split(page, s"(?i)</$tag\\s*>")), segs => {
+          array(split(
+            // pre-normalize attr-embedded closes (see scaladoc): an open
+            // reaching a close with no intervening `>` (or `<`) becomes a
+            // bare open, restoring the regex form's pairing
+            regexp_replace(page, s"(?is)<$tag\\b[^<>]*</$tag\\s*>",
+              s"<$tag>"),
+            s"(?i)</$tag\\s*>")), segs => {
             // countdown ids (…, 2, 1): 1 marks the LAST segment
             val countdown = sequence(size(segs), lit(1), lit(-1))
             array_join(zip_with(segs, countdown, (seg, r) =>
@@ -155,12 +177,28 @@ object Html {
     * and whitespace-removed exactly like the denominator — so the value
     * is a true fraction, ≤ 10000. */
   def linkDensityPermyriad(html: Column): Column = {
-    val anchorTexts = regexp_extract_all(stripNonContent(html),
-      lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1))
-    val anchorLen = aggregate(
-      transform(anchorTexts, a => length(regexp_replace(
-        decodeEntities(regexp_replace(a, "(?s)<[^>]*>", "")), "\\s", ""))),
-      lit(0), (acc, x) => acc + x)
+    // anchor inner texts via the SAME linear split-on-close technique as
+    // dropBlock (the non-greedy `<a…>(.*?)</a>` extract_all is the same
+    // O(opens·page) adversarial shape — and this kernel now sits in
+    // Policy.gate's hot path): per close-delimited segment, the capture
+    // is everything after the segment's FIRST full open; a final-region
+    // open never completes and contributes nothing, matching the regex.
+    val anchorLen = element_at(transform(array(stripNonContent(html)),
+      page => when(page.isNull, lit(null).cast("int"))
+        .otherwise(element_at(transform(array(split(
+          regexp_replace(page, "(?is)<a\\b[^<>]*</a\\s*>", "<a>"),
+          "(?i)</a\\s*>")), segs => {
+            val countdown = sequence(size(segs), lit(1), lit(-1))
+            val inners = zip_with(segs, countdown, (seg, r) =>
+              when(r === 1 || !seg.rlike("(?is)<a\\b[^>]*>"),
+                lit(null).cast("string"))
+                .otherwise(
+                  regexp_replace(seg, "(?is)^.*?<a\\b[^>]*>", "")))
+            aggregate(filter(inners, a => a.isNotNull), lit(0),
+              (acc, a) => acc + length(regexp_replace(
+                decodeEntities(regexp_replace(a, "(?s)<[^>]*>", "")),
+                "\\s", "")))
+          }), 1))), 1)
     val total = length(regexp_replace(htmlToText(html), "\\s", ""))
     when(total > 0,
       floor(lit(10000) * anchorLen.cast("long") / total).cast("long"))

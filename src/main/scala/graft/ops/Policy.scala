@@ -68,26 +68,47 @@ object Policy {
       struct(prefix.as("prefix"), len.as("rule_len"), allow.as("allow"),
         regex.as("regex"))
 
-  /** RFC 9309 §2.2.3 pattern → anchored Java regex, as a pure column
-    * expression (patterns are data, so the translation must run
-    * distributed): a TRAILING `$` becomes the end anchor, every `*`
-    * becomes `.*`, every other octet is escaped to a literal. The
-    * leading `^` makes Spark's find()-semantics RLike behave as RFC
-    * prefix matching — an unanchored tail means "the path merely starts
-    * with the pattern", exactly the REP contract. */
+  /** RFC 9309 §2.2.3 pattern → BACKTRACK-SAFE anchored Java regex, as a
+    * pure column expression (patterns are data, so the translation must
+    * run distributed): a TRAILING `$` becomes the end anchor, every
+    * other octet is escaped to a literal, and each `*` becomes an ATOMIC
+    * first-occurrence scan `(?>.*?seg)` rather than a plain `.*` —
+    * stacked `.*seg.*seg…` regexes backtrack exponentially in the star
+    * count on non-matching paths, so one hostile robots line (a Disallow
+    * of twenty `*a` repetitions, end-anchored) would wedge an executor
+    * task for minutes per page. Atomic leftmost matching is EXACTLY glob
+    * semantics (the classic greedy wildcard algorithm): if any segment
+    * assignment matches, the leftmost one does — for middle segments
+    * unconditionally, and the `$`-anchored LAST segment is matched as a
+    * plain single-star `.*seg$` tail (one star never stacks; leftmost
+    * middles only leave MORE room for an end-anchored tail). Consecutive
+    * stars collapse first (`**` ≡ `*`). The leading `^` makes Spark's
+    * find()-semantics RLike behave as RFC prefix matching — an
+    * unanchored tail means "the path merely starts with the pattern",
+    * exactly the REP contract. */
   private[ops] def repPatternRegex(pattern: Column): Column = {
     val anchored = pattern.endsWith("$")
     // strip ONLY a trailing `$` (the anchor); mid-pattern `$` is literal
     val body = regexp_replace(pattern, "\\$$", "")
-    // escape every Java-regex metacharacter (including `*`), then
-    // un-escape `\*` into the wildcard `.*`
-    val escaped = regexp_replace(body, "([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")
-    val translated = regexp_replace(escaped, "\\\\\\*", ".*")
-    concat(lit("^"), translated,
-      when(anchored, lit("$")).otherwise(lit(""))
-        // the anchor applies to the pre-strip pattern; a bare "$" rule
-        // (empty body) still anchors correctly: ^$ matches nothing real
-    )
+    val collapsed = regexp_replace(body, "\\*{2,}", "*")
+    val escSegs = transform(split(collapsed, "\\*", -1), s =>
+      regexp_replace(s, "([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1"))
+    val n = size(escSegs)
+    val first = element_at(escSegs, 1)
+    val last = element_at(escSegs, -1)
+    // middles joined as "(?>.*?e1)(?>.*?e2)…" — one atomic group per
+    // segment (a single group around the whole run would still backtrack
+    // internally); empty-slice guard for the no-middles cases
+    def atomicRun(arr: Column) =
+      when(size(arr) > 0, concat(lit("(?>.*?"),
+        array_join(arr, ")(?>.*?"), lit(")"))).otherwise(lit(""))
+    when(anchored,
+      when(n === 1, concat(lit("^"), first, lit("$")))
+        .otherwise(concat(lit("^"), first,
+          atomicRun(slice(escSegs, lit(2), greatest(n - 2, lit(0)))),
+          lit(".*"), last, lit("$"))))
+      .otherwise(concat(lit("^"), first,
+        atomicRun(slice(escSegs, lit(2), greatest(n - 1, lit(0))))))
   }
 
   /** Parse a (host, robots.txt body) table into one row per host:

@@ -968,35 +968,52 @@ object TextAnalysis {
     * @return (bucket, weight_milli) — one row per feature bucket observed
     *         in the corpus; absent buckets are implicitly 0 at inference
     */
-  def fitQualityClassifier(docs: DataFrame, idCol: String, textCol: String,
-      labelCol: String, buckets: Int = 256, rounds: Int = 3): DataFrame = {
+  /** The hashed unigram+bigram feature-instance stream — ONE shared
+    * implementation for training ([[fitQualityClassifier]]) and serving
+    * ([[qualityClassifierScoreWith]]): train and serve must hash
+    * identically for a served model to be valid, so the tokenize →
+    * bigram-window → bucket pipeline exists exactly once. Returns one
+    * row per feature instance: (doc_id, bucket [, carried columns]). */
+  private def hashedFeatureInstances(docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int,
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two, got $buckets")
+    val par = graft.Conf.sizedShufflePartitions(docs, rowMultiplier = 2.0)
+    val toks = docs.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id") +:
+        carry.map { case (n, c) => c.as(n) } :+
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")): _*)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val keep = col("doc_id") +: carry.map { case (n, _) => col(n) }
+    val feats = toks.select(keep :+ col("tok") :+
+      lead(col("tok"), 1).over(w).as("__nxt"): _*)
+    feats.select(keep :+
+        pmod(xxhash64(col("tok")), lit(buckets.toLong)).as("bucket"): _*)
+      .unionAll(feats.where(col("__nxt").isNotNull)
+        .select(keep :+
+          pmod(xxhash64(concat_ws(" ", col("tok"), col("__nxt"))),
+            lit(buckets.toLong)).as("bucket"): _*))
+  }
+
+  def fitQualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int = 256, rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1,16], got $rounds")
     val spark = docs.sparkSession
     def fdiv(x: Column, n: Column): Column =
       ((x - pmod(x, n)) / n).cast(LongType) // exact: numerator divisible
-    val par = graft.Conf.sizedShufflePartitions(docs, rowMultiplier = 2.0)
-    val toks = docs.repartition(par, col(idCol))
-      .select(col(idCol).as("doc_id"),
-        when(col(labelCol).cast("boolean"), lit(1000L)).otherwise(lit(0L))
-          .as("__y"),
-        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val feats = toks.select(col("doc_id"), col("__y"), col("tok"),
-      lead(col("tok"), 1).over(w).as("__nxt"))
-    val inst = feats.select(col("doc_id"), col("__y"),
-        pmod(xxhash64(col("tok")), lit(buckets.toLong)).as("bucket"))
-      .unionAll(feats.where(col("__nxt").isNotNull)
-        .select(col("doc_id"), col("__y"),
-          pmod(xxhash64(concat_ws(" ", col("tok"), col("__nxt"))),
-            lit(buckets.toLong)).as("bucket")))
+    val inst = hashedFeatureInstances(docs, idCol, textCol, buckets,
+      carry = Seq("__y" -> when(col(labelCol).cast("boolean"), lit(1000L))
+        .otherwise(lit(0L))))
     val fm = inst.groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c"), first(col("__y")).as("__y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nd = inst.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n"), first(col("__y")).as("y"))
+    // per-doc totals aggregate the PERSISTED feature matrix — reading
+    // `inst` here would re-run the whole corpus tokenize/window/hash pass
+    // a second time (the scaladoc's one-pass contract)
+    val nd = fm.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), first(col("__y")).as("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded parameter fetch: the distinct-bucket set (≤ buckets rows)
     val present = fm.select(col("bucket")).distinct()
@@ -1036,21 +1053,9 @@ object TextAnalysis {
   def qualityClassifierScoreWith(docs: DataFrame, idCol: String,
       weights: DataFrame, textCol: String = "text", buckets: Int = 256,
       biasMilli: Long = 0L, threshold: Double = 0.0): DataFrame = {
-    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
-      s"buckets must be a power of two, got $buckets")
-    val par = graft.Conf.sizedShufflePartitions(docs, rowMultiplier = 2.0)
-    val toks = docs.repartition(par, col(idCol))
-      .select(col(idCol).as("doc_id"),
-        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val feats = toks.select(col("doc_id"), col("tok"),
-      lead(col("tok"), 1).over(w).as("__nxt"))
-    val inst = feats.select(col("doc_id"),
-        pmod(xxhash64(col("tok")), lit(buckets.toLong)).as("bucket"))
-      .unionAll(feats.where(col("__nxt").isNotNull)
-        .select(col("doc_id"),
-          pmod(xxhash64(concat_ws(" ", col("tok"), col("__nxt"))),
-            lit(buckets.toLong)).as("bucket")))
+    // the SAME shared hashing pipeline the fit used — train/serve
+    // feature parity is structural, not a convention
+    val inst = hashedFeatureInstances(docs, idCol, textCol, buckets)
     val wtab = weights.select(col("bucket"),
       col("weight_milli").cast(LongType).as("__w"))
     val scored = inst.join(wtab, Seq("bucket"), "left_outer")

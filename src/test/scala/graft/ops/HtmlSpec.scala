@@ -92,7 +92,19 @@ class HtmlSpec extends SparkSpec {
       "a<script>b<script>c<script>d</script>e",      // open flood, one close
       "x</script></script>y<script>z",               // double orphan + tail open
       "",                                            // empty
-      "<script src=\"u\">only block</script>")       // block is whole page
+      "<script src=\"u\">only block</script>",       // block is whole page
+      // close-tag TEXT inside a quoted attribute: the regex form's open
+      // consumes through the embedded close's '>' and the block runs to
+      // the NEXT real close — the pre-normalization must reproduce that
+      "pre<script data-x=\"</script>\">payload</script>post",
+      // same shape with NO second close: the regex never matches and the
+      // tag-strip rule eats the malformed open either way
+      "pre<script data-x=\"</script>\">payload",
+      // chained attr-embedded closes
+      "a<script x=\"</script>b=\"</script>x</script>done",
+      // attr contains ANOTHER tag before the real '>': the full-open
+      // branch must still align with the regex's first-'>' semantics
+      "p<script a=\"<x></script>y</script>q")
     val df = cases.toDF("h")
     val out = df.select(
         Html.htmlToText(col("h")).as("fast"),

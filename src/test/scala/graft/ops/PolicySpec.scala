@@ -82,6 +82,35 @@ class PolicySpec extends SparkSpec {
     assert(d("/page") === true)
   }
 
+  test("multi-star rules match glob semantics; hostile star floods cannot hang the gate") {
+    val bomb = "/" + ("*a" * 20) + "$" // the exponential-backtracking shape
+    val body =
+      s"""User-agent: *
+         |Disallow: /x/*/y/*/z
+         |Disallow: $bomb
+         |""".stripMargin
+    val rules = Policy.parseRobots(
+      Seq(("w.example", body)).toDF("host", "body"), "host", "body", "*")
+    // 60 chars of a's with a non-matching tail: the naive .*a.*a…$ regex
+    // needs minutes here; the atomic translation must answer instantly
+    val hostile = "/" + ("a" * 60) + "b"
+    val pages = Seq("/x/1/y/2/z3", "/x//y//z", "/x/1/z/2/y", hostile,
+      "/" + ("a" * 40))
+      .map(p => ("w.example", p)).toDF("host", "path")
+    val t0 = System.nanoTime()
+    val d = Policy.applyRobots(pages, rules)
+      .select("path", "robots_allowed").as[(String, Boolean)]
+      .collect().toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 30.0, s"hostile multi-star rule must not hang (took $sec s)")
+    assert(d("/x/1/y/2/z3") === false, "two mid-pattern stars in order")
+    assert(d("/x//y//z") === false, "* matches empty segments")
+    assert(d("/x/1/z/2/y") === true, "segments must appear in order")
+    assert(d(hostile) === true, "the bomb path does not match the bomb rule")
+    assert(d("/" + ("a" * 40)) === false,
+      "40 a's end-anchored DOES match the 20-star rule")
+  }
+
   test("wildcard rule out-ranks a shorter literal by pattern length") {
     val body =
       """User-agent: *
