@@ -81,6 +81,17 @@ object KernelStudy {
           sb.append("<script type=\"a\">var q=1;")
         sb.append("</body></html>")
         (head, sb.toString)
+      case "patho_anchor_flood" =>
+        // thousands of <a> opens, one early close, none after — the
+        // anchor-extraction worst case that the script floods cannot
+        // reach (stripNonContent removes script blocks before the
+        // anchor scan runs)
+        val head = "<html><body><p>id "
+        sb.append("</p><a href=\"/x\">t</a>")
+        while (sb.length < targetBytes - 30)
+          sb.append("<a href=\"/some/path\">w ")
+        sb.append("</body></html>")
+        (head, sb.toString)
       case "text_prose" =>
         val head = "Document " // id spliced after this
         var i = 0
@@ -148,7 +159,8 @@ object KernelStudy {
       ("html_prose", 30, targetMb * 10),
       ("html_tagdense", 30, targetMb),
       ("patho_no_close", 30, targetMb),
-      ("patho_one_close", 30, targetMb))
+      ("patho_one_close", 30, targetMb),
+      ("patho_anchor_flood", 30, targetMb))
     val textConfigs = Seq(
       ("text_prose", 10, targetMb), ("text_prose", 100, targetMb),
       ("text_prose", 30, targetMb * 10))
