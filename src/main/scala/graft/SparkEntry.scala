@@ -40,15 +40,23 @@ object SparkEntry {
   private def q(f: (SparkSession, String) => DataFrame) = f
 
   /** JVM-exit cleanup for per-application scratch dirs (the frames built
-    * over them are lazy, so eager deletion would break the later read). */
+    * over them are lazy, so eager deletion would break the later read).
+    * Idempotent per path — callers register UNCONDITIONALLY (gating on
+    * `!file.exists()` meant a dir left behind by a crashed prior JVM at
+    * the same path would never get a hook again and leak forever); the
+    * registry keeps repeat registrations from piling up hook threads
+    * (bench/verify invoke each builder several times per application). */
+  private val exitCleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def deleteRecursivelyOnExit(root: java.io.File): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(del))
-        f.delete(): Unit
-      }
-      del(root)
-    }))
+    if (exitCleanupRegistered.add(root.getAbsolutePath))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(del))
+          f.delete(): Unit
+        }
+        del(root)
+      }))
 
   /** The paragraph-dedup queries' shared fixture: the corpus has no
     * newlines, so paragraphs are synthesized as 12-token chunks — a
@@ -75,8 +83,8 @@ object SparkEntry {
       s"graft_snap_${s.sparkContext.applicationId}_" +
         Integer.toHexString(dir.hashCode))
     val table = file.getPath
+    deleteRecursivelyOnExit(file) // idempotent; registry dedupes
     if (graft.sinks.SnapshotTable.latestVersion(s, table).isEmpty) {
-      deleteRecursivelyOnExit(file)
       val docs = Tables.documents(s, dir).select(col("doc_id"),
         length(col("text")).cast(LongType).as("n_chars"))
       graft.sinks.SnapshotTable.append(
@@ -815,9 +823,7 @@ object SparkEntry {
         s"graft_warc_${s.sparkContext.applicationId}_" +
           Integer.toHexString(dir.hashCode))
       val path = file.getPath
-      // one hook per application, not per invocation (bench/verify call
-      // this builder many times) — absent dir means first build
-      if (!file.exists()) deleteRecursivelyOnExit(file)
+      deleteRecursivelyOnExit(file) // idempotent; registry dedupes
       graft.sources.WarcSource.write(Tables.documents(s, dir),
         "doc_id", "text", "source", path)
       graft.sources.WarcSource.read(s, path)
@@ -845,8 +851,8 @@ object SparkEntry {
         s"graft_jsonl_${s.sparkContext.applicationId}_" +
           Integer.toHexString(dir.hashCode))
       val path = file.getPath
-      if (!file.exists()) { // once per application; hook reclaims it
-        deleteRecursivelyOnExit(file)
+      deleteRecursivelyOnExit(file) // idempotent; registry dedupes
+      if (!file.exists()) { // write once per application
         graft.sources.JsonlSource.write(Tables.documents(s, dir), path)
         val bad = new java.io.File(file, "part-corrupt.json")
         java.nio.file.Files.write(bad.toPath,
@@ -977,11 +983,15 @@ object SparkEntry {
     // RFC 9309 wildcards: a mid-pattern `*` rule that must OUT-RANK a
     // shorter literal (h0 path 0), `$`-anchored rules that block the
     // bare path but NOT its query-carrying variant (paths 3 vs 5), and
-    // a literal `?` rule matched against path+query (path 7). PROPERTY
-    // oracle: DuckDB derives the allow/deny matrix from doc_id
-    // arithmetic directly, so any parse/group-resolution/translation/
-    // longest-match defect hash-fails without the oracle reading a
-    // single robots line.
+    // a literal `?` rule matched against path+query (path 7). Host and
+    // path derive from DISJOINT doc_id bit ranges — host from bits 3-4
+    // ((doc_id % 32) / 8), path class from bits 0-2 — so every cell of
+    // the 4×8 host×path matrix is reachable (with host = doc_id % 4 the
+    // path class fully determined the host and the $-anchor/literal-?
+    // cells on h0/h1 were dead rows). PROPERTY oracle: DuckDB derives
+    // the allow/deny matrix from doc_id arithmetic directly, so any
+    // parse/group-resolution/translation/longest-match defect
+    // hash-fails without the oracle reading a single robots line.
     "q_robots_filter" -> q { (s, dir) =>
       import s.implicits._
       val robots = Seq(
@@ -1009,8 +1019,8 @@ object SparkEntry {
         .when(d % 8 === 6, lit("/blog/post"))
         .otherwise(lit("/page?print=1"))
       val pages = Tables.documents(s, dir).select(d,
-        concat(lit("h"), (d % 4).cast(StringType), lit(".example.com"))
-          .as("host"),
+        concat(lit("h"), floor(pmod(d, lit(32)) / lit(8)).cast(StringType),
+          lit(".example.com")).as("host"),
         path.as("path"))
       graft.ops.Policy.applyRobots(pages, rules)
         .select(col("doc_id"), col("host"), col("path"),
@@ -1178,8 +1188,8 @@ object SparkEntry {
         s"graft_snapskip_${s.sparkContext.applicationId}_" +
           Integer.toHexString(dir.hashCode))
       val table = file.getPath
+      deleteRecursivelyOnExit(file) // idempotent; registry dedupes
       if (SnapshotTable.latestVersion(s, table).isEmpty) {
-        deleteRecursivelyOnExit(file)
         val docs = Tables.documents(s, dir).select(col("doc_id"),
           col("source"), length(col("text")).cast(LongType).as("n_chars"))
         (0 until 20).foreach { k =>
@@ -1561,8 +1571,8 @@ object SparkEntry {
       val file = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_avi_${s.sparkContext.applicationId}_" +
           Integer.toHexString(dir.hashCode))
+      deleteRecursivelyOnExit(file) // idempotent; registry dedupes
       if (!file.exists()) {
-        deleteRecursivelyOnExit(file)
         Multimodal.encodeAviFixture(Tables.documents(s, dir))
           .write.mode("overwrite").parquet(file.getPath)
       }
@@ -1865,7 +1875,7 @@ object SparkEntry {
         s"graft_crawl_${s.sparkContext.applicationId}_" +
           Integer.toHexString(dir.hashCode))
       val path = file.getPath
-      if (!file.exists()) deleteRecursivelyOnExit(file)
+      deleteRecursivelyOnExit(file) // idempotent; registry dedupes
       // hosts carry the gate key: h0/h1 have robots policies, h2/h3 none
       graft.sources.WarcSource.write(
         Tables.documents(s, dir).select(d, html.as("__html"),
@@ -2389,8 +2399,8 @@ object SparkEntry {
         s"graft_annincr_${s.sparkContext.applicationId}_" +
           Integer.toHexString(dir.hashCode))
       val indexPath = file.getPath
+      deleteRecursivelyOnExit(file) // idempotent; registry dedupes
       if (Similarity.loadIvfIndex(s, indexPath).isEmpty) {
-        deleteRecursivelyOnExit(file)
         val idx = Similarity.IvfIndex(ivfPqCoarseFlat, 64)
         val emb = cleanEmbeddings(Tables.embeddings(s, dir))
         Similarity.ivfIngestBatch(emb.where(col("vec_id") % 2 === 0),
@@ -5137,8 +5147,9 @@ object SparkEntry {
        |    CAST(sw AS DOUBLE) / 1e3 / CAST(nf AS DOUBLE)
        |      + CAST(0 AS DOUBLE) / 1e3 AS logit
        |  FROM scq)
-       |SELECT d.doc_id, coalesce(o.nf, 0) AS n_features, o.logit,
-       |  o.logit >= 0 AS keep
+       |SELECT d.doc_id, coalesce(o.nf, 0) AS n_features,
+       |  coalesce(o.logit, CAST(0 AS DOUBLE) / 1e3) AS logit,
+       |  coalesce(o.logit, CAST(0 AS DOUBLE) / 1e3) >= 0 AS keep
        |FROM documents d LEFT JOIN outq o ON d.doc_id = o.doc_id""".stripMargin
   }
 
@@ -5962,21 +5973,23 @@ object SparkEntry {
     // PROPERTY oracle: the allow/deny matrix derives from doc_id
     // arithmetic — the oracle never reads a robots line, so any parse,
     // group-resolution, wildcard-translation, or longest-match defect on
-    // the Spark side hash-fails. The matrix encodes ENFORCED RFC 9309
-    // wildcards: h0 path 0 allowed only because the mid-pattern-* Allow
-    // out-ranks the literal Disallow; paths 3/5 split on the $ anchor
-    // vs the query-carrying variant; path 7 needs the literal-? rule
-    // matched against path+query; h2 is denied-by-default only if the
-    // blank-split multi-UA header still forms one group.
+    // the Spark side hash-fails. Host ((doc_id % 32) // 8) and path class
+    // (doc_id % 8) come from disjoint bit ranges, so EVERY host×path cell
+    // is reachable and the matrix below is exercised in full: h0 path 0
+    // allowed only because the mid-pattern-* Allow out-ranks the literal
+    // Disallow; h0/h1 paths 3/5 split on the $ anchor vs the
+    // query-carrying variant; h0 path 7 needs the literal-? rule matched
+    // against path+query; h2 is denied-by-default only if the blank-split
+    // multi-UA header still forms one group.
     "q_robots_filter" ->
       """SELECT doc_id,
-        |  'h' || (doc_id % 4) || '.example.com' AS host,
+        |  'h' || ((doc_id % 32) // 8) || '.example.com' AS host,
         |  CASE doc_id % 8 WHEN 0 THEN '/private/x.html'
         |    WHEN 1 THEN '/private/ok/y' WHEN 2 THEN '/tmp/z'
         |    WHEN 3 THEN '/file.pdf' WHEN 4 THEN '/public/a'
         |    WHEN 5 THEN '/file.pdf?dl=1' WHEN 6 THEN '/blog/post'
         |    ELSE '/page?print=1' END AS path,
-        |  CASE doc_id % 4
+        |  CASE (doc_id % 32) // 8
         |    WHEN 0 THEN doc_id % 8 NOT IN (2, 3, 7)
         |    WHEN 1 THEN doc_id % 8 NOT IN (3, 6)
         |    WHEN 2 THEN doc_id % 8 = 4

@@ -75,6 +75,15 @@ object Html {
     * markup) falls back to delimiter semantics rather than superlinear
     * time — the documented bound.
     *
+    * Second documented divergence (nested-malformed): the pre-norm pass
+    * runs globally, including on text that is block CONTENT under regex
+    * semantics — on `<tag>x<tag a</tag>y</tag>z` it rewrites the inner
+    * malformed open and consumes the close that terminated the outer
+    * block, so this form yields `z` where the regex form yields `yz`.
+    * The shape needs a malformed UNCLOSED open nested inside a closed
+    * block; the failure mode is extra content dropped on such pages
+    * (spec-asserted in HtmlSpec's divergence test).
+    *
     * Equivalence to the regex form (spec-asserted, including nested,
     * unclosed, orphan-close, and attr-embedded adversarial cases): after
     * a match the regex resumes AFTER the consumed close — exactly the
@@ -137,9 +146,17 @@ object Html {
   /** All markup removed, entities decoded, whitespace normalized —
     * rules 1–8. Blank-line boundaries (`\n\n`) mark block structure for
     * [[mainContent]]'s density gate. NULL in, NULL out. */
-  def htmlToText(html: Column): Column = {
-    var c = stripNonContent(html)
-    c = regexp_replace(c,
+  def htmlToText(html: Column): Column =
+    textFromStripped(stripNonContent(html))
+
+  /** Rules 5–8 over an ALREADY-STRIPPED page ([[stripNonContent]]'s
+    * output) — the tail [[htmlToText]] shares with
+    * [[linkDensityPermyriad]], which binds the stripped page once and
+    * derives both anchor mass and total mass from the same bound value
+    * (running the full extraction chain twice made it the slowest kernel
+    * on the r10 throughput table). */
+  private def textFromStripped(stripped: Column): Column = {
+    var c = regexp_replace(stripped,
       "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|blockquote|pre)\\b[^>]*/?>",
       "\n")
     c = regexp_replace(c, "(?s)<[^>]*>", "")
@@ -175,16 +192,25 @@ object Html {
     * a removed `<nav>` contributes no visible text, so it must not
     * count), each anchor's inner text is tag-stripped, entity-decoded,
     * and whitespace-removed exactly like the denominator — so the value
-    * is a true fraction, ≤ 10000. */
-  def linkDensityPermyriad(html: Column): Column = {
-    // anchor inner texts via the SAME linear split-on-close technique as
-    // dropBlock (the non-greedy `<a…>(.*?)</a>` extract_all is the same
-    // O(opens·page) adversarial shape — and this kernel now sits in
-    // Policy.gate's hot path): per close-delimited segment, the capture
-    // is everything after the segment's FIRST full open; a final-region
-    // open never completes and contributes nothing, matching the regex.
-    val anchorLen = element_at(transform(array(stripNonContent(html)),
-      page => when(page.isNull, lit(null).cast("int"))
+    * is a true fraction, ≤ 10000.
+    *
+    * Single extraction pass (r10 verdict item): the boilerplate-stripped
+    * page is bound ONCE as a lambda variable and BOTH masses derive from
+    * it — the anchor scan reads it directly and the denominator applies
+    * only the remaining text rules ([[textFromStripped]]); the previous
+    * form re-ran the full strip chain for the denominator and was the
+    * slowest kernel on the throughput table (~45 MB/s vs ~85 for
+    * main_content). */
+  def linkDensityPermyriad(html: Column): Column =
+    element_at(transform(array(stripNonContent(html)), page => {
+      // anchor inner texts via the SAME linear split-on-close technique
+      // as dropBlock (the non-greedy `<a…>(.*?)</a>` extract_all is the
+      // same O(opens·page) adversarial shape — and this kernel sits in
+      // Policy.gate's hot path): per close-delimited segment, the
+      // capture is everything after the segment's FIRST full open; a
+      // final-region open never completes and contributes nothing,
+      // matching the regex. Referenced once below.
+      val anchorLen = when(page.isNull, lit(null).cast("int"))
         .otherwise(element_at(transform(array(split(
           regexp_replace(page, "(?is)<a\\b[^<>]*</a\\s*>", "<a>"),
           "(?i)</a\\s*>")), segs => {
@@ -198,10 +224,13 @@ object Html {
               (acc, a) => acc + length(regexp_replace(
                 decodeEntities(regexp_replace(a, "(?s)<[^>]*>", "")),
                 "\\s", "")))
-          }), 1))), 1)
-    val total = length(regexp_replace(htmlToText(html), "\\s", ""))
-    when(total > 0,
-      floor(lit(10000) * anchorLen.cast("long") / total).cast("long"))
-      .otherwise(lit(null).cast("long"))
-  }
+          }), 1))
+      // the denominator is referenced twice (guard + division) — bound
+      // as its own lambda variable so the text chain runs exactly once
+      element_at(transform(
+        array(length(regexp_replace(textFromStripped(page), "\\s", ""))),
+        total => when(total > 0,
+          floor(lit(10000) * anchorLen.cast("long") / total).cast("long"))
+          .otherwise(lit(null).cast("long"))), 1)
+    }), 1)
 }

@@ -918,11 +918,24 @@ object TextAnalysis {
         (col("__sw").cast(DoubleType) / lit(1e3)
           / col("n_features").cast(DoubleType)
           + lit(biasMilli).cast(DoubleType) / lit(1e3)).as("logit"))
+    classifierVerdict(docs, idCol, scored, biasMilli, threshold)
+  }
+
+  /** The classifier output contract shared by [[qualityClassifierScore]]
+    * and [[qualityClassifierScoreWith]]: every input doc gets a row, and a
+    * zero-feature doc (empty/null text) gets a DEFINED verdict — logit =
+    * bias (zero features contribute a zero mean, the same convention as
+    * absent buckets scoring 0), never NULL. A NULL keep would silently
+    * vanish in boolean filters — the null-poisoning [[Policy.gate]]'s
+    * boolean algebra is built to forbid. */
+  private def classifierVerdict(docs: DataFrame, idCol: String,
+      scored: DataFrame, biasMilli: Long, threshold: Double): DataFrame =
     docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_features"), lit(0L)).as("n_features"),
-        col("logit"), (col("logit") >= lit(threshold)).as("keep"))
-  }
+        coalesce(col("logit"), lit(biasMilli.toDouble / 1e3)).as("logit"),
+        (coalesce(col("logit"), lit(biasMilli.toDouble / 1e3))
+          >= lit(threshold)).as("keep"))
 
   /** Distributed quality-classifier TRAINING — the fit step that produces
     * the weight table [[qualityClassifierScoreWith]] serves (closing the
@@ -1001,8 +1014,14 @@ object TextAnalysis {
     require(rounds >= 1 && rounds <= 16,
       s"rounds must be in [1,16], got $rounds")
     val spark = docs.sparkSession
+    // floor division kept in LONG arithmetic end to end: the mod-subtract
+    // makes the numerator exactly divisible, and integral `div` never
+    // leaves the long domain — `/` + cast would route through double,
+    // which silently rounds once |numerator| exceeds 2^53 (per-bucket
+    // c·e·32 gradient sums grow with corpus size, so that is a real
+    // 100 TB failure mode, not a theoretical one)
     def fdiv(x: Column, n: Column): Column =
-      ((x - pmod(x, n)) / n).cast(LongType) // exact: numerator divisible
+      call_function("div", x - pmod(x, n), n)
     val inst = hashedFeatureInstances(docs, idCol, textCol, buckets,
       carry = Seq("__y" -> when(col(labelCol).cast("boolean"), lit(1000L))
         .otherwise(lit(0L))))
@@ -1066,10 +1085,7 @@ object TextAnalysis {
         (col("__sw").cast(DoubleType) / lit(1e3)
           / col("n_features").cast(DoubleType)
           + lit(biasMilli).cast(DoubleType) / lit(1e3)).as("logit"))
-    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("n_features"), lit(0L)).as("n_features"),
-        col("logit"), (col("logit") >= lit(threshold)).as("keep"))
+    classifierVerdict(docs, idCol, scored, biasMilli, threshold)
   }
 
   /** Blocklist (bad-word) filter — the C4-style lexical gate (Raffel et

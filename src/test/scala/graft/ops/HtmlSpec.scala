@@ -122,6 +122,26 @@ class HtmlSpec extends SparkSpec {
     }
   }
 
+  test("dropBlock documented divergence: nested MALFORMED open inside a closed block") {
+    // The pre-normalization rewrites attr-embedded closes globally — even
+    // on text that is block CONTENT under regex semantics. For an
+    // unclosed malformed open nested inside a closed block, the rewrite
+    // consumes the close that terminated the outer block, so the linear
+    // form drops MORE than the regex form (extra content dropped on
+    // malformed pages — the conservative direction for a quality filter,
+    // never a leak). This pins the scaladoc's documented divergence: the
+    // regex form would yield "yz" here.
+    val in = "<script>x<script a</script>y</script>z"
+    assert(toText(in) === "z")
+    // the regex reference, for the record (computed the same way as the
+    // equivalence test's ref column):
+    val ref = Seq(in).toDF("h").select(
+      regexp_replace(regexp_replace(col("h"),
+        "(?is)<script\\b[^>]*>.*?</script\\s*>", ""),
+        "(?s)<[^>]*>", "")).head.getString(0)
+    assert(ref === "yz") // the two forms diverge HERE by design
+  }
+
   test("linkDensityPermyriad: link farm scores high, prose scores low") {
     val farm = "<body><p><a href='/1'>one link</a> <a href='/2'>two link</a></p></body>"
     val prose = "<body><p>plain prose with a single <a href='/x'>tiny</a> link " +

@@ -769,7 +769,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2.contains(exp1))
     assert(out(1L)._3.contains(exp1 >= 0.0))
     assert(out(2L)._2.contains(wOf("word").toDouble / 1e3))
-    assert(out(3L) == ((0L, None, None)), "empty doc: no features, null score")
+    // defined verdict for empty docs (r10 advice): logit = bias (0 here),
+    // keep decided against the threshold — never NULL
+    assert(out(3L) == ((0L, Some(0.0), Some(true))),
+      "empty doc: no features, logit = bias, keep defined")
     // weights bounded → logit bounded
     assert(out.values.flatMap(_._2).forall(l => l >= -1.0 && l <= 1.0))
     // bit-identical across partitionings (integer sums are order-free)
@@ -819,6 +822,29 @@ class TextAnalysisSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextAnalysis.fitQualityClassifier(docs, "doc_id", "text", "is_good",
         buckets = 100)
+    }
+  }
+
+  test("classifier verdict is DEFINED for zero-token docs: keep never NULL") {
+    // null-hygiene contract (r10 advice): a doc with no tokens must get
+    // logit = bias (zero features contribute a zero mean — the same
+    // convention as absent buckets scoring 0) and a non-NULL keep, or
+    // the verdict silently vanishes in boolean filters downstream
+    val docs = Seq((1L, "real prose with tokens"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+    val weights = Seq((0L, 100L)).toDF("bucket", "weight_milli")
+    for (out <- Seq(
+        TextAnalysis.qualityClassifierScoreWith(docs, "doc_id", weights,
+          buckets = 256, biasMilli = -250L, threshold = 0.0),
+        TextAnalysis.qualityClassifierScore(docs, "doc_id",
+          buckets = 256, biasMilli = -250L, threshold = 0.0))) {
+      val rows = out.orderBy($"doc_id")
+        .as[(Long, Long, Double, Boolean)].collect()
+      assert(rows.length == 3, "every input doc gets a verdict row")
+      val empty = rows.filter(_._2 == 0L)
+      assert(empty.map(_._1).toSet == Set(2L, 3L))
+      assert(empty.forall(_._3 == -0.25), "empty-doc logit = bias")
+      assert(empty.forall(!_._4), "bias below threshold ⇒ keep = false, not NULL")
     }
   }
 
