@@ -838,6 +838,70 @@ object SparkEntry {
             .as("framing_ok"))
     },
 
+    // Gzip-member WARC archive — the real-world CommonCrawl layout
+    // (r10 verdict item #1): every record its own gzip member, charset
+    // honored/sniffed/routed. The corpus lands through writeGzip with a
+    // doc_id-varying DECLARED charset (all ASCII-safe, so the transcode
+    // must be the identity), two planted non-ASCII records (latin-1,
+    // Shift_JIS) prove real transcoding, and a hand-crafted tail file
+    // plants the adversarial shapes: a charset-less latin-1 record (the
+    // UTF-8→ISO-8859-1 sniff path), a non-gzip garbage region the walk
+    // must ROUTE AND RESUME past, a JVM-unknown charset name, and a
+    // declared-UTF-8 record with invalid bytes. PROPERTY oracle: DuckDB
+    // derives every expected row from `documents` + the planted
+    // constants — a mangled transcode, a swallowed member, a leaked
+    // corrupt row, or a framing drift hash-fails without the oracle
+    // touching a gzip byte.
+    "q_warc_gzip" -> q { (s, dir) =>
+      import s.implicits._
+      val d = col("doc_id")
+      val file = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_warcgz_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode))
+      val path = file.getPath
+      deleteRecursivelyOnExit(file) // idempotent; registry dedupes
+      if (!file.exists()) { // write once per application
+        val cs = when(d % 4 === 0, lit("UTF-8"))
+          .when(d % 4 === 1, lit("ISO-8859-1"))
+          .when(d % 4 === 2, lit("windows-1252"))
+          .otherwise(lit("US-ASCII"))
+        val base = Tables.documents(s, dir).select(d, col("text"),
+          col("source"), cs.as("cs"))
+        val planted = Seq(
+          (1000001L, "café résumé naïve façade",
+            "pl", "ISO-8859-1"),
+          (1000002L, "日本語テキスト",
+            "pl", "Shift_JIS"))
+          .toDF("doc_id", "text", "source", "cs")
+        graft.sources.WarcSource.writeGzip(base.unionByName(planted),
+          "doc_id", "text", "source", path, charsetCol = Some("cs"))
+        import graft.sources.WarcSource.gzipMember
+        def m(id: Long, ct: String, payload: Array[Byte]) = gzipMember(
+          Seq("WARC-Target-URI" -> s"http://pl.example/doc/$id",
+            "WARC-Date" -> "2026-01-01T00:00:00Z",
+            "Content-Type" -> ct,
+            "Content-Length" -> payload.length.toString), payload)
+        val bytes =
+          m(1000004L, "text/plain",
+            "naïve café".getBytes("ISO-8859-1")) ++
+          "###NOT#GZIP###".getBytes("US-ASCII") ++
+          m(1000005L, "text/plain; charset=UTF-8",
+            "post garbage record ok".getBytes("UTF-8")) ++
+          m(1000006L, "text/plain; charset=x-enigma-9",
+            "lying charset header".getBytes("US-ASCII")) ++
+          m(1000007L, "text/plain; charset=UTF-8",
+            Array(0xff.toByte, 0xfe.toByte, 0x41.toByte))
+        java.nio.file.Files.write(
+          new java.io.File(file, "part-zz-crafted.warc.gz").toPath, bytes)
+      }
+      graft.sources.WarcSource.readGzip(s, path)
+        .select(
+          regexp_extract(col("url"), ".*/doc/(\\d+)$", 1)
+            .cast(LongType).as("doc_id"),
+          col("charset"), col("content_length"), col("payload"),
+          col("corrupt_reason"))
+    },
+
     // JSONL corpus round trip with fault injection — documents land as
     // jsonl shards, a planted shard of broken lines (truncated JSON, a
     // non-JSON line, valid JSON with a mistyped doc_id) lands beside
@@ -6236,6 +6300,34 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  TRUE AS framing_ok
         |FROM documents""".stripMargin,
+
+    // PROPERTY oracle for the gzip-member archive: the corpus rows must
+    // come back IDENTICALLY (the corpus is ASCII, so whatever charset
+    // was declared, transcoding is the identity and content_length =
+    // length(text)); the planted rows are fixed constants — latin-1 and
+    // Shift_JIS byte counts hand-checked, the sniffed record resolves to
+    // ISO-8859-1, the unknown charset and the invalid-UTF-8 record route
+    // with their documented reasons, and the garbage region yields
+    // exactly ONE all-null corrupt row.
+    "q_warc_gzip" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'ISO-8859-1'
+        |    WHEN 2 THEN 'windows-1252' ELSE 'US-ASCII' END AS charset,
+        |  CAST(length(text) AS BIGINT) AS content_length,
+        |  text AS payload, CAST(NULL AS VARCHAR) AS corrupt_reason
+        |FROM documents
+        |UNION ALL SELECT 1000001, 'ISO-8859-1', 24,
+        |  'café résumé naïve façade', NULL
+        |UNION ALL SELECT 1000002, 'Shift_JIS', 14,
+        |  '日本語テキスト', NULL
+        |UNION ALL SELECT 1000004, 'ISO-8859-1', 10,
+        |  'naïve café', NULL
+        |UNION ALL SELECT 1000005, 'UTF-8', 22, 'post garbage record ok', NULL
+        |UNION ALL SELECT 1000006, 'x-enigma-9', 20, NULL,
+        |  'unsupported_charset:x-enigma-9'
+        |UNION ALL SELECT 1000007, 'UTF-8', 3, NULL, 'decode_error:UTF-8'
+        |UNION ALL SELECT NULL, NULL, NULL, NULL,
+        |  'bad_gzip_member'""".stripMargin,
 
     // PROPERTY oracle: n_chars from the raw text + roundtrip_ok=TRUE —
     // any encode/decode defect breaks the hash without replaying BPE

@@ -60,6 +60,122 @@ class WarcSourceSpec extends SparkSpec {
     assert(got.isNullAt(2)) // no Content-Length -> null, not a crash
   }
 
+  // ------------------------------------------------- gzip-member archives
+
+  private def crafted(headers: Seq[(String, String)], payload: Array[Byte]) =
+    WarcSource.gzipMember(headers, payload)
+
+  private def writeFile(dir: String, name: String, bytes: Array[Byte]): Unit =
+    Files.write(new java.io.File(dir, name).toPath, bytes)
+
+  test("gzip round trip: per-record members, mixed charsets transcoded to UTF-8") {
+    val dir = Files.createTempDirectory("warcgz_rt").toString
+    val mixed = Seq(
+      (1L, "plain ascii prose", "s0", "UTF-8"),
+      (2L, "café résumé naïve", "s1", "ISO-8859-1"),
+      (3L, "日本語テキスト", "s2", "Shift_JIS"),
+      (4L, "", "s0", "US-ASCII")) // zero-length payload is a legal member
+      .toDF("doc_id", "text", "source", "cs")
+    WarcSource.writeGzip(mixed.repartition(2), "doc_id", "text", "source",
+      dir, charsetCol = Some("cs"))
+    val got = WarcSource.readGzip(spark, dir)
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[String]("charset"), r.getAs[Long]("content_length"),
+          r.getAs[String]("payload"), r.getAs[String]("corrupt_reason"))))
+      .toMap
+    assert(got.size == 4)
+    // payload comes back as the ORIGINAL string (transcode inverts the
+    // encode), content_length is the byte count in the DECLARED charset
+    assert(got("http://s1.example/doc/2") ==
+      (("ISO-8859-1", 17L, "café résumé naïve", null)))
+    assert(got("http://s2.example/doc/3") ==
+      (("Shift_JIS", 14L, "日本語テキスト", null)))
+    assert(got("http://s0.example/doc/4") == (("US-ASCII", 0L, "", null)))
+    assert(got.values.forall(_._4 == null), "no corrupt rows on a clean archive")
+  }
+
+  test("manifest ranged read ≡ whole-file walk, and prunes to selected members") {
+    val dir = Files.createTempDirectory("warcgz_manifest").toString
+    val docs40 = (0L until 40L).map(i => (i, s"doc body number $i word" * 3, s"s${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    WarcSource.writeGzip(docs40.repartition(4), "doc_id", "text", "source", dir)
+    val manifest = WarcSource.memberManifest(spark, dir)
+    assert(manifest.count() == 40)
+    val full = WarcSource.readGzip(spark, dir)
+    val ranged = WarcSource.readGzipMembers(spark, dir, manifest)
+    // identical rows INCLUDING member offsets (ranged reads rebase)
+    assert(ranged.except(full).isEmpty && full.except(ranged).isEmpty)
+    // pruning the manifest prunes the archive read to those members
+    val some = WarcSource.readGzipMembers(spark, dir, manifest.limit(7))
+    assert(some.count() == 7 && some.where(col("payload").isNull).count() == 0)
+  }
+
+  test("corrupt member routes and the walk RESUMES at the next gzip magic") {
+    val dir = Files.createTempDirectory("warcgz_corrupt").toString
+    val m1 = crafted(Seq("WARC-Target-URI" -> "http://h.example/doc/1",
+      "Content-Type" -> "text/plain; charset=UTF-8",
+      "Content-Length" -> "6"), "first!".getBytes("UTF-8"))
+    val garbage = "NOT-A-GZIP-REGION".getBytes("UTF-8")
+    val m2 = crafted(Seq("WARC-Target-URI" -> "http://h.example/doc/2",
+      "Content-Type" -> "text/plain; charset=UTF-8",
+      "Content-Length" -> "7"), "second!".getBytes("UTF-8"))
+    // CRC-corrupted member: flip one byte INSIDE m1's deflate region
+    val m3 = m1.clone(); m3(12) = (m3(12) ^ 0x01).toByte
+    writeFile(dir, "part-00000.warc.gz", m1 ++ garbage ++ m2 ++ m3)
+    val rows = WarcSource.readGzip(spark, dir)
+      .orderBy("member_offset").collect()
+    assert(rows.length == 4)
+    assert(rows(0).getAs[String]("payload") == "first!")
+    assert(rows(1).getAs[String]("corrupt_reason") == "bad_gzip_member")
+    assert(rows(1).getAs[Long]("member_length") == garbage.length.toLong)
+    assert(rows(2).getAs[String]("payload") == "second!",
+      "the member after a corrupt region must still be recovered")
+    val last = rows(3).getAs[String]("corrupt_reason")
+    assert(last == "crc_mismatch" || last == "bad_deflate_stream",
+      s"tampered member must be detected, got $last")
+  }
+
+  test("charset contract: sniff fallback, unsupported name, decode failure") {
+    val dir = Files.createTempDirectory("warcgz_charset").toString
+    // no charset declared + invalid UTF-8 bytes → ISO-8859-1 fallback
+    val sniffed = crafted(Seq("WARC-Target-URI" -> "http://h.example/doc/10",
+      "Content-Type" -> "text/plain"),
+      "naïve café".getBytes("ISO-8859-1"))
+    // no charset declared + valid UTF-8 → UTF-8
+    val utf8 = crafted(Seq("WARC-Target-URI" -> "http://h.example/doc/11"),
+      "café utf8".getBytes("UTF-8"))
+    // declared but unknown to the JVM → routed, name preserved
+    val bogus = crafted(Seq("WARC-Target-URI" -> "http://h.example/doc/12",
+      "Content-Type" -> "text/plain; charset=x-enigma-9"),
+      "ascii body".getBytes("UTF-8"))
+    // declared UTF-8, bytes are not → decode error, not silent mojibake
+    val broken = crafted(Seq("WARC-Target-URI" -> "http://h.example/doc/13",
+      "Content-Type" -> "text/plain; charset=UTF-8",
+      "Content-Length" -> "3"), Array(0xff.toByte, 0xfe.toByte, 0x41.toByte))
+    writeFile(dir, "part-00000.warc.gz", sniffed ++ utf8 ++ bogus ++ broken)
+    val rows = WarcSource.readGzip(spark, dir).orderBy("member_offset")
+      .select("charset", "payload", "corrupt_reason")
+      .as[(String, String, String)].collect()
+    assert(rows(0) == (("ISO-8859-1", "naïve café", null)))
+    assert(rows(1) == (("UTF-8", "café utf8", null)))
+    assert(rows(2) == (("x-enigma-9", null, "unsupported_charset:x-enigma-9")))
+    assert(rows(3) == (("UTF-8", null, "decode_error:UTF-8")))
+  }
+
+  test("zip bomb guard: an over-cap member routes instead of buffering") {
+    val dir = Files.createTempDirectory("warcgz_bomb").toString
+    val big = crafted(Seq("WARC-Target-URI" -> "http://h.example/doc/20"),
+      Array.fill(256 * 1024)('a'.toByte)) // compresses tiny, inflates 256 KiB
+    val ok = crafted(Seq("WARC-Target-URI" -> "http://h.example/doc/21"),
+      "small".getBytes("UTF-8"))
+    writeFile(dir, "part-00000.warc.gz", big ++ ok)
+    val rows = WarcSource.readGzip(spark, dir, maxMemberBytes = 64 * 1024)
+      .orderBy("member_offset")
+      .select("payload", "corrupt_reason").as[(String, String)].collect()
+    assert(rows(0) == ((null, "member_too_large")))
+    assert(rows(1) == (("small", null)), "the scan continues past the bomb")
+  }
+
   test("delimiter inside a payload splits the record but is DETECTABLE") {
     val dir = Files.createTempDirectory("warc_delim").toString
     val evil = Seq((9L, "before" + WarcSource.RecordDelimiter + "after", "src0"))
