@@ -153,9 +153,12 @@ object Bench {
     // as q_curate — WARC scan, policy gate, extraction, dedup, BPE, pack
     // are each timed by their own query; the composition would re-count
     // all of them plus a tmp-dir write).
+    // q_curate_learned: same composition argument — the fit is timed as
+    // q_quality_fit, the serve as q_quality_score, and every curation
+    // stage by its own query; timing the chain would re-count them all.
     val skip = Set("q_pipeline_verify", "q_minhash_est_error", "q_curate",
       "q_curate_incremental", "q_bpe_roundtrip", "q_hll_error",
-      "q_crawl_e2e")
+      "q_crawl_e2e", "q_curate_learned")
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query filter for local
     // iteration on one hot spot (full set when unset — the driver's mode)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

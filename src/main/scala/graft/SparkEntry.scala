@@ -1902,6 +1902,62 @@ object SparkEntry {
           col("pack_bucket"), col("pack_bin"), col("bin_offset"))
     },
 
+    // The LEARNED quality gate inside the curation composition (r10
+    // verdict item #2): fitQualityClassifier trains the gate, the
+    // trained weight table serves every document through
+    // qualityClassifierScoreWith (the REAL serve path — shared hashing
+    // pipeline, left-join + coalesce), the gate keeps logit ≥ 0, and the
+    // survivors run the full Curate.run chain. The corpus vocabulary is
+    // class-uniform by construction (random words from one pool), so the
+    // fixture PLANTS the learnable signal the planted-PII way: each doc
+    // is extended with a 4-token class marker by doc_id parity —
+    // balanced classes make the shared-vocabulary gradient drift cancel
+    // while the marker buckets separate, so threshold 0 keeps exactly
+    // the positive class (~half the corpus — the gate is exercised, not
+    // vacuous). Fit and serve are each bit-exact standalone
+    // (q_quality_fit / q_quality_score); THIS row hash-gates the
+    // fit→serve→gate→curate plumbing between them — the seam a
+    // regression in weight-table schema, bucket domain, or gate folding
+    // would hit without failing either standalone row. Untimed
+    // (composition audit, like q_curate — every stage is timed by its
+    // own query).
+    "q_curate_learned" -> q { (s, dir) =>
+      val file = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_clearn_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(dir.hashCode))
+      deleteRecursivelyOnExit(file) // idempotent; registry dedupes
+      if (!file.exists()) { // fit + serve + gate once per application
+        val marker = when(col("doc_id") % 2 === 0,
+          lit(" curated archival verified editorial"))
+          .otherwise(lit(" clickbait spamword casino lottery"))
+        val marked = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"), marker).as("text"))
+        val labeled = marked.withColumn("__label", col("doc_id") % 2 === 0)
+        val weights = TextAnalysis.fitQualityClassifier(labeled, "doc_id",
+          "text", "__label", buckets = 256, rounds = 3)
+        val verdicts = TextAnalysis.qualityClassifierScoreWith(marked,
+          "doc_id", weights, buckets = 256, threshold = 0.0)
+        // the gated corpus lands as a per-application scratch parquet
+        // (the q_crawl_e2e boundary pattern): Curate.run references its
+        // input from several self-joining stages, and without a
+        // materialization boundary each reference would re-run the whole
+        // fit+serve pipeline — compounding per stage (measured: the
+        // un-staged form burned >70 CPU-minutes at sf0.001). In a
+        // production pipeline this is the persist the curation driver
+        // owns; a query-map builder has no unpersist seam, so the
+        // boundary is a scratch table instead.
+        marked.join(verdicts.where(col("keep")).select(col("doc_id")),
+            Seq("doc_id"))
+          .write.mode("overwrite").parquet(file.getPath)
+      }
+      val gated = s.read.parquet(file.getPath)
+      val evalSet = gated.where(col("doc_id").isin(5L, 17L, 42L))
+      graft.ops.Curate.run(gated, "doc_id", "text", evalSet, report = false)
+        .docs
+        .select(col("doc_id"), col("quality_score"), col("split"),
+          col("pack_bucket"), col("pack_bin"), col("bin_offset"))
+    },
+
     // The WHOLE crawl-to-shards pipeline in ONE oracled query (r9 verdict
     // item #3): documents render into full pages (the q_html_extract
     // shape plus a doc_id-varying meta-robots channel), land in a WARC
@@ -5229,7 +5285,21 @@ object SparkEntry {
     * convention cannot matter. Weights after the last round must be
     * BIT-EXACT. */
   private def qualityFitOracleSql(buckets: Int, rounds: Int,
-      minTokens: Int): String = {
+      minTokens: Int): String =
+    s"""WITH ${qualityFitCtes(buckets, rounds,
+        raw"len(regexp_extract_all(lower(text), '\w+')) >= $minTokens")}
+       |SELECT bucket, CAST(w AS BIGINT) AS weight_milli
+       |FROM qw$rounds""".stripMargin
+
+  /** The fit replay as reusable CTEs — shared by [[qualityFitOracleSql]]
+    * and the learned-gate composition oracle
+    * ([[curateLearnedOracleSql]]). `baseSql` supplies the training corpus
+    * (doc_id, text); `labelSql` is a SQL boolean over its rows. Ends at
+    * `fm` (doc_id, bucket, c), `nd` (doc_id, n, y) and `qw$rounds`
+    * (bucket, w) — the trained weight table plus the feature matrix a
+    * serve replay can reuse. */
+  private def qualityFitCtes(buckets: Int, rounds: Int, labelSql: String,
+      baseSql: String = "SELECT doc_id, text FROM documents"): String = {
     def fdiv(x: String, n: String) =
       s"((($x) - ((($x) % ($n) + ($n)) % ($n))) // ($n))"
     val roundCtes = (1 to rounds).map { i =>
@@ -5250,9 +5320,10 @@ object SparkEntry {
          |  SELECT w.bucket, w.w - ${fdiv("coalesce(g.g, 0)", "8")} AS w
          |  FROM $pw w LEFT JOIN qg$i g USING (bucket))""".stripMargin
     }.mkString(",\n")
-    raw"""WITH toksf AS (
+    raw"""qfbase AS MATERIALIZED ($baseSql),
+         |toksf AS (
          |  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
-         |  FROM documents),
+         |  FROM qfbase),
          |gff AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p1
          |  FROM toksf WHERE len(t) >= 1),
          |ff AS (SELECT doc_id, t[p1] AS tok,
@@ -5267,10 +5338,9 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT doc_id, CAST(h % $buckets AS BIGINT) FROM bfh),
          |lab AS (SELECT doc_id,
-         |    CASE WHEN len(regexp_extract_all(lower(text), '\w+'))
-         |        >= $minTokens
+         |    CASE WHEN $labelSql
          |      THEN 1000 ELSE 0 END AS y
-         |  FROM documents),
+         |  FROM qfbase),
          |fm AS MATERIALIZED (
          |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
          |  FROM inst GROUP BY 1, 2),
@@ -5278,10 +5348,40 @@ object SparkEntry {
          |  SELECT fm.doc_id, CAST(sum(c) AS BIGINT) AS n, max(lab.y) AS y
          |  FROM fm JOIN lab USING (doc_id) GROUP BY 1),
          |qw0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM fm),
-         |$roundCtes
-         |SELECT bucket, CAST(w AS BIGINT) AS weight_milli
-         |FROM qw$rounds""".stripMargin
+         |$roundCtes""".stripMargin
   }
+
+  /** Oracle for `q_curate_learned`: the learned quality gate INSIDE the
+    * curation composition, replayed end to end — the fit CTE chain
+    * trains the weight table over the marker-augmented corpus
+    * ([[qualityFitCtes]], bit-exact integer schedule; balanced planted
+    * classes, see the query's comment), the serve stage re-scores every
+    * document from the SAME feature matrix (z = Σc·w over fm ⋈ trained
+    * weights — the weight table covers every bucket the corpus exhibits,
+    * so the left-join coalesce in the Spark serve path is the identity
+    * here), the gate keeps logit ≥ 0, and the survivors run the full
+    * [[curateCtes]] chain. This hash-gates the fit→serve→gate→curate
+    * PLUMBING the standalone q_quality_fit / q_quality_score rows cannot
+    * see. */
+  private def curateLearnedOracleSql(buckets: Int, rounds: Int): String =
+    s"""WITH RECURSIVE
+       |${qualityFitCtes(buckets, rounds, labelSql = "doc_id % 2 = 0",
+        baseSql = "SELECT doc_id, text || CASE WHEN doc_id % 2 = 0" +
+          " THEN ' curated archival verified editorial'" +
+          " ELSE ' clickbait spamword casino lottery' END AS text" +
+          " FROM documents")},
+       |sv_z AS MATERIALIZED (
+       |  SELECT fm.doc_id, sum(fm.c * w.w) AS z
+       |  FROM fm JOIN qw$rounds w USING (bucket) GROUP BY 1),
+       |gated AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text FROM qfbase d
+       |  JOIN sv_z z ON d.doc_id = z.doc_id
+       |  JOIN nd ON d.doc_id = nd.doc_id
+       |  WHERE CAST(z.z AS DOUBLE) / 1e3 / CAST(nd.n AS DOUBLE) >= 0),
+       |${curateCtes("SELECT doc_id, text FROM gated")}
+       |SELECT doc_id, quality_score, split,
+       |  CAST(pack_bucket AS BIGINT) AS pack_bucket, pack_bin, bin_offset
+       |FROM packed""".stripMargin
 
   /** The seven TPC-H shapes that complete the 22-query suite (Q13 ships
     * as `q_sql_custdist`). The synthetic schema has no `partsupp`, so the
@@ -7002,6 +7102,8 @@ object SparkEntry {
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM pairs""".stripMargin,
 
     "q_curate" -> curateOracleSql,
+
+    "q_curate_learned" -> curateLearnedOracleSql(buckets = 256, rounds = 3),
 
     "q_crawl_e2e" -> crawlE2eOracleSql(encodeMerges, budget = 128L,
       buckets = 8),
