@@ -1091,6 +1091,39 @@ object SparkEntry {
           col("robots_allowed"))
     },
 
+    // Robots AUXILIARY fields (r10 verdict stretch): Crawl-delay and
+    // Sitemap surfaced as parse-only audit columns. The fixture covers
+    // the resolution matrix — a specific-agent group shadows the star
+    // group's delay (h0: 2 not 10), a specific group WITHOUT a delay
+    // shadows the star's into NULL (h1), a non-numeric delay is NULL not
+    // a crash (h2), a star delay applies when no specific group exists
+    // (h3) — and sitemaps are host-GLOBAL (collected before any group
+    // and inside foreign groups alike, sorted). PROPERTY oracle: fixed
+    // constants — the fixture is deterministic, so the oracle pins the
+    // exact resolved table.
+    "q_robots_aux" -> q { (s, dir) =>
+      import s.implicits._
+      val robots = Seq(
+        ("h0.example.com",
+          "Sitemap: https://h0.example.com/b.xml\n" +
+            "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n\n" +
+            "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /y\n" +
+            "Sitemap: https://h0.example.com/a.xml"),
+        ("h1.example.com",
+          "User-agent: graftbot\nDisallow: /z\n\n" +
+            "User-agent: *\nCrawl-delay: 1.5\n" +
+            "Sitemap: https://h1.example.com/s.xml"),
+        ("h2.example.com",
+          "User-agent: *\nCrawl-delay: abc\nDisallow: /"),
+        ("h3.example.com",
+          "User-agent: *\nCrawl-delay: 7")).toDF("host", "body")
+      graft.ops.Policy.parseRobotsAux(robots, "host", "body",
+          agent = "graftbot")
+        .select(col("host"), col("crawl_delay_sec"),
+          array_join(col("sitemaps"), ",").as("sitemap_list"),
+          size(col("sitemaps")).cast(LongType).as("n_sitemaps"))
+    },
+
     // License + robots-directive detection (ops.Policy) — each document
     // is rendered into a page whose license anchor (CC BY/BY-NC-SA/CC0/
     // BY-ND, a non-CC rel=license, or none) and robots META tag vary by
@@ -6159,6 +6192,21 @@ object SparkEntry {
         |    WHEN 2 THEN doc_id % 8 = 4
         |    ELSE TRUE END AS robots_allowed
         |FROM documents""".stripMargin,
+
+    // PROPERTY oracle: the fixture is deterministic, so the resolved
+    // audit table is a constant — specific-group shadowing (incl. the
+    // shadowed-to-NULL h1 cell), non-numeric → NULL, host-global sorted
+    // sitemaps
+    "q_robots_aux" ->
+      """SELECT * FROM (VALUES
+        |  ('h0.example.com', CAST(2.0 AS DOUBLE),
+        |   'https://h0.example.com/a.xml,https://h0.example.com/b.xml',
+        |   CAST(2 AS BIGINT)),
+        |  ('h1.example.com', CAST(NULL AS DOUBLE),
+        |   'https://h1.example.com/s.xml', CAST(1 AS BIGINT)),
+        |  ('h2.example.com', CAST(NULL AS DOUBLE), '', CAST(0 AS BIGINT)),
+        |  ('h3.example.com', CAST(7.0 AS DOUBLE), '', CAST(0 AS BIGINT)))
+        |  AS t(host, crawl_delay_sec, sitemap_list, n_sitemaps)""".stripMargin,
 
     // PROPERTY oracle: every license/directive signal derives from
     // doc_id arithmetic

@@ -54,7 +54,10 @@ import org.apache.spark.sql.functions._
   *     Googlebot/RFC tiebreak); on a length tie `Allow` wins; no
   *     matching rule (or no robots.txt for the host) means allowed.
   *   - An empty `Disallow:` (allow-all) is dropped as the no-op it is.
-  *     `Crawl-delay`/`Sitemap` lines are ignored.
+  *     `Crawl-delay`/`Sitemap` lines carry no gating semantics (both
+  *     are extra-RFC) but surface as audit columns via
+  *     [[parseRobotsAux]] — curators read them even though no standard
+  *     requires honoring them.
   */
 object Policy {
 
@@ -120,7 +123,28 @@ object Policy {
     */
   def parseRobots(robots: DataFrame, hostCol: String, bodyCol: String,
       agent: String = "*"): DataFrame = {
-    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val needsRegex =
+      col("__prefix").contains("*") || col("__prefix").endsWith("$")
+    resolvedLines(robots, hostCol, bodyCol,
+        agent.toLowerCase(java.util.Locale.ROOT))
+      .where(col("__gid") >= 1 && col("__is_rule") && col("__applies") &&
+        col("__prefix") =!= "")
+      .groupBy(col("__host").as("host"))
+      .agg(collect_list(ruleStruct(col("__prefix"),
+        length(col("__prefix")).cast("int"), col("__allow"),
+        when(needsRegex, repPatternRegex(col("__prefix")))
+          .otherwise(lit(null).cast("string"))))
+        .as("robots_rules"))
+  }
+
+  /** The shared line/group machinery behind [[parseRobots]] and
+    * [[parseRobotsAux]]: comment-stripped significant lines tagged with
+    * their group id and the agent-resolution verdict (`__applies` — the
+    * object doc's semantics: specific groups shadow every star group).
+    * One hash exchange of the robots table; the three windows share the
+    * host partitioning. */
+  private def resolvedLines(robots: DataFrame, hostCol: String,
+      bodyCol: String, agentLc: String): DataFrame = {
     // normalize the key the way the page side does (Urls.host lowercases):
     // a mixed-case robots host must not silently miss the join and turn
     // every rule into an implicit allow
@@ -158,26 +182,51 @@ object Policy {
       if (agentLc == "*") lit(false)
       else max(when(col("__is_ua") && col("__ua") === agentLc, 1)
         .otherwise(0)).over(grp) === 1
-    val flagged = withGid
+    withGid
       .withColumn("__grp_star",
         max(when(col("__is_ua") && col("__ua") === "*", 1).otherwise(0))
           .over(grp) === 1)
       .withColumn("__grp_specific", specificInGrp)
       .withColumn("__host_specific",
         max(when(col("__grp_specific"), 1).otherwise(0)).over(hostW) === 1)
-    val applies = col("__grp_specific") ||
-      (!col("__host_specific") && col("__grp_star"))
-    val needsRegex =
-      col("__prefix").contains("*") || col("__prefix").endsWith("$")
-    flagged
-      .where(col("__gid") >= 1 && col("__is_rule") && applies &&
-        col("__prefix") =!= "")
+      .withColumn("__applies", col("__grp_specific") ||
+        (!col("__host_specific") && col("__grp_star")))
+  }
+
+  /** Auxiliary robots fields as PER-HOST AUDIT columns — parse-only, no
+    * gating semantics (both fields are extra-RFC, but ubiquitous and
+    * read by every curation team): `(host, crawl_delay_sec, sitemaps)`.
+    *
+    *  - `crawl_delay_sec`: the `Crawl-delay` of the groups that apply to
+    *    `agent` under the SAME resolution as [[parseRobots]] (a specific
+    *    group shadows every star group — including its delay: a host
+    *    that names the agent without a delay resolves NULL even if the
+    *    star group carries one). Multiple applying delays resolve to the
+    *    MAX (the conservative reading — the slowest requested cadence);
+    *    a non-numeric value is NULL, faithfully unparseable.
+    *  - `sitemaps`: every `Sitemap:` URL on the host, sorted — the field
+    *    is host-global by the de-facto standard (sitemaps.org), NOT
+    *    group-scoped, so lines before any group or inside a foreign
+    *    agent's group still count.
+    *
+    * Same scale shape as [[parseRobots]]: one hash exchange of the tiny
+    * robots table, never the page corpus. */
+  def parseRobotsAux(robots: DataFrame, hostCol: String, bodyCol: String,
+      agent: String = "*"): DataFrame = {
+    val isDelay = col("__line").rlike("(?i)^crawl-delay\\s*:")
+    val delayVal = trim(regexp_extract(col("__line"),
+      "(?i)^crawl-delay\\s*:\\s*(\\S*)", 1)).cast("double")
+    val isSitemap = col("__line").rlike("(?i)^sitemap\\s*:")
+    val sitemapVal = trim(regexp_extract(col("__line"),
+      "(?i)^sitemap\\s*:\\s*(\\S*)", 1))
+    resolvedLines(robots, hostCol, bodyCol,
+        agent.toLowerCase(java.util.Locale.ROOT))
       .groupBy(col("__host").as("host"))
-      .agg(collect_list(ruleStruct(col("__prefix"),
-        length(col("__prefix")).cast("int"), col("__allow"),
-        when(needsRegex, repPatternRegex(col("__prefix")))
-          .otherwise(lit(null).cast("string"))))
-        .as("robots_rules"))
+      .agg(
+        max(when(col("__gid") >= 1 && isDelay && col("__applies"),
+          delayVal)).as("crawl_delay_sec"),
+        array_sort(collect_list(when(isSitemap && sitemapVal =!= "",
+          sitemapVal))).as("sitemaps"))
   }
 
   /** Gate pages against a [[parseRobots]] table: ONE left equi-join on

@@ -411,4 +411,31 @@ class PolicySpec extends SparkSpec {
       assert(got === ((fam, comm, deriv)))
     }
   }
+
+  test("parseRobotsAux: crawl-delay group resolution, sitemaps host-global") {
+    val robots = Seq(
+      // specific group shadows the star group's delay entirely
+      ("H0.Example.com", // mixed-case host must normalize like parseRobots
+        "Sitemap: https://h0/b.xml\n" + // before any group: still collected
+          "User-agent: *\nCrawl-delay: 10\n\n" +
+          "User-agent: bot\nCrawl-delay: 2\nDisallow: /y\n" +
+          "Sitemap: https://h0/a.xml"),
+      // specific group WITHOUT a delay: the star's 1.5 must NOT leak in
+      ("h1", "User-agent: bot\nDisallow: /z\n\nUser-agent: *\nCrawl-delay: 1.5"),
+      // non-numeric delay: NULL, not a crash; no sitemap: empty array
+      ("h2", "User-agent: *\nCrawl-delay: soon"),
+      // star delay applies when the agent is not named; two delays in
+      // applying groups resolve to the MAX (conservative)
+      ("h3", "User-agent: *\nCrawl-delay: 3\n\nUser-agent: *\nCrawl-delay: 7"))
+      .toDF("host", "body")
+    val out = Policy.parseRobotsAux(robots, "host", "body", agent = "bot")
+      .orderBy("host")
+      .select($"host", $"crawl_delay_sec", $"sitemaps")
+      .as[(String, Option[Double], Seq[String])].collect()
+    assert(out(0) === (("h0.example.com", Some(2.0),
+      Seq("https://h0/a.xml", "https://h0/b.xml")))) // sorted
+    assert(out(1) === (("h1", None, Seq.empty)))
+    assert(out(2) === (("h2", None, Seq.empty)))
+    assert(out(3) === (("h3", Some(7.0), Seq.empty)))
+  }
 }
