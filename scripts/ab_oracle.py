@@ -14,7 +14,17 @@ def main():
     name, sf_dir, out_dir = sys.argv[1], sys.argv[2], sys.argv[3]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # ScaleFixture dirs (x1/x10) carry only the 5 tables the scale
+        # suite reads — a missing table must not kill an A/B whose query
+        # never touches it (the query itself still fails loudly if
+        # needed). Fixture tables are Spark parquet DIRECTORIES; the
+        # driver testdata tables are single files — glob accordingly.
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"'{p}'"
+        try:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        except Exception:
+            pass
     sql = json.load(open(os.path.join(out_dir, "oracle_sql.json")))[name]
     con.execute(sql).fetchall()  # warmup (buffer pool, plan cache)
     runs = []

@@ -762,6 +762,12 @@ object TextAnalysis {
     * shuffle); the model tables are minCount-floored and broadcast —
     * at a vocabulary where the floored bigram table outgrows broadcast,
     * the joins degrade to shuffles of 3-column count rows, never bodies.
+    * Plan-variant note (r11): an in-row zip extraction (no window) and a
+    * single window-sum model join were A/B'd against this shape at
+    * sf0.1/x10/x100 — all variants within noise at x10+, this shape
+    * fastest at sf0.1 (SCALING.md §r11); the >2×-oracle readings at
+    * small scale are sequential-stage floor (anatomy: 10-13 AQE jobs),
+    * not plan cost, and the two-sided x100 A/B measures 1.9×.
     *
     * One-shot form: the checkpointed tf table's release handle is
     * dropped, so its blocks free on ContextCleaner GC after the caller's

@@ -34,11 +34,23 @@ object Triangles {
       .where(col("u") =!= col("v"))
       .distinct()
 
-  /** One row: (n_nodes, n_edges, n_triangles) for the canonical graph. */
+  /** One row: (n_nodes, n_edges, n_triangles) for the canonical graph.
+    *
+    * Shared subtrees are materialized ONCE via lazy localCheckpoints
+    * (the bigramLogProb pattern — blocks free on ContextCleaner GC after
+    * the caller's frame reference dies): the canonical edge set feeds
+    * the degree table, the orientation join, and the edge count; the
+    * degree table feeds both orientation legs and the node count. The
+    * un-checkpointed form re-executed each consumer's whole upstream —
+    * exchange REUSE never fires here because the edge-building subtrees
+    * carry order-nondeterministic expressions (collect_set in the
+    * co-purchase caller) — which the r11 x10 anatomy probe measured as
+    * 42 exchanges / 16 sequential jobs for a 3-join query. */
   def countExact(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val und = canonical(edges, aCol, bCol)
+    val und = canonical(edges, aCol, bCol).localCheckpoint(false)
     val deg = und.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
     val du = deg.select(col("id").as("u"), col("deg").as("du"))
     val dv = deg.select(col("id").as("v"), col("deg").as("dv"))
     // orient low→high in the (deg, id) total order
@@ -48,6 +60,7 @@ object Triangles {
         struct(col("u").as("x"), col("v").as("y")))
         .otherwise(struct(col("v").as("x"), col("u").as("y"))).as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"))
+      .localCheckpoint(false) // feeds both path legs AND the closing probe
     val paths = directed.select(col("x"), col("y").as("m"))
       .join(directed.select(col("x").as("m"), col("y").as("z")), "m")
     // fresh aliases for the closing-edge leg: all three legs derive from
