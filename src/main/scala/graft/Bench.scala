@@ -262,7 +262,11 @@ object Bench {
     val shuffleFloor = calibrate(() =>
       spark.range(0, 1000000, 1, 32).groupBy(fcol("id") % 1000).count()
         .write.format("noop").mode("overwrite").save())
-    val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // ONE renderer for per-query cells: the full-JSON `queries` map and
+    // the chunked stdout re-emit below must stay byte-compatible (a
+    // truncated capture is parsed from the chunks)
+    def qCell(k: String, v: Double): String = "\"" + k + "\":" + f"$v%.3f"
+    val qs = finalResults.map { case (k, v) => qCell(k, v) }
       .mkString("{", ",", "}")
     val runsJson = rawRuns.map { case (k, ts) =>
       "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
@@ -295,8 +299,7 @@ object Bench {
     // window.
     finalResults.toSeq.grouped(12).zipWithIndex.foreach { case (chunk, i) =>
       println(s"""{"metric":"queries_chunk","part":${i + 1},"queries":${
-        chunk.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-          .mkString("{", ",", "}")}}""")
+        chunk.map { case (k, v) => qCell(k, v) }.mkString("{", ",", "}")}}""")
     }
     println(headline)
     Files.writeString(Paths.get(outPath), json + "\n")

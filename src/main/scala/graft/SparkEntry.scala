@@ -5392,7 +5392,11 @@ object SparkEntry {
     * document from the SAME feature matrix (z = Σc·w over fm ⋈ trained
     * weights — the weight table covers every bucket the corpus exhibits,
     * so the left-join coalesce in the Spark serve path is the identity
-    * here), the gate keeps logit ≥ 0, and the survivors run the full
+    * here), the gate keeps logit ≥ 0 — via LEFT joins with the logit
+    * coalesced to the bias (0) for zero-feature docs, replaying the
+    * Spark side's defined-verdict contract (a null/empty-text doc passes
+    * a bias-0/threshold-0 classifier gate; emptiness is the downstream
+    * length gate's call) — and the survivors run the full
     * [[curateCtes]] chain. This hash-gates the fit→serve→gate→curate
     * PLUMBING the standalone q_quality_fit / q_quality_score rows cannot
     * see. */
@@ -5408,9 +5412,10 @@ object SparkEntry {
        |  FROM fm JOIN qw$rounds w USING (bucket) GROUP BY 1),
        |gated AS MATERIALIZED (
        |  SELECT d.doc_id, d.text FROM qfbase d
-       |  JOIN sv_z z ON d.doc_id = z.doc_id
-       |  JOIN nd ON d.doc_id = nd.doc_id
-       |  WHERE CAST(z.z AS DOUBLE) / 1e3 / CAST(nd.n AS DOUBLE) >= 0),
+       |  LEFT JOIN sv_z z ON d.doc_id = z.doc_id
+       |  LEFT JOIN nd ON d.doc_id = nd.doc_id
+       |  WHERE coalesce(CAST(z.z AS DOUBLE) / 1e3 / CAST(nd.n AS DOUBLE),
+       |                 CAST(0 AS DOUBLE)) >= 0),
        |${curateCtes("SELECT doc_id, text FROM gated")}
        |SELECT doc_id, quality_score, split,
        |  CAST(pack_bucket AS BIGINT) AS pack_bucket, pack_bin, bin_offset

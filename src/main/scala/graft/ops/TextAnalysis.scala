@@ -933,7 +933,11 @@ object TextAnalysis {
     * bias (zero features contribute a zero mean, the same convention as
     * absent buckets scoring 0), never NULL. A NULL keep would silently
     * vanish in boolean filters — the null-poisoning [[Policy.gate]]'s
-    * boolean algebra is built to forbid. */
+    * boolean algebra is built to forbid. Consequence at the defaults
+    * (bias 0, threshold 0): an empty doc PASSES the classifier gate —
+    * deliberate (the classifier has no evidence either way; emptiness is
+    * the length/quality gates' call downstream, the same philosophy as
+    * the link-density channel passing NULL-density pages). */
   private def classifierVerdict(docs: DataFrame, idCol: String,
       scored: DataFrame, biasMilli: Long, threshold: Double): DataFrame =
     docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left_outer")

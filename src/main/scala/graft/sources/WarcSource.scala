@@ -147,6 +147,18 @@ object WarcSource {
       charsetCol: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // overwrite semantics at the ARCHIVE level: a rewrite with fewer
+    // partitions must not leave stale part files from a wider previous
+    // run (readGzip would resurrect them while the overwritten manifest
+    // disagrees — silently breaking the ranged-read ≡ full-walk
+    // equivalence)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName.endsWith(".warc.gz"))
+          fs.delete(st.getPath, false)
+      }
     val sel = docs.select(col(idCol).cast("long").as("_1"),
       col(textCol).cast("string").as("_2"),
       col(sourceCol).cast("string").as("_3"),
@@ -237,15 +249,26 @@ object WarcSource {
           _.addTaskCompletionListener[Unit](_ =>
             handles.values.foreach(h => scala.util.Try(h.close()))))
         it.flatMap { case (f, o, l) =>
-          val in = handles.getOrElseUpdate(f, {
-            val p = new org.apache.hadoop.fs.Path(path, f)
-            p.getFileSystem(conf).open(p)
-          })
-          val buf = new Array[Byte](l.toInt)
-          in.readFully(o, buf)
-          // the slice starts at a member boundary by manifest contract;
-          // offsets in the emitted rows are rebased to the file
-          walkMembers(f, buf, o, maxMemberBytes)
+          // a corrupt/hostile manifest row must ROUTE, not kill the task
+          // (the same posture as the member walk itself): negative or
+          // absurd lengths and reads past EOF become corrupt rows
+          if (l <= 0 || l > Int.MaxValue - 8)
+            Iterator(WarcGzRecord(f, o, l, None, None, None, None, None,
+              None, Some("bad_manifest_range")))
+          else scala.util.Try {
+            val in = handles.getOrElseUpdate(f, {
+              val p = new org.apache.hadoop.fs.Path(path, f)
+              p.getFileSystem(conf).open(p)
+            })
+            val buf = new Array[Byte](l.toInt)
+            in.readFully(o, buf)
+            buf
+          }.fold(
+            _ => Iterator(WarcGzRecord(f, o, l, None, None, None, None,
+              None, None, Some("bad_manifest_range"))),
+            // the slice starts at a member boundary by manifest
+            // contract; emitted offsets are rebased to the file
+            buf => walkMembers(f, buf, o, maxMemberBytes))
         }
       }
       .toDF()
@@ -257,23 +280,27 @@ object WarcSource {
     * the walk resumes. `base` rebases emitted offsets (ranged reads pass
     * the slice's file offset). */
   private[graft] def walkMembers(file: String, bytes: Array[Byte],
-      base: Long, maxMemberBytes: Int): Iterator[WarcGzRecord] = {
-    val out = Vector.newBuilder[WarcGzRecord]
-    var off = 0
-    while (off < bytes.length) {
-      inflateMember(bytes, off, maxMemberBytes) match {
-        case Right((data, consumed)) =>
-          out += parseRecord(file, base + off, consumed.toLong, data)
-          off += consumed
-        case Left(reason) =>
-          val next = nextMagic(bytes, off + 1)
-          out += WarcGzRecord(file, base + off, (next - off).toLong,
-            None, None, None, None, None, None, Some(reason))
-          off = next
-      }
+      base: Long, maxMemberBytes: Int): Iterator[WarcGzRecord] =
+    // a TRUE iterator — one decompressed member resident at a time, so a
+    // whole-file task never holds the full decoded archive on top of the
+    // compressed buffer (a 5:1 file would otherwise cost 6× its size)
+    new Iterator[WarcGzRecord] {
+      private var off = 0
+      override def hasNext: Boolean = off < bytes.length
+      override def next(): WarcGzRecord =
+        inflateMember(bytes, off, maxMemberBytes) match {
+          case Right((data, consumed)) =>
+            val rec = parseRecord(file, base + off, consumed.toLong, data)
+            off += consumed
+            rec
+          case Left(reason) =>
+            val next = nextMagic(bytes, off + 1)
+            val rec = WarcGzRecord(file, base + off, (next - off).toLong,
+              None, None, None, None, None, None, Some(reason))
+            off = next
+            rec
+        }
     }
-    out.result().iterator
-  }
 
   /** Next offset ≥ `from` holding the gzip member magic (1f 8b 08), or
     * end of buffer. */

@@ -110,6 +110,39 @@ class WarcSourceSpec extends SparkSpec {
     assert(some.count() == 7 && some.where(col("payload").isNull).count() == 0)
   }
 
+  test("archive rewrite clears stale parts: fewer partitions, no resurrection") {
+    val dir = Files.createTempDirectory("warcgz_rw").toString
+    val v1 = (0L until 12L).map(i => (i, s"old body $i", "s0"))
+      .toDF("doc_id", "text", "source")
+    WarcSource.writeGzip(v1.repartition(4), "doc_id", "text", "source", dir)
+    val v2 = (100L until 106L).map(i => (i, s"new body $i", "s0"))
+      .toDF("doc_id", "text", "source")
+    WarcSource.writeGzip(v2.repartition(2), "doc_id", "text", "source", dir)
+    val got = WarcSource.readGzip(spark, dir)
+    assert(got.count() == 6, "stale wider-run parts must not resurrect")
+    assert(got.where(col("payload").startsWith("old")).count() == 0)
+    // and the manifest agrees with the walk after the rewrite
+    val ranged = WarcSource.readGzipMembers(spark, dir,
+      WarcSource.memberManifest(spark, dir))
+    assert(ranged.except(got).isEmpty && got.except(ranged).isEmpty)
+  }
+
+  test("hostile manifest rows route as corrupt instead of killing the task") {
+    val dir = Files.createTempDirectory("warcgz_badman").toString
+    val docs2 = Seq((1L, "fine", "s0")).toDF("doc_id", "text", "source")
+    WarcSource.writeGzip(docs2, "doc_id", "text", "source", dir)
+    val good = WarcSource.memberManifest(spark, dir)
+    val bad = Seq(
+      ("part-00000.warc.gz", 0L, -5L),          // negative length
+      ("part-00000.warc.gz", 1L << 40, 100L),   // offset past EOF
+      ("no-such-file.warc.gz", 0L, 64L))        // missing file
+      .toDF("file", "member_offset", "member_length")
+    val rows = WarcSource.readGzipMembers(spark, dir, good.unionByName(bad))
+      .collect()
+    assert(rows.count(_.getAs[String]("corrupt_reason") == null) == 1)
+    assert(rows.count(_.getAs[String]("corrupt_reason") == "bad_manifest_range") == 3)
+  }
+
   test("corrupt member routes and the walk RESUMES at the next gzip magic") {
     val dir = Files.createTempDirectory("warcgz_corrupt").toString
     val m1 = crafted(Seq("WARC-Target-URI" -> "http://h.example/doc/1",
