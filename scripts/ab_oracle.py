@@ -26,9 +26,10 @@ def main():
         except Exception:
             pass
     sql = json.load(open(os.path.join(out_dir, "oracle_sql.json")))[name]
+    n_runs = int(sys.argv[4]) if len(sys.argv) > 4 else 5
     con.execute(sql).fetchall()  # warmup (buffer pool, plan cache)
     runs = []
-    for _ in range(5):
+    for _ in range(n_runs):
         t0 = time.time()
         con.execute(sql).fetchall()
         runs.append(round(time.time() - t0, 3))
