@@ -20,11 +20,13 @@ def main():
         # needed). Fixture tables are Spark parquet DIRECTORIES; the
         # driver testdata tables are single files — glob accordingly.
         p = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(p):
+            continue  # fixture dirs carry only the tables their suite reads
         src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"'{p}'"
-        try:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
-        except Exception:
-            pass
+        # anything else (malformed/unreadable parquet) propagates: a view
+        # the query needs must fail HERE, not as a confusing downstream
+        # "table does not exist"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     sql = json.load(open(os.path.join(out_dir, "oracle_sql.json")))[name]
     n_runs = int(sys.argv[4]) if len(sys.argv) > 4 else 5
     con.execute(sql).fetchall()  # warmup (buffer pool, plan cache)

@@ -147,16 +147,24 @@ object WarcSource {
       charsetCol: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // Commit protocol: the completion marker is DELETED first and
+    // rewritten only after the manifest parquet commits, so a crash
+    // anywhere between part-file creation and the manifest commit leaves
+    // an archive the readers REFUSE (no marker) instead of one whose
+    // fresh parts silently disagree with a stale manifest (ranged reads
+    // straddling member boundaries with no staleness signal).
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, CommitMarker), false)
     // overwrite semantics at the ARCHIVE level: a rewrite with fewer
     // partitions must not leave stale part files from a wider previous
     // run (readGzip would resurrect them while the overwritten manifest
     // disagrees — silently breaking the ranged-read ≡ full-walk
-    // equivalence)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // equivalence); leftover per-attempt temps from a crashed run go too
     if (fs.exists(root))
       fs.listStatus(root).foreach { st =>
-        if (st.getPath.getName.endsWith(".warc.gz"))
+        val n = st.getPath.getName
+        if (n.endsWith(".warc.gz") || n.contains(".warc.gz.tmp-"))
           fs.delete(st.getPath, false)
       }
     val sel = docs.select(col(idCol).cast("long").as("_1"),
@@ -169,14 +177,25 @@ object WarcSource {
     val manifest = sel.mapPartitions { it =>
       if (it.isEmpty) Iterator.empty
       else {
+        val tc = org.apache.spark.TaskContext.get()
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val fileName = f"part-$pid%05d.warc.gz"
         val target = new org.apache.hadoop.fs.Path(path, fileName)
+        // ATTEMPT-SCOPED temp + rename-on-close: two concurrent attempts
+        // of one task (speculation, or a retry racing a zombie) each
+        // write their own temp — never interleaving bytes in one part
+        // file — and the loser of the rename finds the target already
+        // committed and discards its temp (attempts write byte-identical
+        // output: sorted input + fixed gzip header, so either file is
+        // correct).
+        val attemptId = Option(tc).map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new org.apache.hadoop.fs.Path(path,
+          s"$fileName.tmp-$attemptId")
         // executor-side Configuration(): loads the cluster's core-site.xml
         // from the classpath (how Spark ships Hadoop conf to executors);
         // local runs resolve to the local FS
         val fs = target.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(target, true)
+        val out = fs.create(tmp, true)
         var offset = 0L
         val rows = it.map { case (id, text, source, cs) =>
           val charset = java.nio.charset.Charset.forName(cs)
@@ -192,16 +211,49 @@ object WarcSource {
           row
         }.toVector // drain before close
         out.close()
+        if (!fs.rename(tmp, target)) {
+          // rename refuses when the target exists (HDFS/local contract):
+          // a sibling attempt already committed identical bytes
+          if (!fs.exists(target))
+            throw new java.io.IOException(s"rename $tmp -> $target failed")
+          fs.delete(tmp, false)
+        }
         rows.iterator
       }
     }.toDF("file", "member_offset", "member_length")
     manifest.write.mode("overwrite").parquet(s"$path/_members")
+    // marker last: parts + manifest are now mutually consistent
+    fs.create(new org.apache.hadoop.fs.Path(root, CommitMarker), true).close()
+  }
+
+  /** Completion marker [[writeGzip]] commits LAST (after parts and
+    * manifest): its absence beside a `_members` manifest means a torn
+    * write, and the readers refuse the archive instead of serving ranged
+    * reads against a stale index. */
+  val CommitMarker: String = "_archive_committed"
+
+  /** Fail fast on a torn [[writeGzip]] (manifest present, marker absent).
+    * Archives without a manifest (hand-built fixtures, foreign layouts)
+    * carry no marker contract and pass. */
+  private def requireCommitted(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasManifest = fs.exists(new org.apache.hadoop.fs.Path(root, "_members"))
+    if (hasManifest &&
+        !fs.exists(new org.apache.hadoop.fs.Path(root, CommitMarker)))
+      throw new IllegalStateException(
+        s"gzip WARC archive at $path has a member manifest but no " +
+          s"$CommitMarker marker: a writeGzip crashed between writing part " +
+          "files and committing the manifest, so ranged reads against this " +
+          "index may straddle member boundaries. Re-run writeGzip.")
   }
 
   /** The archive's member manifest as written by [[writeGzip]] (or any
     * compatible indexer): (file, member_offset, member_length). */
-  def memberManifest(spark: SparkSession, path: String): DataFrame =
+  def memberManifest(spark: SparkSession, path: String): DataFrame = {
+    requireCommitted(spark, path)
     spark.read.parquet(s"$path/_members")
+  }
 
   /** Read a gzip-member archive by walking whole files — per-FILE
     * parallelism (a gzip member stream is not splittable from the
@@ -213,6 +265,7 @@ object WarcSource {
   def readGzip(spark: SparkSession, path: String,
       maxMemberBytes: Int = DefaultMaxMemberBytes): DataFrame = {
     import spark.implicits._
+    requireCommitted(spark, path)
     spark.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
       .load(path)
       .select(col("path"), col("content"))
@@ -237,38 +290,65 @@ object WarcSource {
       manifest: DataFrame,
       maxMemberBytes: Int = DefaultMaxMemberBytes): DataFrame = {
     import spark.implicits._
+    requireCommitted(spark, path)
     manifest.select(col("file").cast("string"),
       col("member_offset").cast("long"), col("member_length").cast("long"))
       .as[(String, Long, Long)]
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration()
-        // one open handle per distinct file, closed on task completion
-        val handles = scala.collection.mutable.Map
-          .empty[String, org.apache.hadoop.fs.FSDataInputStream]
+        // one open handle (plus the file's length for range validation)
+        // per distinct file, closed on task completion; a DETERMINISTIC
+        // open failure (file absent) is cached too, so a manifest with a
+        // million rows against a missing file pays one lookup, not one
+        // per row
+        val handles = scala.collection.mutable.Map.empty[String,
+          Either[String, (org.apache.hadoop.fs.FSDataInputStream, Long)]]
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ =>
-            handles.values.foreach(h => scala.util.Try(h.close()))))
+            handles.values.foreach {
+              case Right((h, _)) => scala.util.Try(h.close()): Unit
+              case Left(_) => ()
+            }))
+        def corrupt(f: String, o: Long, l: Long, reason: String) =
+          Iterator(WarcGzRecord(f, o, l, None, None, None, None, None,
+            None, Some(reason)))
         it.flatMap { case (f, o, l) =>
-          // a corrupt/hostile manifest row must ROUTE, not kill the task
-          // (the same posture as the member walk itself): negative or
-          // absurd lengths and reads past EOF become corrupt rows
-          if (l <= 0 || l > Int.MaxValue - 8)
-            Iterator(WarcGzRecord(f, o, l, None, None, None, None, None,
-              None, Some("bad_manifest_range")))
-          else scala.util.Try {
-            val in = handles.getOrElseUpdate(f, {
-              val p = new org.apache.hadoop.fs.Path(path, f)
-              p.getFileSystem(conf).open(p)
-            })
-            val buf = new Array[Byte](l.toInt)
-            in.readFully(o, buf)
-            buf
-          }.fold(
-            _ => Iterator(WarcGzRecord(f, o, l, None, None, None, None,
-              None, None, Some("bad_manifest_range"))),
-            // the slice starts at a member boundary by manifest
-            // contract; emitted offsets are rebased to the file
-            buf => walkMembers(f, buf, o, maxMemberBytes))
+          // GENUINE manifest defects ROUTE as corrupt rows (the member
+          // walk's posture): negative/absurd ranges, ranges past the
+          // file's length, a file the manifest invents. Everything else
+          // — transient I/O (HDFS timeouts, connection resets) —
+          // PROPAGATES so Spark retries the task: folding those into
+          // corrupt rows would silently drop valid records on the 100 TB
+          // ranged-read path whenever the storage layer hiccups.
+          if (l <= 0 || l > Int.MaxValue - 8 || o < 0)
+            corrupt(f, o, l, "bad_manifest_range")
+          else handles.getOrElseUpdate(f, {
+            val p = new org.apache.hadoop.fs.Path(path, f)
+            try {
+              val fs = p.getFileSystem(conf)
+              val len = fs.getFileStatus(p).getLen
+              Right((fs.open(p), len))
+            } catch { // deterministic: the manifest names a missing file
+              case _: java.io.FileNotFoundException => Left("missing_file")
+            }
+          }) match {
+            case Left(reason) => corrupt(f, o, l, reason)
+            case Right((in, fileLen)) =>
+              if (o + l > fileLen) corrupt(f, o, l, "bad_manifest_range")
+              else {
+                val buf = new Array[Byte](l.toInt)
+                // EOF after passing the length pre-check = the file
+                // shrank under us (torn rewrite) — a range defect, not a
+                // transient; other IOExceptions propagate for task retry
+                val read =
+                  try { in.readFully(o, buf); true }
+                  catch { case _: java.io.EOFException => false }
+                if (!read) corrupt(f, o, l, "bad_manifest_range")
+                // the slice starts at a member boundary by manifest
+                // contract; emitted offsets are rebased to the file
+                else walkMembers(f, buf, o, maxMemberBytes)
+              }
+          }
         }
       }
       .toDF()
@@ -276,9 +356,15 @@ object WarcSource {
 
   /** Walk a buffer of concatenated gzip members starting at a member
     * boundary; never throws — a region that fails to parse becomes ONE
-    * corrupt row spanning up to the next gzip magic (`1f 8b 08`), where
-    * the walk resumes. `base` rebases emitted offsets (ranged reads pass
-    * the slice's file offset). */
+    * corrupt row spanning up to the next PLAUSIBLE gzip member header
+    * (`1f 8b 08` with the RFC 1952 reserved FLG bits clear — the magic
+    * alone occurs by chance ~once per 20 MB of random bytes; the FLG
+    * check rejects 7/8 of those), where the walk resumes. Corrupt-row
+    * COUNTS are therefore per resync attempt, not per damaged region: a
+    * large garbage region whose bytes happen to contain a plausible
+    * header emits one corrupt row per failed resync, never losing data —
+    * each row's offset/length tiles the region exactly. `base` rebases
+    * emitted offsets (ranged reads pass the slice's file offset). */
   private[graft] def walkMembers(file: String, bytes: Array[Byte],
       base: Long, maxMemberBytes: Int): Iterator[WarcGzRecord] =
     // a TRUE iterator — one decompressed member resident at a time, so a
@@ -302,14 +388,20 @@ object WarcSource {
         }
     }
 
-  /** Next offset ≥ `from` holding the gzip member magic (1f 8b 08), or
-    * end of buffer. */
+  /** Next offset ≥ `from` holding a PLAUSIBLE gzip member header — the
+    * magic (1f 8b 08) followed by a FLG byte with the RFC 1952 reserved
+    * bits (5–7) clear — or end of buffer. The FLG validation keeps a
+    * chance 3-byte magic inside garbage or compressed data from
+    * splitting one damaged region into a cascade of spurious corrupt
+    * rows (a candidate that passes and still fails to inflate just
+    * becomes the next resync attempt — data is tiled either way). */
   private def nextMagic(b: Array[Byte], from: Int): Int = {
     var i = math.max(from, 0)
-    while (i + 2 < b.length &&
-      !(b(i) == 0x1f.toByte && b(i + 1) == 0x8b.toByte && b(i + 2) == 8))
+    while (i + 3 < b.length &&
+      !(b(i) == 0x1f.toByte && b(i + 1) == 0x8b.toByte && b(i + 2) == 8 &&
+        (b(i + 3) & 0xe0) == 0))
       i += 1
-    if (i + 2 < b.length) i else b.length
+    if (i + 3 < b.length) i else b.length
   }
 
   private def readLe32(b: Array[Byte], at: Int): Long =

@@ -140,7 +140,31 @@ class WarcSourceSpec extends SparkSpec {
     val rows = WarcSource.readGzipMembers(spark, dir, good.unionByName(bad))
       .collect()
     assert(rows.count(_.getAs[String]("corrupt_reason") == null) == 1)
-    assert(rows.count(_.getAs[String]("corrupt_reason") == "bad_manifest_range") == 3)
+    // the range defects route as range errors; the invented file routes
+    // under its OWN reason (a deterministic manifest defect — distinct
+    // from transient I/O, which PROPAGATES so Spark retries the task)
+    assert(rows.count(_.getAs[String]("corrupt_reason") == "bad_manifest_range") == 2)
+    assert(rows.count(_.getAs[String]("corrupt_reason") == "missing_file") == 1)
+  }
+
+  test("torn writeGzip (manifest without commit marker) is refused") {
+    val dir = Files.createTempDirectory("warcgz_torn").toString
+    val docs1 = Seq((1L, "fine", "s0")).toDF("doc_id", "text", "source")
+    WarcSource.writeGzip(docs1, "doc_id", "text", "source", dir)
+    // no leftover per-attempt temps after a clean commit
+    val leftovers = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.contains(".warc.gz.tmp-"))
+    assert(leftovers.isEmpty, s"uncommitted temps: ${leftovers.mkString(",")}")
+    // simulate the crash window: parts+manifest exist, marker missing
+    assert(new java.io.File(dir, WarcSource.CommitMarker).delete())
+    val e = intercept[IllegalStateException] {
+      WarcSource.memberManifest(spark, dir).count()
+    }
+    assert(e.getMessage.contains("no " + WarcSource.CommitMarker))
+    intercept[IllegalStateException] { WarcSource.readGzip(spark, dir).count() }
+    // a fresh writeGzip heals the archive
+    WarcSource.writeGzip(docs1, "doc_id", "text", "source", dir)
+    assert(WarcSource.readGzip(spark, dir).count() == 1)
   }
 
   test("corrupt member routes and the walk RESUMES at the next gzip magic") {
