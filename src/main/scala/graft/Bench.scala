@@ -99,15 +99,31 @@ object Bench {
         .write.mode("overwrite").parquet(f.getPath)
       f.getPath
     }
-    def runOnce(name: String): Unit = (name match {
-      case "q_dedup_span_filter" =>
-        import org.apache.spark.sql.functions.{col, length}
-        graft.ops.Dedup.dropSpanDuplicated(
-            Tables(spark, sfDir, "documents"), "doc_id",
-            spark.read.parquet(spanStatsPath), maxPermyriad = 2000L)
-          .select(col("doc_id"), length(col("text")).as("text_len"))
-      case _ => SparkEntry.queries(name)(spark, sfDir)
-    }).write.format("noop").mode("overwrite").save()
+    // Block-loss recovery (r11 verdict item #1): the lazy-localCheckpoint
+    // iterative ops cannot recompute evicted blocks (truncated lineage) —
+    // when the harness races the release path or memory pressure drops a
+    // block mid-query, the run dies with "Checkpoint block rdd_X_Y not
+    // found" even though the QUERY is fine. The body below rebuilds the
+    // frame from source on every invocation, so one retry mints fresh
+    // RDDs and recovers; the artifact records every recovery so a reader
+    // can distinguish a healed transient from a clean run.
+    val blockLossRecovered =
+      scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def runOnce(name: String): Unit =
+      graft.ops.Checkpoints.withBlockLossRetry(retries = 1, onRetry = t => {
+        System.err.println(s"[bench] $name lost checkpoint blocks, rebuilding: $t")
+        blockLossRecovered(name) = blockLossRecovered.getOrElse(name, 0) + 1
+      }) {
+        (name match {
+          case "q_dedup_span_filter" =>
+            import org.apache.spark.sql.functions.{col, length}
+            graft.ops.Dedup.dropSpanDuplicated(
+                Tables(spark, sfDir, "documents"), "doc_id",
+                spark.read.parquet(spanStatsPath), maxPermyriad = 2000L)
+              .select(col("doc_id"), length(col("text")).as("text_len"))
+          case _ => SparkEntry.queries(name)(spark, sfDir)
+        }).write.format("noop").mode("overwrite").save()
+      }
 
     // Cache isolation BETWEEN runs, outside the timed region: a timed run
     // must start with an empty cache (or run 2 would re-read run 1's
@@ -167,6 +183,18 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
       .sorted
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // the exception TEXT goes into the artifact beside the -1: the r11
+    // driver bench recorded q_pagerank as an unexplained error because
+    // `errors` carried only the name — the root cause was unrecoverable
+    // from the artifact
+    val errorDetails = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def recordError(name: String, e: Throwable): Unit = {
+      errors += name
+      val cause = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .take(8).toSeq.last
+      errorDetails(name) = (e.toString +
+        (if (cause ne e) s" <- root: $cause" else "")).take(500)
+    }
     // per-query raw runs, emitted alongside the min: a loaded box shows up
     // as BOTH runs shifted (a floor change), while a genuine plan
     // regression shifts the min — so a reader can tell fake per-query
@@ -177,9 +205,10 @@ object Bench {
       val ok = try { runOnce(name); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name warmup failed: $e")
+          recordError(name, e)
           false
       }
-      if (!ok) { errors += name; name -> -1.0 }
+      if (!ok) { name -> -1.0 }
       else {
         // two timed executions, minimum reported: single-JVM local mode has
         // 30–50 % run-to-run noise (GC, JIT recompilation, page cache); the
@@ -197,7 +226,7 @@ object Bench {
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: $e")
-            errors += name
+            recordError(name, e)
             name -> -1.0
         }
       }
@@ -222,8 +251,15 @@ object Bench {
     } catch { case _: Throwable => Map.empty[String, Double] }
     val finalResults = scala.collection.mutable.LinkedHashMap(results: _*)
     val requeued = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // Median-normalized trigger (r11 verdict item #5): the r11 driver box
+    // spiked individual rows 2.6–3.0× while the run's MEDIAN ratio to the
+    // committed artifact sat at 0.98× — under the 3× absolute threshold,
+    // so the spikes shipped. When the run as a whole tracks the baseline
+    // (median ≤1.2×), any row >2× its committed value is a per-row load
+    // artifact, not a box-wide slowdown, and gets requeued.
+    val medRatio = runMedianRatio(rawRuns.view.mapValues(_.min).toMap, prevMins)
     rawRuns.foreach { case (name, runs) =>
-      if (needsRequeue(runs, prevMins.get(name))) {
+      if (needsRequeue(runs, prevMins.get(name), medRatio)) {
         try {
           val again = (1 to 2).map { _ =>
             isolate()
@@ -276,9 +312,24 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = finalResults.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // full JSON-string escape for exception text (quotes, backslashes,
+    // control chars — a raw newline would corrupt the one-line artifact)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val errDetailJson = errorDetails
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val recoveredJson = blockLossRecovered
+      .map { case (k, n) => jstr(k) + ":" + n }.mkString("{", ",", "}")
     val skipJson = skip.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$runsJson,"requeued":$requeuedJson,"calibration":{"job_floor":${f"$jobFloor%.3f"},"shuffle_floor":${f"$shuffleFloor%.3f"}},"errors":$errJson,"skipped":$skipJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"runs":$runsJson,"requeued":$requeuedJson,"calibration":{"job_floor":${f"$jobFloor%.3f"},"shuffle_floor":${f"$shuffleFloor%.3f"}},"errors":$errJson,"error_details":$errDetailJson,"block_loss_recovered":$recoveredJson,"skipped":$skipJson,"sf":"$sfDir"}"""
     // Headline summary printed on BOTH sides of the full JSON: the
     // driver's stdout capture has truncated to a window of the output
     // three rounds running, so whichever side survives still carries the
@@ -295,12 +346,27 @@ object Bench {
     // (three rounds running, the artifact kept only totals). Re-emitting
     // the per-query map as many SMALL self-contained lines means
     // whatever suffix of the output survives still parses per-query data
-    // line by line — the headline stays last so totals survive any
-    // window.
+    // line by line.
     finalResults.toSeq.grouped(12).zipWithIndex.foreach { case (chunk, i) =>
       println(s"""{"metric":"queries_chunk","part":${i + 1},"queries":${
         chunk.map { case (k, v) => qCell(k, v) }.mkString("{", ",", "}")}}""")
     }
+    // Capture-proof compact tail (r11 verdict item #6): the ~2 KB capture
+    // window retained only the last ~5 of 16 chunks, so most per-query
+    // data still died. ONE values-only CSV line (~1.3 KB for ~190
+    // queries) carries EVERY row inside the window: values are the
+    // per-query min seconds in ascending query-name order — exactly
+    // `sorted(errors ∪ timed names)`, the key order of the full
+    // `queries` map — so a reader zips them with the sorted name list
+    // from any artifact (or this line's own "names_hash" cross-check
+    // against the committed BENCH.json). Errors stay -1. The headline
+    // prints last so totals survive the tightest window.
+    val csv = finalResults.values.map(v => f"$v%.3f").mkString(",")
+    val crc = new java.util.zip.CRC32()
+    crc.update(finalResults.keys.mkString(",")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"queries_csv","order":"ascending query name","names_crc32":${
+      crc.getValue},"n":${finalResults.size},"v":"$csv"}""")
     println(headline)
     Files.writeString(Paths.get(outPath), json + "\n")
     spark.stop()
@@ -321,16 +387,37 @@ object Bench {
     }
   }
 
+  /** Median ratio of this run's per-query mins to the committed
+    * previous-round mins, over rows ≥0.2 s on both sides (sub-floor rows
+    * measure the job floor, not load). None below 10 matched rows — a
+    * filtered BENCH_ONLY run has no meaningful run-wide load signal.
+    * Pure, spec-tested. */
+  private[graft] def runMedianRatio(mins: Map[String, Double],
+      prevMins: Map[String, Double]): Option[Double] = {
+    val ratios = mins.toSeq.collect {
+      case (name, m) if m >= 0.2 &&
+        prevMins.get(name).exists(_ >= 0.2) => m / prevMins(name)
+    }.sorted
+    if (ratios.size < 10) None
+    else Some(ratios(ratios.size / 2))
+  }
+
   /** Re-queue decision for one query's two main-pass runs against its
-    * committed previous-round min: >3x the baseline, or the two runs
-    * disagreeing by >2x — both only above a 0.5 s floor (sub-second
-    * jitter is the job floor, not load). Pure, spec-tested. */
+    * committed previous-round min: >3x the baseline, the two runs
+    * disagreeing by >2x, or — when the run-wide median ratio says the
+    * box is healthy (≤1.2x) — >2x the baseline (the r11 spike shape:
+    * per-row load artifacts on an otherwise-tracking run sailed under
+    * the 3x absolute threshold). All only above a 0.5 s floor
+    * (sub-second jitter is the job floor, not load). Pure, spec-tested. */
   private[graft] def needsRequeue(runs: Seq[Double],
-      prevMin: Option[Double]): Boolean = {
+      prevMin: Option[Double],
+      runMedianRatio: Option[Double] = None): Boolean = {
     val m = runs.min
     m > 0.5 && (
       prevMin.exists(p => p > 0 && m > 3.0 * p) ||
-      runs.max > 2.0 * m)
+      runs.max > 2.0 * m ||
+      (runMedianRatio.exists(_ <= 1.2) &&
+        prevMin.exists(p => p > 0 && m > 2.0 * p)))
   }
 
   /** The scale-stress suite: the operators whose 100 TB design arguments

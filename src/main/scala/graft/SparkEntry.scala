@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.ExactNum.exactSum
+import graft.ops.Checkpoints.CutOps
 import graft.etl.{StockBars, StockEtl}
 import graft.ops.{AsOfJoin, Bpe, Dedup, Ids, Layout, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis}
 
@@ -1382,7 +1383,7 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n_exact"))
-        .localCheckpoint(false)
+        .cutLineage(false)
       val sketch = Sketch.countMinBuildWeighted(counts, "token", "n_exact")
       val top = counts
         .orderBy(col("n_exact").desc, col("token"))
@@ -1413,7 +1414,7 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n_exact"))
-        .localCheckpoint(false)
+        .cutLineage(false)
       val top = counts
         .orderBy(col("n_exact").desc, col("token"))
         .limit(20)

@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Checkpoints.CutOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -124,7 +126,7 @@ object Bpe {
     // two); a table's parent is unpersisted only AFTER the collect that
     // materialized the table (unpersisting a localCheckpoint a live lazy
     // child still depends on would lose its blocks)
-    var words = wordTable(docs, textCol).localCheckpoint(false)
+    var words = wordTable(docs, textCol).cutLineage(false)
     var parent: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 0
@@ -141,7 +143,7 @@ object Bpe {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step + 1, l, r, f))
         parent = Some(words)
-        words = applyMerge(words, l, r).localCheckpoint(false)
+        words = applyMerge(words, l, r).cutLineage(false)
         step += 1
       }
     }
@@ -196,7 +198,7 @@ object Bpe {
     import spark.implicits._
     require(maxBatch >= 1 && scanDepth >= maxBatch,
       s"need scanDepth >= maxBatch >= 1, got maxBatch=$maxBatch scanDepth=$scanDepth")
-    var words = wordTable(docs, textCol).localCheckpoint(false)
+    var words = wordTable(docs, textCol).cutLineage(false)
     var parent: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
@@ -214,7 +216,7 @@ object Bpe {
         batch.foreach { case (l, r, f) => merges += ((merges.size + 1, l, r, f)) }
         parent = Some(words)
         words = applyMergeBatch(words, batch.map(p => (p._1, p._2)))
-          .localCheckpoint(false)
+          .cutLineage(false)
       }
     }
     parent.foreach(Checkpoints.release(_))
@@ -324,7 +326,7 @@ object Bpe {
     */
   def encodeCachedWithModel(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): (Checkpoints.CachedResult, Map[String, Long]) = {
-    val wt = wordTable(docs, textCol).localCheckpoint(false)
+    val wt = wordTable(docs, textCol).cutLineage(false)
     var words = wt
     merges.foreach { case (l, r) => words = applyMerge(words, l, r) }
     // bounded parameter fetch (this action also materializes wt): the

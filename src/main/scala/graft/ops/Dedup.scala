@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Checkpoints.CutOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -153,7 +155,7 @@ object Dedup {
       // one eager job: the thresholded pair set is tiny, the caches make
       // its two-consumer upstream run once, and unpersisting here (not at
       // LRU eviction) bounds the session's cache footprint to this call
-      val mat = out.localCheckpoint(true)
+      val mat = out.cutLineage(true)
       intermediates.foreach(_.unpersist(false))
       mat
     }
@@ -287,7 +289,7 @@ object Dedup {
       }
     }
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val e = if (alreadyMaterialized) e0 else e0.localCheckpoint(true)
+    val e = if (alreadyMaterialized) e0 else e0.cutLineage(true)
     val und = e
       .select(explode(array(
         struct(col("src"), col("dst")),
@@ -299,7 +301,7 @@ object Dedup {
     var labelsCkpt = und.groupBy(col("src"))
       .agg(min(col("dst")).as("__mn"))
       .select(col("src").as("id"), least(col("src"), col("__mn")).as("label"))
-      .localCheckpoint(false)
+      .cutLineage(false)
     var labels = labelsCkpt
     var changed = 1L
     var iter = 0
@@ -313,7 +315,7 @@ object Dedup {
         .join(nbrMin.select(col("src").as("id"), col("nbr_min")), Seq("id"), "left_outer")
         .select(col("id"), col("label").as("__prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint(false)
+        .cutLineage(false)
       changed = next.where(col("label") =!= col("__prev")).count()
       // the count materialized `next` (all partitions — the where filters
       // rows, not partitions), so the PREVIOUS round's checkpoint blocks
@@ -519,7 +521,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
     if (intermediates.isEmpty) out
     else {
-      val mat = out.localCheckpoint(true)
+      val mat = out.cutLineage(true)
       intermediates.foreach(_.unpersist(false))
       mat
     }
@@ -1079,7 +1081,7 @@ object Dedup {
     val assigned = Similarity.ivfAssign(vecs, idCol, vecCol, index)
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
         col("centroid_id").cast(LongType).as("centroid_id"))
-      .localCheckpoint(false)
+      .cutLineage(false)
     Checkpoints.CachedResult(dropLowestIdNeighbors(assigned, minCosine),
       Seq(assigned))
   }
@@ -1111,7 +1113,7 @@ object Dedup {
       .withColumn("centroid_id",
         VectorFunctions.hierCellF32(col("v"), superFlat, subFlat, k2, dim)
           .cast(LongType))
-      .localCheckpoint(false) // the √k argmin kernel runs once per action
+      .cutLineage(false) // the √k argmin kernel runs once per action
     Checkpoints.CachedResult(dropLowestIdNeighbors(assigned, minCosine),
       Seq(assigned))
   }

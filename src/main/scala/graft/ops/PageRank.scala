@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Checkpoints.CutOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -71,12 +73,12 @@ object PageRank {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(false)
+      .cutLineage(false)
     val nodesDeg = e.select(col("src").as("id"), lit(1L).as("d"))
       .unionByName(e.select(col("dst").as("id"), lit(0L).as("d")))
       .groupBy(col("id"))
       .agg(when(sum(col("d")) > 0L, sum(col("d"))).as("out_deg"))
-      .localCheckpoint(false)
+      .cutLineage(false)
     val row = nodesDeg.agg(count(lit(1)),
       count(when(col("id") === DanglingKey, lit(1)))).head()
     require(row.getLong(1) == 0L,
@@ -121,7 +123,7 @@ object PageRank {
       // round — or a ≤4-round loop at all — was measured SLOWER: each
       // forced materialization adds AQE job-scheduling gaps)
       if (iters > 4 && i % 2 == 0) {
-        inMass = inMass.localCheckpoint(false)
+        inMass = inMass.cutLineage(false)
         caches += inMass
       }
       // the dangling scalar stays DISTRIBUTED: a broadcast 1-row carrier
@@ -197,7 +199,7 @@ object PageRank {
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("in_mass"))
       if (iters > 4 && i % 2 == 0) { // see run()
-        inMass = inMass.localCheckpoint(false)
+        inMass = inMass.cutLineage(false)
         caches += inMass
       }
       val dangling = inMass.where(col("dst") === DanglingKey)

@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.ops.Checkpoints.CutOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -803,7 +805,7 @@ object TextAnalysis {
     // materializing action)
     val tfb = bi.groupBy(col("doc_id"), col("a"), col("b"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .cutLineage(false)
     val cab = tfb.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cnt_ab"))
     val ca = cab.groupBy(col("a")).agg(sum(col("cnt_ab")).as("cnt_a"))
       .where(col("cnt_a") >= minCount)

@@ -37,4 +37,38 @@ class BenchRequeueSpec extends AnyFunSuite {
     assert(!Bench.needsRequeue(Seq(0.9, 1.5), None))
     assert(!Bench.needsRequeue(Seq(0.2, 0.5), None)) // floor-gated
   }
+
+  test("needsRequeue: median-normalized 2x trigger on a healthy box") {
+    // the r11 incident shape: q_triangle_count 4.82 s vs committed
+    // 1.86 s (2.6x — under the 3x absolute bar) while the run median
+    // tracked the artifact at 0.98x. A healthy-median run requeues >2x
+    // rows...
+    assert(Bench.needsRequeue(Seq(4.82, 5.0), Some(1.86), Some(0.98)))
+    // ...a box-wide slow run (median 1.5x) does NOT — every row is
+    // elevated, a requeue under the same load would measure the same
+    assert(!Bench.needsRequeue(Seq(4.82, 5.0), Some(1.86), Some(1.5)))
+    // no median signal (filtered run) → absolute rules only
+    assert(!Bench.needsRequeue(Seq(4.82, 5.0), Some(1.86), None))
+    // under 2x never triggers the median rule
+    assert(!Bench.needsRequeue(Seq(3.5, 3.6), Some(1.86), Some(0.98)))
+    // still floor-gated
+    assert(!Bench.needsRequeue(Seq(0.45, 0.46), Some(0.2), Some(0.98)))
+  }
+
+  test("runMedianRatio: median over matched >=0.2 s rows, None under 10") {
+    val prev = (1 to 12).map(i => s"q$i" -> 1.0).toMap
+    // 12 matched rows, one spiked — median stays ~1.0
+    val mins = (1 to 11).map(i => s"q$i" -> 1.0).toMap + ("q12" -> 5.0)
+    val r = Bench.runMedianRatio(mins, prev)
+    assert(r.exists(x => x >= 0.99 && x <= 1.01))
+    // sub-floor rows are excluded from the signal
+    val tiny = (1 to 12).map(i => s"q$i" -> 0.1).toMap
+    assert(Bench.runMedianRatio(tiny, prev).isEmpty)
+    // fewer than 10 matched rows → no signal
+    val few = (1 to 5).map(i => s"q$i" -> 1.0).toMap
+    assert(Bench.runMedianRatio(few, prev).isEmpty)
+    // unmatched names don't count
+    assert(Bench.runMedianRatio(
+      (1 to 12).map(i => s"z$i" -> 1.0).toMap, prev).isEmpty)
+  }
 }
