@@ -42,8 +42,10 @@ object ProbeR12 {
       graft.ops.Triangles.countExactWedge(sampled, "u", "v")
     }
 
-    // identical results before timing anything
-    val a = adjPlan.collect()(0)
+    // identical results before timing anything (adjPlan carries the
+    // extra est_total column — compare the three shared fields)
+    val a = adjPlan.select(col("n_nodes"), col("n_edges"),
+      col("n_triangles")).collect()(0)
     val w = wedgePlan.collect()(0)
     require(a == w, s"plan variants disagree: adj=$a wedge=$w")
     println(s"""{"probe":"tri_result","n_nodes":${a.getLong(0)},""" +

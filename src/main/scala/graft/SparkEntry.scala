@@ -1125,6 +1125,57 @@ object SparkEntry {
           size(col("sitemaps")).cast(LongType).as("n_sitemaps"))
     },
 
+    // Sitemap XML parsing (ops.Policy.parseSitemap) — completes the
+    // crawl-discovery audit parseRobotsAux starts: the sitemap URLs it
+    // surfaces are fetched and parsed into a per-entry URL table here.
+    // Each document becomes a deterministic sitemap body (urlset /
+    // sitemapindex / empty urlset / non-XML fetch-error page), with
+    // planted adversarial shapes: an entry with no <loc>, whitespace-
+    // padded loc text, and an unparseable lastmod — all derived from
+    // doc_id arithmetic. PROPERTY oracle: DuckDB computes the expected
+    // entry table directly from the same arithmetic — an entry dropped,
+    // a kind misrouted, an untrimmed loc, or a corrupt row leaking
+    // through all hash-fail.
+    "q_sitemap_urls" -> q { (s, dir) =>
+      val d = col("doc_id")
+      val ds = d.cast(StringType)
+      val host = concat(lit("h"), (d % 41).cast(StringType),
+        lit(".example.com"))
+      val smurl = concat(lit("https://"), host, lit("/sm/"), ds, lit(".xml"))
+      val xmlns = "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\""
+      val lm0 = concat(lit("<lastmod>2026-0"), (d % 9 + 1).cast(StringType),
+        lit("-15</lastmod>"))
+      val e0 = when(d % 5 === 0, lit("<url><priority>0.8</priority></url>"))
+        .otherwise(concat(lit("<url><loc>https://"), host, lit("/p/"), ds,
+          lit("/0</loc>"), when(d % 2 === 0, lm0).otherwise(lit("")),
+          lit("</url>")))
+      val e1 = when(d % 3 >= 1, concat(lit("<url><loc>"),
+          when(d % 2 === 0, lit(" ")).otherwise(lit("")),
+          lit("https://"), host, lit("/p/"), ds, lit("/1</loc></url>")))
+        .otherwise(lit(""))
+      val e2 = when(d % 3 === 2, concat(lit("<url><loc>https://"), host,
+          lit("/p/"), ds, lit("/2</loc><lastmod> bad date </lastmod></url>")))
+        .otherwise(lit(""))
+      val urlset = concat(lit(s"<urlset $xmlns>"), e0, e1, e2,
+        lit("</urlset>"))
+      val index = concat(
+        lit(s"<sitemapindex $xmlns>"),
+        lit("<sitemap><loc>https://"), host, lit("/child/"), ds,
+        lit("-1.xml</loc><lastmod>2026-0"), (d % 9 + 1).cast(StringType),
+        lit("-01</lastmod></sitemap>"),
+        lit("<sitemap><loc>  https://"), host, lit("/child/"), ds,
+        lit("-2.xml\n</loc></sitemap>"),
+        lit("</sitemapindex>"))
+      val body = when(d % 11 === 10, lit("<html>fetch error page</html>"))
+        .when(d % 11 === 9, lit(s"<urlset $xmlns></urlset>"))
+        .when(d % 7 === 6, index)
+        .otherwise(urlset)
+      graft.ops.Policy.parseSitemap(
+        Tables.documents(s, dir)
+          .select(smurl.as("sitemap_url"), body.as("body")),
+        "sitemap_url", "body")
+    },
+
     // License + robots-directive detection (ops.Policy) — each document
     // is rendered into a page whose license anchor (CC BY/BY-NC-SA/CC0/
     // BY-ND, a non-CC rel=license, or none) and robots META tag vary by
@@ -6213,6 +6264,50 @@ object SparkEntry {
         |  ('h2.example.com', CAST(NULL AS DOUBLE), '', CAST(0 AS BIGINT)),
         |  ('h3.example.com', CAST(7.0 AS DOUBLE), '', CAST(0 AS BIGINT)))
         |  AS t(host, crawl_delay_sec, sitemap_list, n_sitemaps)""".stripMargin,
+
+    // PROPERTY oracle: the expected sitemap-entry table derives directly
+    // from the doc_id arithmetic that built the XML — one UNION branch
+    // per entry the parser must surface (incl. the null-loc malformed
+    // entry, the trimmed whitespace forms, the empty urlset's routed
+    // row, and the non-XML body's null-kind row)
+    "q_sitemap_urls" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    'h' || (doc_id % 41) || '.example.com' AS host,
+        |    'https://h' || (doc_id % 41) || '.example.com/sm/' || doc_id
+        |      || '.xml' AS sitemap_url
+        |  FROM documents)
+        |SELECT sitemap_url, NULL AS kind, NULL AS loc, NULL AS lastmod
+        |FROM b WHERE doc_id % 11 = 10
+        |UNION ALL
+        |SELECT sitemap_url, 'urlset', NULL, NULL
+        |FROM b WHERE doc_id % 11 = 9
+        |UNION ALL
+        |SELECT sitemap_url, 'sitemapindex',
+        |  'https://' || host || '/child/' || doc_id || '-1.xml',
+        |  '2026-0' || (doc_id % 9 + 1) || '-01'
+        |FROM b WHERE doc_id % 11 NOT IN (9, 10) AND doc_id % 7 = 6
+        |UNION ALL
+        |SELECT sitemap_url, 'sitemapindex',
+        |  'https://' || host || '/child/' || doc_id || '-2.xml', NULL
+        |FROM b WHERE doc_id % 11 NOT IN (9, 10) AND doc_id % 7 = 6
+        |UNION ALL
+        |SELECT sitemap_url, 'urlset',
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL
+        |    ELSE 'https://' || host || '/p/' || doc_id || '/0' END,
+        |  CASE WHEN doc_id % 5 <> 0 AND doc_id % 2 = 0
+        |    THEN '2026-0' || (doc_id % 9 + 1) || '-15' END
+        |FROM b WHERE doc_id % 11 NOT IN (9, 10) AND doc_id % 7 <> 6
+        |UNION ALL
+        |SELECT sitemap_url, 'urlset',
+        |  'https://' || host || '/p/' || doc_id || '/1', NULL
+        |FROM b WHERE doc_id % 11 NOT IN (9, 10) AND doc_id % 7 <> 6
+        |  AND doc_id % 3 >= 1
+        |UNION ALL
+        |SELECT sitemap_url, 'urlset',
+        |  'https://' || host || '/p/' || doc_id || '/2', 'bad date'
+        |FROM b WHERE doc_id % 11 NOT IN (9, 10) AND doc_id % 7 <> 6
+        |  AND doc_id % 3 = 2""".stripMargin,
 
     // PROPERTY oracle: every license/directive signal derives from
     // doc_id arithmetic

@@ -229,6 +229,60 @@ object Policy {
           sitemapVal))).as("sitemaps"))
   }
 
+  /** Parse sitemap XML bodies ([[parseRobotsAux]] surfaces the URLs; this
+    * completes the discovery audit) into one row per entry:
+    * `(<urlCol>, kind, loc, lastmod)`.
+    *
+    *  - `kind`: `urlset` | `sitemapindex` (first root tag present), NULL
+    *    for a body that is neither — routed, not dropped, so a fetch that
+    *    returned an error page is visible in the audit;
+    *  - `loc` / `lastmod`: element text, trimmed, NULL when the element
+    *    is absent/unterminated/empty. A sitemap with no entries (or an
+    *    unrecognized body) keeps ONE row with NULL loc — `explode_outer`,
+    *    the corrupt-routing posture everywhere in this file.
+    *
+    * Parsing is pure SUBSTRING algebra — split on the literal close tag,
+    * take the text after the last open tag in each segment, slice the
+    * element bodies — no regex at all, so the cost is linear in the body
+    * for ANY input (the open-flood shapes that make non-greedy block
+    * regexes quadratic cost nothing here). `<sitemap>` entries are
+    * pre-normalized to `<url>` by literal replace (the `<sitemapindex`
+    * root does not match `<sitemap>`), so one extraction pass serves both
+    * kinds. Per the sitemaps.org schema the entry/element tags are
+    * unattributed (`<url>`, `<loc>`, `<lastmod>`) — attributed variants
+    * of those tags are not matched. Scale shape: narrow per-row scalar
+    * work over the (small) sitemap table; the corpus is never touched. */
+  def parseSitemap(sitemaps: DataFrame, urlCol: String,
+      bodyCol: String): DataFrame = {
+    val body = col(bodyCol)
+    val kind = when(locate("<urlset", body) > 0, lit("urlset"))
+      .when(locate("<sitemapindex", body) > 0, lit("sitemapindex"))
+    // normalize index entries to <url> form: one literal-replace pass
+    val norm = replace(replace(body, lit("</sitemap>"), lit("</url>")),
+      lit("<sitemap>"), lit("<url>"))
+    def field(e: Column, tag: String): Column =
+      // btrim with an explicit charlist: plain trim() strips SPACES only
+      // (both in Spark and DuckDB) and XML element text wraps with
+      // newlines/tabs routinely
+      when(locate(s"<$tag>", e) > 0 && locate(s"</$tag>", e) > 0,
+        nullif(btrim(substring_index(
+          substring_index(e, s"</$tag>", 1), s"<$tag>", -1),
+          lit(" \t\r\n")), lit("")))
+    // bind each segment's entry text ONCE (the array(x)→lambda trick —
+    // a bare multi-use computed column re-evaluates per reference)
+    val entries = transform(
+      filter(split(norm, "</url>"), s => locate("<url>", s) > 0),
+      s => element_at(transform(array(substring_index(s, "<url>", -1)),
+        e => struct(field(e, "loc").as("loc"),
+          field(e, "lastmod").as("lastmod"))), 1))
+    sitemaps
+      .withColumn("kind", kind)
+      .withColumn("__e",
+        explode_outer(when(kind.isNotNull, entries)))
+      .select(col(urlCol), col("kind"),
+        col("__e.loc").as("loc"), col("__e.lastmod").as("lastmod"))
+  }
+
   /** Gate pages against a [[parseRobots]] table: ONE left equi-join on
     * host, then longest-match resolution entirely in codegen'd array
     * functions on the joined rule array (`array_max` over

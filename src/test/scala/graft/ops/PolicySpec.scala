@@ -438,4 +438,52 @@ class PolicySpec extends SparkSpec {
     assert(out(2) === (("h2", None, Seq.empty)))
     assert(out(3) === (("h3", Some(7.0), Seq.empty)))
   }
+
+  test("parseSitemap: urlset/sitemapindex entries, trim, corrupt routing") {
+    val sm = Seq(
+      ("u1", "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+        "<url><loc> https://a/1 \n</loc><lastmod> 2026-01-02 </lastmod></url>" +
+        "<url><loc>https://a/2</loc></url>" +
+        "<url><priority>0.5</priority></url>" + // no loc: routed, kept
+        "<url><loc></loc></url>" +              // empty loc: NULL
+        "<url><loc>https://a/3</url>" +         // unterminated loc: NULL
+        "</urlset>"),
+      ("u2", "<sitemapindex xmlns=\"x\">" +
+        "<sitemap><loc>https://a/child1.xml</loc>" +
+        "<lastmod>2026-02-03</lastmod></sitemap>" +
+        "<sitemap><loc>https://a/child2.xml</loc></sitemap>" +
+        "</sitemapindex>"),
+      ("u3", "<urlset xmlns=\"x\"></urlset>"), // empty: one NULL-loc row
+      ("u4", "<html>404 page</html>"))         // not a sitemap: NULL kind
+      .toDF("sitemap_url", "body")
+    val out = Policy.parseSitemap(sm, "sitemap_url", "body")
+      .orderBy($"sitemap_url", $"loc")
+      .as[(String, Option[String], Option[String], Option[String])]
+      .collect()
+    assert(out.toSeq === Seq(
+      ("u1", Some("urlset"), None, None),           // <priority> only
+      ("u1", Some("urlset"), None, None),           // empty loc
+      ("u1", Some("urlset"), None, None),           // unterminated loc
+      ("u1", Some("urlset"), Some("https://a/1"), Some("2026-01-02")),
+      ("u1", Some("urlset"), Some("https://a/2"), None),
+      ("u2", Some("sitemapindex"), Some("https://a/child1.xml"),
+        Some("2026-02-03")),
+      ("u2", Some("sitemapindex"), Some("https://a/child2.xml"), None),
+      ("u3", Some("urlset"), None, None),
+      ("u4", None, None, None)))
+  }
+
+  test("parseSitemap is linear on an open-flood body (no regex blowup)") {
+    // 20k unterminated <url><loc> opens then one closing pair — the
+    // shape that makes non-greedy block regexes O(opens x page); the
+    // substring algebra must stay flat
+    val flood = "<urlset xmlns=\"x\">" + ("<url><loc>https://f/x" * 20000) +
+      "</loc></url></urlset>"
+    val t0 = System.nanoTime()
+    val rows = Policy.parseSitemap(Seq(("uf", flood)).toDF("u", "b"), "u", "b")
+      .collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(rows.length == 1) // one </url> close → one entry
+    assert(sec < 10.0, f"open-flood parse took $sec%.1f s")
+  }
 }
