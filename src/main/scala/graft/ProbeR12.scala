@@ -15,7 +15,9 @@ object ProbeR12 {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/tmp/graft_r12/x10"
     val rounds = if (args.length > 1) args(1).toInt else 3
+    val mode = if (args.length > 2) args(2) else "tri"
     val spark = StudySession.build()
+    if (mode == "bpe") { bpeAnatomy(spark, sfDir, rounds); spark.stop(); return }
     Seq("lineitem").foreach(t => scala.util.Try(Tables(spark, sfDir, t).count()))
 
     // the q_triangle_count co-purchase edge stream, verbatim
@@ -75,5 +77,54 @@ object ProbeR12 {
       s""""wedge_min":${f"${wRuns.min}%.3f"},"adj_exchanges":${exchanges(adjPlan)},""" +
       s""""wedge_exchanges":${exchanges(wedgePlan)}}""")
     spark.stop()
+  }
+
+  /** q_bpe_encode stage decomposition (r11 verdict item #7): the query
+    * sits AT the 2× bar (2.42 s vs a 1.16 s oracle at sf0.1) — this
+    * times each prefix of the encode so the residual is attributed, not
+    * guessed: (a) word-table build + alphabet fetch (the two
+    * driver-blocking setup jobs), (b) the merge-replay broadcast side,
+    * (c) the corpus pass WITHOUT the per-doc reassembly (explode + join
+    * only), (d) the full encode incl. the one reassembly shuffle, (e)
+    * the driver query's posexplode projection on top. */
+  private def bpeAnatomy(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, rounds: Int): Unit = {
+    import graft.ops.{Bpe, TextAnalysis}
+    scala.util.Try(Tables(spark, sfDir, "documents").count())
+    val docs = Tables.documents(spark, sfDir)
+    val merges = SparkEntry.encodeMergesForProbe
+    def t(label: String)(build: => org.apache.spark.sql.DataFrame): Unit = {
+      def once(): Double = {
+        spark.sqlContext.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+        val t0 = System.nanoTime()
+        build.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val m = (1 to rounds).map(_ => once()).min
+      println(f"""{"probe":"bpe_$label","min":$m%.3f}""")
+    }
+    t("a_wordtable")(Bpe.wordTable(docs, "text"))
+    locally {
+      var words = Bpe.wordTable(docs, "text")
+      merges.foreach { case (l, r) => words = Bpe.applyMerge(words, l, r) }
+      val w2 = words
+      t("b_merge_replay")(w2)
+    }
+    locally { // corpus pass, no reassembly: explode + broadcast join
+      var words = Bpe.wordTable(docs, "text")
+      merges.foreach { case (l, r) => words = Bpe.applyMerge(words, l, r) }
+      val wordIds = words.select(col("word"),
+        size(col("syms")).as("__n"))
+      t("c_explode_join_only")(docs
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("wpos", "word")))
+        .join(broadcast(wordIds), Seq("word"))
+        .groupBy(col("doc_id")).agg(sum(col("__n")).as("n")))
+    }
+    t("d_full_encode")(Bpe.encode(docs, "doc_id", "text", merges))
+    t("e_driver_query")(SparkEntry.queries("q_bpe_encode")(spark, sfDir))
   }
 }
