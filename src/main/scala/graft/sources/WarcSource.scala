@@ -312,26 +312,27 @@ object WarcSource {
         def corrupt(f: String, o: Long, l: Long, reason: String) =
           Iterator(WarcGzRecord(f, o, l, None, None, None, None, None,
             None, Some(reason)))
-        it.flatMap { case (f, o, l) =>
-          // GENUINE manifest defects ROUTE as corrupt rows (the member
-          // walk's posture): negative/absurd ranges, ranges past the
-          // file's length, a file the manifest invents. Everything else
-          // — transient I/O (HDFS timeouts, connection resets) —
-          // PROPAGATES so Spark retries the task: folding those into
-          // corrupt rows would silently drop valid records on the 100 TB
-          // ranged-read path whenever the storage layer hiccups.
+        // GENUINE manifest defects ROUTE as corrupt rows (the member
+        // walk's posture): negative/absurd ranges, ranges past the
+        // file's length, a file the manifest invents. Everything else
+        // — transient I/O (HDFS timeouts, connection resets) —
+        // PROPAGATES so Spark retries the task: folding those into
+        // corrupt rows would silently drop valid records on the 100 TB
+        // ranged-read path whenever the storage layer hiccups.
+        def opened(f: String) = handles.getOrElseUpdate(f, {
+          val p = new org.apache.hadoop.fs.Path(path, f)
+          try {
+            val fs = p.getFileSystem(conf)
+            val len = fs.getFileStatus(p).getLen
+            Right((fs.open(p), len))
+          } catch { // deterministic: the manifest names a missing file
+            case _: java.io.FileNotFoundException => Left("missing_file")
+          }
+        })
+        def readRange(f: String, o: Long, l: Long): Iterator[WarcGzRecord] =
           if (l <= 0 || l > Int.MaxValue - 8 || o < 0)
             corrupt(f, o, l, "bad_manifest_range")
-          else handles.getOrElseUpdate(f, {
-            val p = new org.apache.hadoop.fs.Path(path, f)
-            try {
-              val fs = p.getFileSystem(conf)
-              val len = fs.getFileStatus(p).getLen
-              Right((fs.open(p), len))
-            } catch { // deterministic: the manifest names a missing file
-              case _: java.io.FileNotFoundException => Left("missing_file")
-            }
-          }) match {
+          else opened(f) match {
             case Left(reason) => corrupt(f, o, l, reason)
             case Right((in, fileLen)) =>
               if (o + l > fileLen) corrupt(f, o, l, "bad_manifest_range")
@@ -349,10 +350,65 @@ object WarcSource {
                 else walkMembers(f, buf, o, maxMemberBytes)
               }
           }
-        }
+        // ADJACENT-RANGE COALESCING: manifest rows sorted by (file,
+        // offset) — the recommended layout — collapse into ONE positioned
+        // read per contiguous run (up to [[MaxCoalescedReadBytes]]), so a
+        // dense selection costs sequential I/O instead of one pread per
+        // member (at CommonCrawl member sizes the per-call overhead
+        // dominates small members). walkMembers tiles the merged buffer
+        // back into per-member rows because runs are exactly contiguous;
+        // gapped, out-of-order, invalid, or run-overflowing rows fall
+        // back to the per-row read. A run whose merged read hits EOF
+        // (file truncated underneath us) re-reads row by row so only the
+        // genuinely-unreadable members route as corrupt.
+        // NOT named `buffered`: inside the anonymous Iterator below,
+        // that name would resolve to the class's own inherited
+        // `.buffered` member, silently shadowing this val
+        val rows = it.buffered
+        new Iterator[Iterator[WarcGzRecord]] {
+          override def hasNext: Boolean = rows.hasNext
+          override def next(): Iterator[WarcGzRecord] = {
+            val (f, o, l) = rows.next()
+            if (l <= 0 || l > Int.MaxValue - 8 || o < 0) readRange(f, o, l)
+            else {
+              val run = scala.collection.mutable.ListBuffer((f, o, l))
+              var end = o + l
+              var ok = true
+              while (ok && rows.hasNext) {
+                val (f2, o2, l2) = rows.head
+                ok = f2 == f && o2 == end && l2 > 0 &&
+                  (end - o) + l2 <= MaxCoalescedReadBytes
+                if (ok) { rows.next(); run += ((f2, o2, l2)); end += l2 }
+              }
+              if (run.size == 1) readRange(f, o, l)
+              else opened(f) match {
+                case Left(_) => run.iterator.flatMap(r =>
+                  readRange(r._1, r._2, r._3))
+                case Right((in, fileLen)) =>
+                  val merged =
+                    if (end > fileLen) None
+                    else {
+                      val buf = new Array[Byte]((end - o).toInt)
+                      try { in.readFully(o, buf); Some(buf) }
+                      catch { case _: java.io.EOFException => None }
+                    }
+                  merged match {
+                    case Some(buf) => walkMembers(f, buf, o, maxMemberBytes)
+                    case None => run.iterator.flatMap(r =>
+                      readRange(r._1, r._2, r._3))
+                  }
+              }
+            }
+          }
+        }.flatten
       }
       .toDF()
   }
+
+  /** Cap on one coalesced ranged read ([[readGzipMembers]]): bounds task
+    * memory at buffer + one inflated member while still amortizing the
+    * per-call I/O overhead across thousands of typical members. */
+  val MaxCoalescedReadBytes: Long = 16L << 20
 
   /** Walk a buffer of concatenated gzip members starting at a member
     * boundary; never throws — a region that fails to parse becomes ONE

@@ -147,6 +147,31 @@ class WarcSourceSpec extends SparkSpec {
     assert(rows.count(_.getAs[String]("corrupt_reason") == "missing_file") == 1)
   }
 
+  test("ranged read coalesces contiguous runs without changing rows") {
+    val dir = Files.createTempDirectory("warcgz_coalesce").toString
+    val docs60 = (0L until 60L).map(i => (i, s"body $i " * 5, "s0"))
+      .toDF("doc_id", "text", "source")
+    WarcSource.writeGzip(docs60.repartition(2), "doc_id", "text", "source", dir)
+    val manifest = WarcSource.memberManifest(spark, dir)
+    val full = WarcSource.readGzip(spark, dir)
+    // one sorted partition: every file collapses to ONE coalesced read
+    val sorted = WarcSource.readGzipMembers(spark, dir,
+      manifest.repartition(1).sortWithinPartitions("file", "member_offset"))
+    assert(sorted.except(full).isEmpty && full.except(sorted).isEmpty)
+    // reverse-sorted: nothing is contiguous, per-row path — same rows
+    val reversed = WarcSource.readGzipMembers(spark, dir,
+      manifest.repartition(1)
+        .sortWithinPartitions(col("file"), col("member_offset").desc))
+    assert(reversed.except(full).isEmpty && full.except(reversed).isEmpty)
+    // a gapped selection (~half the members, by length parity) still
+    // returns exactly those
+    val sel = manifest.where(col("member_length") % 2 === 0)
+    val ranged = WarcSource.readGzipMembers(spark, dir,
+      sel.repartition(1).sortWithinPartitions("file", "member_offset"))
+    assert(ranged.count() == sel.count())
+    assert(ranged.where(col("corrupt_reason").isNotNull).count() == 0)
+  }
+
   test("torn writeGzip (manifest without commit marker) is refused") {
     val dir = Files.createTempDirectory("warcgz_torn").toString
     val docs1 = Seq((1L, "fine", "s0")).toDF("doc_id", "text", "source")
