@@ -56,6 +56,57 @@ object Bpe {
   private[graft] def applyMerge(words: DataFrame, l: String, r: String): DataFrame =
     applyMergeBatch(words, Seq((l, r)))
 
+  /** Greedy left-to-right non-overlapping application of ONE merge (l, r)
+    * to a symbol array, as a pure per-row FOLD — no window, no explode, no
+    * regroup. Equivalent to [[applyMergeBatch]]'s even-offset-in-run rule:
+    * scanning left to right, a position merges iff the accumulator's tail
+    * equals `l` and the current symbol is `r`; after a merge the tail
+    * becomes `l + r`, which can never re-match as the LEFT operand
+    * (|l + r| > |l|), so within a run of consecutive match positions
+    * exactly the even offsets merge — the same greedy semantics, proved
+    * bit-equal in BpeSpec (window vs fold on the full corpus word table)
+    * and by the unchanged q_bpe_segment/encode/tokenize_pack oracles.
+    *
+    * Why it exists (r12 optimization round, guide §1.2/§2.4): replaying a
+    * FIXED merge table through [[applyMergeBatch]] cost one window stage
+    * per merge — posexplode + 4 window functions over a per-word sort +
+    * an ObjectHashAggregate rebuild, ×5 merges = 12 Window / 9 Sort / 5
+    * Generate nodes in the q_bpe_segment plan. The fold does the same
+    * work in-row: the replay becomes `merges.size` chained narrow
+    * projections with ZERO exchanges/sorts/generates. A/B on the sf0.1
+    * word table (ProbeR12Opt, checksum-equal): 1.70 s → 0.27 s (6.3×).
+    * Per-row cost is O(|word|²) array copies on short words — bounded by
+    * word length, independent of corpus size, and the word table the
+    * replay iterates is the DISTINCT vocabulary, which grows sublinearly
+    * at 100 TB.
+    */
+  private[graft] def foldMerge(syms: Column, l: String, r: String): Column =
+    when(size(syms) < 2, syms).otherwise(
+      aggregate(
+        slice(syms, lit(2), size(syms) - 1),
+        array(element_at(syms, 1)),
+        (acc, x) =>
+          when(element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(element_at(acc, -1), x))))
+            .otherwise(concat(acc, array(x)))))
+
+  /** Replay an ALREADY-LEARNED merge table over a (word, wcount, syms)
+    * frame: one [[foldMerge]] projection per merge, chained. Each select
+    * stages the previous round's array as a plain attribute, so the fold
+    * lambdas never re-evaluate an upstream expression (and CollapseProject
+    * keeps the projections separate — the multi-reference non-cheap
+    * aggregate blocks inlining). Training keeps the window form
+    * ([[applyMergeBatch]]): its rounds interleave pair-frequency
+    * snapshots whose window reuses the word partitioning the rebuild
+    * maintains.
+    */
+  private[graft] def replayMerges(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(words) { case (df, (l, r)) =>
+      df.select(col("word"), col("wcount"), foldMerge(col("syms"), l, r).as("syms"))
+    }
+
   /** Apply a BATCH of mutually non-interacting merges in one window pass,
     * greedy left-to-right non-overlapping per pair. The batch contract
     * (enforced by [[trainMergesBatched]]'s selection rule): no two pairs
@@ -234,11 +285,9 @@ object Bpe {
     */
   def segmentCounts(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    // pure declarative chain — every round has exactly one consumer (the
-    // next round), so the whole replay plans as ONE job with no
-    // checkpoints or driver round-trips
-    var words = wordTable(docs, textCol)
-    merges.foreach { case (l, r) => words = applyMerge(words, l, r) }
+    // fold-based replay (r12): merges.size chained narrow projections —
+    // no per-round window/sort/regroup, one job, no driver round-trips
+    val words = replayMerges(wordTable(docs, textCol), merges)
     val segSizes = words.select(col("word"), size(col("syms")).cast(LongType).as("n_sub"))
     docs
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("word"))
@@ -327,8 +376,7 @@ object Bpe {
   def encodeCachedWithModel(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): (Checkpoints.CachedResult, Map[String, Long]) = {
     val wt = wordTable(docs, textCol).cutLineage(false)
-    var words = wt
-    merges.foreach { case (l, r) => words = applyMerge(words, l, r) }
+    val words = replayMerges(wt, merges) // fold replay — no window rounds
     // bounded parameter fetch (this action also materializes wt): the
     // distinct seed characters of the corpus
     val chars = wt.select(explode(col("syms")).as("sym")).distinct()
