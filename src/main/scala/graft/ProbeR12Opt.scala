@@ -215,6 +215,27 @@ object ProbeR12Opt {
       pairFreqWindow(words), pairFreqZip(words))
     if (want("score")) ab("classifier_score")(
       scoreWindow(docs, 1024), scoreFold(docs, 1024))
+
+    // stage anatomy for q_image_neardup: where do the ~3 s go?
+    if (want("image")) {
+      import graft.ops.{Dedup, Multimodal}
+      def t(name: String)(mk: => DataFrame): Unit =
+        println(f"""{"probe":"image_$name","sec":${time2(spark)(mk)}%.3f}""")
+      t("encode") {
+        Multimodal.encodePngFixture(docs, twinEvery = 97)
+          .select(col("media_id"), length(col("bytes")).as("n"))
+      }
+      t("encode_phash") {
+        Multimodal.imagePHash(
+          Multimodal.encodePngFixture(docs, twinEvery = 97)).toDF()
+      }
+      t("full") {
+        Dedup.hammingNearDupPairs(
+          Multimodal.imagePHash(
+            Multimodal.encodePngFixture(docs, twinEvery = 97)).toDF(),
+          "media_id", "phash")
+      }
+    }
     spark.stop()
   }
 }

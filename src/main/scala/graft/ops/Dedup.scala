@@ -592,8 +592,9 @@ object Dedup {
       s"recall guarantee needs maxDist < nBands, got $maxDist >= $nBands")
     val bandBits = 64 / nBands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val bandVals = (0 until nBands).map(b =>
-      shiftrightunsigned(col(sigCol), b * bandBits).bitwiseAND(lit(mask)))
+    def bandVal(sig: Column, b: Int): Column =
+      shiftrightunsigned(sig, b * bandBits).bitwiseAND(lit(mask))
+    val bandVals = (0 until nBands).map(b => bandVal(col(sigCol), b))
     val bands = sigs.where(col(sigCol).isNotNull)
       .select(col(idCol).as("__id"), col(sigCol).as("__sig"),
         posexplode(array(bandVals: _*)).as(Seq("__band", "__bv")))
@@ -605,12 +606,27 @@ object Dedup {
       col("__id").as("a"), col("__sig").as("__sa"))
     val r = kept.select(col("__band"), col("__bv"),
       col("__id").as("b"), col("__sig").as("__sb"))
+    // FIRST-agreeing-band rule (r12 optimization): a pair within the
+    // hamming ball agrees on ≥1 band (pigeonhole) and near-identical
+    // signatures agree on MOST bands — the plain band join emits such a
+    // pair once per agreeing band and needs a corpus-of-pairs `distinct()`
+    // shuffle to collapse the copies (on a near-dup-heavy input that
+    // shuffle dominated the operator: q_image_neardup's pair stage was
+    // 2.4 s of its 3.0 s). Keeping a joined row only when every EARLIER
+    // band disagrees makes each qualifying pair unique by construction —
+    // same result set, no distinct, no duplicate hamming evaluations; the
+    // bucket-cap recall trade is unchanged (a pair is now kept at its
+    // first agreeing band whose bucket SURVIVES the cap — under any cap
+    // drop it was a recall loss before too, per the maxBucket contract).
+    val earlierBandsDisagree = (0 until nBands).map { j =>
+      lit(j) >= col("__band") ||
+        bandVal(col("__sa"), j) =!= bandVal(col("__sb"), j)
+    }.reduce(_ && _)
     l.join(r, Seq("__band", "__bv"))
-      .where(col("a") < col("b"))
+      .where(col("a") < col("b") && earlierBandsDisagree)
       .select(col("a"), col("b"),
         hamming64(col("__sa"), col("__sb")).cast(LongType).as("dist"))
       .where(col("dist") <= maxDist)
-      .distinct()
   }
 
   /** Canonicalization: given near-duplicate pairs, keep exactly ONE

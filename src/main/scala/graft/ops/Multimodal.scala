@@ -160,23 +160,41 @@ object Multimodal {
     val ids = docs.select(col("doc_id").cast(LongType)).as[Long](Encoders.scalaLong)
     ids.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      // one PNG writer per TASK, not per image (ImageIO.write does a
+      // registry scan + writer construction per call — at fixture image
+      // sizes that fixed cost dominates the encode; guide §4.5). Same
+      // writer the registry's first-match lookup returns, same bytes.
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
       def render(id: Long, mediaId: Long, twin: Boolean): Media = {
         val (w, h) = fixtureDims(id)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        // write the raster's backing byte array directly ([b,g,r] per
+        // pixel, row-major, stride w*3 for this constructor) instead of
+        // per-pixel setRGB, whose ColorModel round-trip dominated the
+        // fixture encode (r12 optimization; same stored bytes — setRGB on
+        // TYPE_3BYTE_BGR under the default sRGB model is an exact store)
+        val data = img.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
         var y = 0
+        var p = 0
         while (y < h) {
           var x = 0
           while (x < w) {
             val (r, g, b0) = fixtureRgb(id, x, y)
             val b = if (twin && x == 0 && y == 0) (b0 + 8) % 256 else b0
-            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            data(p) = b.toByte; data(p + 1) = g.toByte; data(p + 2) = r.toByte
+            p += 3
             x += 1
           }
           y += 1
         }
         val baos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", baos)
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.write(img)
+        ios.flush()
         Media(mediaId, "image", baos.toByteArray, MediaMeta("png", w, h, 1))
       }
       it.flatMap { id =>
@@ -209,11 +227,16 @@ object Multimodal {
         else {
           val w = img.getWidth; val h = img.getHeight
           var sr = 0L; var sg = 0L; var sb = 0L
+          // bulk row reads: one getRGB(int[]) call per scanline instead of
+          // w·h per-pixel calls (identical ARGB ints; the per-pixel form's
+          // per-call ColorModel dispatch dominated decode — r12)
+          val row = new Array[Int](w)
           var y = 0
           while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
             var x = 0
             while (x < w) {
-              val rgb = img.getRGB(x, y)
+              val rgb = row(x)
               sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
               x += 1
             }
@@ -262,12 +285,15 @@ object Multimodal {
           val blockSum = new Array[Long](64)
           val ncols = new Array[Long](8); val nrows = new Array[Long](8)
           var total = 0L
+          // bulk row reads — see decodeImageStats (identical ARGB ints)
+          val row = new Array[Int](w)
           var y = 0
           while (y < h) {
             val bi = y * 8 / h
+            img.getRGB(0, y, w, 1, row, 0, w)
             var x = 0
             while (x < w) {
-              val rgb = img.getRGB(x, y)
+              val rgb = row(x)
               val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
               blockSum(bi * 8 + x * 8 / w) += gray
               total += gray
@@ -406,6 +432,9 @@ object Multimodal {
     val ids = docs.select(col("doc_id").cast(LongType)).as[Long](Encoders.scalaLong)
     ids.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
+      // one JPEG writer per task — see encodePngFixture (r12)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
       it.map { id =>
         val (w, h) = fixtureDims(id)
         val n = fixtureFrameCount(id)
@@ -413,15 +442,20 @@ object Multimodal {
           val (r, g, b) = fixtureFrameRgb(id, f)
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-          val rgb = (r << 16) | (g << 8) | b
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
+          // constant-color frame: fill the raster's backing byte array
+          // directly ([b,g,r] row-major) — see encodePngFixture (r12)
+          val data = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          var p = 0
+          while (p < data.length) {
+            data(p) = b.toByte; data(p + 1) = g.toByte; data(p + 2) = r.toByte
+            p += 3
           }
           val baos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "jpg", baos)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.flush()
           baos.toByteArray
         }
         Media(id, "video", Avi.write(frames, w, h), MediaMeta("avi", w, h, n))
@@ -468,11 +502,14 @@ object Multimodal {
             else {
               val w = img.getWidth; val h = img.getHeight
               var sr = 0L; var sg = 0L; var sb = 0L
+              // bulk row reads — see decodeImageStats (identical ARGB ints)
+              val row = new Array[Int](w)
               var y = 0
               while (y < h) {
+                img.getRGB(0, y, w, 1, row, 0, w)
                 var x = 0
                 while (x < w) {
-                  val rgb = img.getRGB(x, y)
+                  val rgb = row(x)
                   sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
                   sb += rgb & 0xff
                   x += 1
