@@ -71,11 +71,35 @@ object Ids {
     val n = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism
     val cols = orderCols.map(col)
+    // r12 optimization: the original `rdd.zipWithIndex` + createDataFrame
+    // implementation left Tungsten twice per row (InternalRow → Row → new
+    // RDD → row-encoded scan), de-columnarizing every downstream consumer
+    // and paying zipWithIndex's own count job. Same offsets arithmetic,
+    // expressed in columnar expressions instead:
+    //  - monotonically_increasing_id() is pid·2^33 + row-in-partition, so
+    //    the in-partition rank is `mid - pid·2^33` (document scale bound:
+    //    ≥2^33 rows in ONE partition would overflow — 8.6 B rows per task
+    //    is far past any sane partitioning, and the range repartition
+    //    controls the width right here);
+    //  - per-partition start offsets are a tiny aggregate over ≤ n rows,
+    //    cumulated in a single-partition window bounded by the partition
+    //    COUNT, and broadcast back.
+    // Both consumers (offsets + the join probe) re-read the ONE
+    // materialized range exchange, so mids agree: the in-partition sort
+    // is deterministic given the materialized exchange output — the same
+    // property zipWithIndex relied on. Ranks among orderCols ties remain
+    // arbitrary-but-consistent (unchanged contract).
     val sorted = df.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
-    val schema = StructType(sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(rdd, schema)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val byPid = org.apache.spark.sql.expressions.Window.orderBy(col("__pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(byPid), lit(0L)))
+      .select(col("__pid").as("__opid"), col("__off"))
+    sorted.join(broadcast(offs), col("__pid") === col("__opid"))
+      .withColumn(idCol,
+        col("__off") + col("__mid") - col("__pid").cast(LongType) * lit(1L << 33))
+      .drop("__pid", "__mid", "__opid", "__off")
   }
 }
