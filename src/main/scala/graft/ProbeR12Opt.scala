@@ -216,6 +216,31 @@ object ProbeR12Opt {
     if (want("score")) ab("classifier_score")(
       scoreWindow(docs, 1024), scoreFold(docs, 1024))
 
+    // stage anatomy for the jaccard-dedup family: pair generation vs CC
+    // vs canonical-keep (each stage includes its upstream — deltas are
+    // the stage costs)
+    if (want("dedup")) {
+      import graft.ops.Dedup
+      def t(name: String)(mk: => DataFrame): Unit =
+        println(f"""{"probe":"dedup_$name","sec":${time2(spark)(mk)}%.3f}""")
+      t("pairs") {
+        Dedup.jaccardPairs(docs, "doc_id", "text",
+          n = 3, minJaccard = 0.5, maxDocFreq = 20L)
+      }
+      t("pairs_cc") {
+        Dedup.connectedComponents(
+          Dedup.jaccardPairs(docs, "doc_id", "text",
+            n = 3, minJaccard = 0.5, maxDocFreq = 20L), "id_a", "id_b")
+      }
+      t("canonical") {
+        Dedup.keepCanonical(docs, "doc_id",
+          Dedup.jaccardPairs(docs, "doc_id", "text",
+            n = 3, minJaccard = 0.5, maxDocFreq = 20L),
+          "id_a", "id_b", Seq(col("n_chars").desc, col("doc_id")))
+          .select(col("doc_id"), col("source"), col("n_chars"))
+      }
+    }
+
     // stage anatomy for q_image_neardup: where do the ~3 s go?
     if (want("image")) {
       import graft.ops.{Dedup, Multimodal}
