@@ -216,6 +216,54 @@ object ProbeR12Opt {
     if (want("score")) ab("classifier_score")(
       scoreWindow(docs, 1024), scoreFold(docs, 1024))
 
+    // matchCount formulations: the shipping size(regexp_extract_all)
+    // materializes every match as an array element just to count it;
+    // regexp_count is the same regex engine + same non-overlapping scan
+    // with no allocation. Third variant de-regexes the gopher symbol
+    // rule outright: '#' and '...' match independently (neither consumes
+    // the other's characters), so count = char-count(#) + nonoverlap
+    // replace-count(...).
+    if (want("gopher")) {
+      val gtext = SparkEntry.gopherFixtureTextForProbe
+      val pats = graft.ops.TextAnalysis.webRedactionRules.map(_._1)
+      def counts(f: (Column, String) => Column): DataFrame =
+        docs.select(col("doc_id") +:
+          pats.zipWithIndex.map { case (p, i) => f(col("text"), p).as(s"n$i") }: _*)
+      def extractAll(c: Column, p: String): Column =
+        size(regexp_extract_all(c, lit(p), lit(0))).cast(LongType)
+      def reCount(c: Column, p: String): Column =
+        regexp_count(c, lit(p)).cast(LongType)
+      ab("pii_matchcount")(counts(extractAll), counts(reCount))
+      val gdocs = docs.select(col("doc_id"), gtext.as("g"))
+      ab("gopher_symbolhits")(
+        gdocs.select(col("doc_id"), reCount(col("g"), "#|\\.\\.\\.").as("n")),
+        gdocs.select(col("doc_id"),
+          ((length(col("g")) - length(regexp_replace(col("g"), lit("#"), lit("")))) +
+            (length(col("g")) - length(replace(col("g"), lit("..."), lit("")))) / 3)
+            .cast(LongType).as("n")))
+      // where does q_gopher_rules actually spend: full kernel vs the
+      // split/transform staging alone vs staging + per-element rlikes
+      def t(name: String)(mk: => DataFrame): Unit =
+        println(f"""{"probe":"gopher_$name","sec":${time2(spark)(mk)}%.3f}""")
+      t("full") {
+        graft.ops.TextAnalysis.gopherRules(gdocs, "g")
+          .select(col("doc_id"), col("n_words"), col("gopher_keep"))
+      }
+      t("stage_split") {
+        gdocs.select(col("doc_id"),
+          size(filter(split(col("g"), "\\s+"), t => t =!= "")).as("nw"),
+          size(split(col("g"), "\n")).as("nl"))
+      }
+      t("stage_rlikes") {
+        val words = filter(split(col("g"), "\\s+"), t => t =!= "")
+        val lines = split(col("g"), "\n")
+        gdocs.select(col("doc_id"),
+          size(filter(words, t => t.rlike("[A-Za-z]"))).as("aw"),
+          size(filter(lines, l => l.rlike("^\\s*[-*•] "))).as("bl"),
+          size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).as("el"))
+      }
+    }
+
     // stage anatomy for the jaccard-dedup family: pair generation vs CC
     // vs canonical-keep (each stage includes its upstream — deltas are
     // the stage costs)

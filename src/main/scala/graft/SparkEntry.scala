@@ -4557,6 +4557,7 @@ object SparkEntry {
   /** The encode/pack merge table, exposed for the ProbeR12 bpe anatomy
     * (stage timings must replay the EXACT driver-query model). */
   private[graft] def encodeMergesForProbe: Seq[(String, String)] = encodeMerges
+  private[graft] def gopherFixtureTextForProbe: Column = gopherFixtureText
 
   // -------------------------------------------------------------- BPE oracle
 
