@@ -289,6 +289,211 @@ object ProbeR12Opt {
       }
     }
 
+    // Shared-subtree materialization A/Bs (guide §2.4 / §5 "caching"):
+    // bm25Search and unigramLogProb derive model tables (df, dl, counts,
+    // totals) from one corpus-wide tf aggregation that MULTIPLE plan legs
+    // consume — Spark plans no cross-consumer subplan sharing, so unless
+    // AQE's runtime stage reuse dedupes the identical exchange subtrees,
+    // the corpus tokenize+explode+agg executes once per leg. The B
+    // variants cut lineage on the shared tf (the bigramLogProb pattern,
+    // Checkpoints.CutOps) so it computes exactly once. Same expressions,
+    // same values — checksum-equality asserted before timing.
+    if (want("share")) {
+      import graft.ops.Checkpoints.CutOps
+      import graft.ops.TextAnalysis
+      import graft.functions.ExactMath
+
+      def bm25Variant(cut: Boolean): DataFrame = {
+        val terms = Seq("spark", "join", "window")
+        val (k1, b, topK) = (1.2, 0.75, 20)
+        val t = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+        val tf0 = docs.select(col("doc_id"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val tf = if (cut) tf0.cutLineage(false) else tf0
+        val dl0 = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        val dl = if (cut) dl0.cutLineage(false) else dl0
+        val n = docs.select(count(lit(1)).as("n_docs"))
+        val avgdl = dl.select(
+          (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+        val dfT = tf.where(col("token").isin(t: _*))
+          .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val matched = tf.where(col("token").isin(t: _*))
+          .join(broadcast(dfT), Seq("token"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(n))
+          .crossJoin(broadcast(avgdl))
+        val idfInput =
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+        val withIdf = ExactMath.lnColumn(
+          matched.withColumn("__idf_x", idfInput), "__idf_x", "__idf")
+        val tfNorm = col("tf") * (lit(k1) + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+        val fxScale = 1099511627776.0
+        withIdf
+          .withColumn("term_score", col("__idf") * tfNorm)
+          .withColumn("__ts_fx", floor(col("term_score") * lit(fxScale)))
+          .groupBy(col("doc_id"))
+          .agg((sum(col("__ts_fx")) / lit(fxScale)).as("score"),
+            count(lit(1)).as("n_matched"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(topK)
+      }
+
+      def unigramVariant(cut: Boolean): DataFrame = {
+        val minCount = 3L
+        val tf0 = docs
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val tf = if (cut) tf0.cutLineage(false) else tf0
+        val counts0 = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+        val counts = if (cut) counts0.cutLineage(false) else counts0
+        val totals = counts.select(sum(col("cnt")).as("n_total"))
+        val lm = counts.where(col("cnt") >= minCount)
+        val px = tf.join(lm, Seq("token"), "left_outer")
+          .crossJoin(broadcast(totals))
+          .withColumn("__p_x",
+            when(col("cnt").isNotNull,
+              col("cnt").cast(DoubleType) / col("n_total").cast(DoubleType))
+              .otherwise(lit(0.5) / col("n_total").cast(DoubleType)))
+        val fxScale = 4294967296.0
+        val scored = ExactMath.lnColumn(px, "__p_x", "__lnp")
+          .withColumn("__fx",
+            floor(col("__lnp") * lit(fxScale)).cast(LongType) * col("tf"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("__fx")).as("__fxs"), sum(col("tf")).as("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("__fxs").cast(DoubleType) / lit(fxScale) / col("n_tokens"))
+              .as("avg_logprob"))
+        docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("n_tokens"), lit(0L)).as("n_tokens"), col("avg_logprob"))
+      }
+
+      // decontaminate with the EVAL-side shingle pipeline (consumed by
+      // both the df-cap aggregation and the semi-join back) materialized
+      // once; the corpus side is single-consumer and stays lazy.
+      def decontVariant(cut: Boolean): DataFrame = {
+        val n = 5
+        val (minShared, maxEvalDf) = (3L, 10L)
+        def shingles(d: DataFrame): DataFrame = {
+          val par = graft.Conf.sizedShufflePartitions(d, rowMultiplier = n.toDouble)
+          val toks = d.repartition(par, col("doc_id"))
+            .select(col("doc_id"),
+              posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+          val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          val leadCols = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"__t$i"))
+          toks
+            .select((Seq(col("doc_id"), col("pos"), col("tok")) ++ leadCols): _*)
+            .where(col(s"__t${n - 1}").isNotNull)
+            .select(col("doc_id"),
+              concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"__t$i"))): _*)
+                .as("shingle"))
+            .dropDuplicates("doc_id", "shingle")
+        }
+        val corpusSh = shingles(docs.where(col("doc_id") % 20 =!= 0))
+        val evalSh0 = shingles(docs.where(col("doc_id") % 20 === 0))
+          .withColumnRenamed("doc_id", "eval_id")
+        val evalSh = if (cut) evalSh0.cutLineage(false) else evalSh0
+        val rareEval = evalSh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxEvalDf).select("shingle")
+        val evalIdx = evalSh.join(rareEval, Seq("shingle"), "left_semi")
+        corpusSh
+          .join(broadcast(evalIdx), Seq("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("shingle")).as("n_shared_shingles"),
+            countDistinct(col("eval_id")).as("n_eval_docs"))
+          .where(col("n_shared_shingles") >= minShared)
+      }
+
+      ab("bm25_share")(bm25Variant(cut = false), bm25Variant(cut = true))
+      ab("unigram_share")(unigramVariant(cut = false), unigramVariant(cut = true))
+      ab("decont_share")(decontVariant(cut = false), decontVariant(cut = true))
+    }
+
+    // tokenizer formulation: the shipping regexp_extract_all(text, \w+)
+    // walks matches and extracts group 0 per match; splitting on the
+    // complement (\W+) plus a codegen'd array_remove of the boundary
+    // empties produces the IDENTICAL token array (maximal \w-runs) from
+    // the same regex engine — candidate in case the split path's simpler
+    // per-match bookkeeping is cheaper. tokens() underpins ~30 queries,
+    // so even a small per-MB delta matters.
+    if (want("tokens")) {
+      import graft.ops.TextAnalysis
+      def viaExtract(c: Column): Column = TextAnalysis.tokens(c)
+      def viaSplit(c: Column): Column = array_remove(split(c, "\\W+"), "")
+      ab("tokens_project")(
+        docs.select(col("doc_id"), viaExtract(lower(col("text"))).as("t")),
+        docs.select(col("doc_id"), viaSplit(lower(col("text"))).as("t")))
+      // a representative consumer: token count + distinct count (forces
+      // full array production but no shuffle of the arrays)
+      ab("tokens_stats")(
+        docs.select(col("doc_id"),
+          size(viaExtract(lower(col("text")))).as("n"),
+          size(array_distinct(viaExtract(lower(col("text"))))).as("nd")),
+        docs.select(col("doc_id"),
+          size(viaSplit(lower(col("text")))).as("n"),
+          size(array_distinct(viaSplit(lower(col("text"))))).as("nd")))
+    }
+
+    // langId double-evaluation: the shipping when(best.score>0, best.lang)
+    // inlines `best` = array_max over 5 per-profile filter() scans TWICE,
+    // and codegen subexpression elimination cannot unify the copies (each
+    // instantiation mints fresh lambda exprIds — plan dump shows both
+    // CASE branches carrying the full 5-filter argmax). Candidate: bind
+    // `best` exactly once as the input of a 1-element transform() and do
+    // the score>0/und fallback inside the lambda — the filters are
+    // interpreted HOFs either way, so this halves the classify work.
+    if (want("langid")) {
+      import graft.ops.TextAnalysis
+      def langIdOnce(toks: Column): Column = {
+        val n = nullif(size(toks), lit(0)).cast(DoubleType)
+        val scored = TextAnalysis.langProfiles.toSeq.sortBy(_._1).map {
+          case (lang, words) =>
+            val sw = typedLit(words)
+            struct(
+              (size(filter(toks, t => array_contains(sw, t)))
+                .cast(DoubleType) / n).as("score"),
+              lit(lang).as("lang"))
+        }
+        element_at(transform(array(array_max(array(scored: _*))), b =>
+          when(b.getField("score") > 0.0, b.getField("lang"))
+            .otherwise(lit("und"))), 1)
+      }
+      def mixture(once: Boolean): DataFrame = {
+        val w = 20
+        val chunks = docs
+          .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("t"))
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(0), ((size(col("t")) - lit(1)) / lit(w)).cast(IntegerType)),
+              i => slice(col("t"), i * lit(w) + lit(1), lit(w)))).as("c"))
+          .where(size(col("c")) > 0)
+        chunks
+          .select(col("doc_id"),
+            (if (once) langIdOnce(col("c"))
+             else TextAnalysis.langIdFromTokens(col("c"))).as("lang"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n_chunks"),
+            countDistinct(col("lang")).as("n_langs"),
+            max(struct(col("cnt"), col("lang"))).as("__m"))
+          .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+            col("__m").getField("lang").as("majority_lang"),
+            floor(lit(10000L) * (col("n_chunks") - col("__m").getField("cnt"))
+              / col("n_chunks")).cast(LongType).as("minority_pm"))
+      }
+      ab("langid_mixture")(mixture(once = false), mixture(once = true))
+      ab("langid_perdoc")(
+        docs.select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang")),
+        docs.select(col("doc_id"),
+          langIdOnce(TextAnalysis.tokens(lower(col("text")))).as("lang")))
+    }
+
     // stage anatomy for q_image_neardup: where do the ~3 s go?
     if (want("image")) {
       import graft.ops.{Dedup, Multimodal}

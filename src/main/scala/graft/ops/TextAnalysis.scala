@@ -17,9 +17,16 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
-  /** ASCII word tokens (`\w+`). */
+  /** ASCII word tokens (`\w+`) — computed as a split on the complement
+    * (`\W+`) with the boundary empties removed, which yields the
+    * IDENTICAL maximal-\w-run array from the same regex engine while
+    * skipping regexp_extract_all's per-match group extraction
+    * (ProbeR12Opt `tokens_project`: 16–38% faster on the bare tokenize,
+    * 3/3 interleaved runs, checksum-equal; this is the innermost kernel
+    * of every text query's first stage).
+    */
   def tokens(text: Column): Column =
-    regexp_extract_all(text, lit("\\w+"), lit(0))
+    array_remove(split(text, "\\W+"), "")
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
@@ -124,8 +131,15 @@ object TextAnalysis {
         (size(filter(toks, t => array_contains(sw, t))).cast(DoubleType) / n).as("score"),
         lit(lang).as("lang"))
     }
-    val best = array_max(array(scored: _*))
-    when(best.getField("score") > 0.0, best.getField("lang")).otherwise(lit("und"))
+    // the argmax struct is bound EXACTLY ONCE as the input of a 1-element
+    // transform(), with the score>0/'und' fallback inside the lambda: the
+    // obvious when(best.score > 0, best.lang) inlines `best` twice, and
+    // codegen subexpression elimination cannot unify the copies (each
+    // instantiation mints fresh lambda exprIds), so every row paid the
+    // 2·|profiles| filter() scans twice (probe: 1.6→0.5 s per-doc at sf0.1)
+    element_at(transform(array(array_max(array(scored: _*))), b =>
+      when(b.getField("score") > 0.0, b.getField("lang"))
+        .otherwise(lit("und"))), 1)
   }
 
   /** Corpus-relative length gate — the Gopher length rule done right:
